@@ -1,0 +1,25 @@
+from logai_spark.operators.features import (
+    counter_vector,
+    group_loglines,
+    sliding_windows,
+    session_windows,
+    dedup_with_counts,
+    feature_vector_mean,
+    chrono_split,
+)
+from logai_spark.operators.enrich import enrich
+from logai_spark.operators.route import route_to_sinks, read_sink, salted_repartition
+
+__all__ = [
+    "counter_vector",
+    "group_loglines",
+    "sliding_windows",
+    "session_windows",
+    "dedup_with_counts",
+    "feature_vector_mean",
+    "chrono_split",
+    "enrich",
+    "route_to_sinks",
+    "read_sink",
+    "salted_repartition",
+]

@@ -1,0 +1,180 @@
+"""Feature extraction: counter vectors, sliding/session windows, dedup.
+
+Parity targets (reference, pandas):
+- counter vectors: ``FeatureExtractor.convert_to_counter_vector``
+  (/root/reference/logai/information_extraction/feature_extractor.py:86-110)
+  and ``Partitioner.group_counter`` (preprocess/partitioner.py:61-101)
+- sliding windows: ``Partitioner.sliding_window`` / ``group_sliding_window``
+  (partitioner.py:51-59, 103-212) and ``convert_to_sequence``
+  (feature_extractor.py:174-214)
+- session windows: ``OpenSetPartitioner.generate_session_window``
+  (preprocess/openset_partitioner.py:119-142) + sliding-with-next-line
+  (openset_partitioner.py:64-117)
+- dedup with counts: openset_anomaly_detection_workflow.py:377-410
+
+All pure DataFrame ops — hash aggregates get map-side partial aggregation and
+AQE sizing for free; window functions shuffle once on the partition keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def counter_vector(
+    df: DataFrame,
+    group_by_cats: list[str] | None = None,
+    ts_col: str | None = None,
+    freq: str = "5 minutes",
+    count_col: str = "counts",
+) -> DataFrame:
+    """Group by categorical cols and/or an event-time bucket -> counts.
+
+    The time bucket is ``window(ts, freq).start`` exposed as ``timestamp``
+    (reference floors timestamps the same way: pd.Grouper(freq)/dt.floor,
+    partitioner.py:86-93, feature_extractor.py:256-260).
+    """
+    keys: list[Column] = [F.col(c) for c in (group_by_cats or [])]
+    if ts_col:
+        keys.append(F.window(F.col(ts_col), freq).start.alias("timestamp"))
+    if not keys:
+        raise ValueError("need at least one grouping key")
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_col))
+
+
+def group_loglines(
+    df: DataFrame,
+    group_by: list[str],
+    line_col: str = "logline",
+    order_col: str | None = None,
+    sep: str = " ",
+    out_col: str = "logline",
+) -> DataFrame:
+    """Per-group ordered concatenation of loglines (session window concat,
+    partitioner.py:103-174). Order inside the group is (order_col, line) via
+    sort_array over structs — deterministic without a global sort."""
+    if order_col:
+        pair = F.struct(F.col(order_col), F.col(line_col))
+        agg = F.array_join(
+            F.transform(F.sort_array(F.collect_list(pair)), lambda s: s[line_col]),
+            sep,
+        )
+    else:
+        agg = F.array_join(F.sort_array(F.collect_list(F.col(line_col))), sep)
+    return df.groupBy(*group_by).agg(agg.alias(out_col))
+
+
+def sliding_windows(
+    df: DataFrame,
+    window_size: int,
+    partition_by: list[str] | None = None,
+    order_by: str = "seq",
+    line_col: str = "logline",
+    step: int = 1,
+    exclude_smaller_windows: bool = True,
+    with_next_line: bool = False,
+    label_col: str | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """Count-based sliding windows over ordered lines, optionally per group.
+
+    Window w ending at row r = the last ``window_size`` lines up to r
+    (rowsBetween). ``step`` keeps every step-th window (stride semantics of
+    convert_to_sequence, feature_extractor.py:174-214 — strided view [::step]
+    anchored at the FIRST full window). ``with_next_line`` adds the line after
+    the window (forecast target, openset_partitioner.py:64-117); window label
+    = max of member labels.
+    """
+    parts = partition_by or []
+    w = Window.partitionBy(*parts).orderBy(order_by)
+    span = w.rowsBetween(-(window_size - 1), 0)
+    out = df.withColumn("_rn", F.row_number().over(w))
+    out = out.withColumn("window_lines", F.collect_list(line_col).over(span))
+    if with_next_line:
+        out = out.withColumn("next_logline", F.lead(line_col, 1).over(w))
+    if label_col:
+        out = out.withColumn("window_label", F.max(label_col).over(span))
+    if exclude_smaller_windows:
+        out = out.filter(F.size("window_lines") == window_size)
+    if step > 1:
+        # strided: keep windows whose end row aligns with the stride grid
+        # anchored at the first full window (_rn == window_size)
+        out = out.filter((F.col("_rn") - window_size) % step == 0)
+    return out.withColumn("window_text", F.array_join("window_lines", sep)).drop("_rn")
+
+
+def session_windows(
+    df: DataFrame,
+    span_col: str = "span_id",
+    line_col: str = "logline",
+    order_col: str | None = None,
+    label_col: str | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """All lines of one span -> one row (openset_partitioner.py:119-142);
+    session label = OR/max of member labels."""
+    aggs = []
+    if order_col:
+        pair = F.struct(F.col(order_col), F.col(line_col))
+        aggs.append(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(pair)), lambda s: s[line_col]),
+                sep,
+            ).alias("session_text")
+        )
+    else:
+        aggs.append(F.array_join(F.collect_list(F.col(line_col)), sep).alias("session_text"))
+    aggs.append(F.count(F.lit(1)).alias("session_len"))
+    if label_col:
+        aggs.append(F.max(label_col).alias("session_label"))
+    return df.groupBy(span_col).agg(*aggs)
+
+
+def dedup_with_counts(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Collapse duplicate (span, line) rows keeping count / last ts / OR-label
+    (openset_anomaly_detection_workflow.py:377-410)."""
+    aggs = [F.count(F.lit(1)).alias("counts")]
+    if ts_col:
+        aggs.append(F.max(ts_col).alias(ts_col))
+    if label_col:
+        aggs.append(F.max(label_col).alias(label_col))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def feature_vector_mean(
+    df: DataFrame, group_by: list[str], vec_col: str = "features"
+) -> DataFrame:
+    """Element-wise mean of equal-length array vectors per group
+    (feature_extractor.py:140-146). posexplode + avg + reassemble: one
+    shuffle, no UDF, works at any vector width."""
+    exploded = df.select(*group_by, F.posexplode(vec_col).alias("_pos", "_val"))
+    means = exploded.groupBy(*group_by, "_pos").agg(F.avg("_val").alias("_avg"))
+    return (
+        means.groupBy(*group_by)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_avg"))),
+                lambda s: s["_avg"],
+            ).alias(vec_col)
+        )
+    )
+
+
+def chrono_split(
+    df: DataFrame,
+    order_col: str = "timestamp",
+    partition_by: list[str] | None = None,
+    train_frac: float = 0.7,
+    flag_col: str = "is_train",
+) -> DataFrame:
+    """Chronological train/test split per series: first ``train_frac`` of rows
+    by time are train (log_anomaly_detection.py:144-149; shuffle=False split,
+    dataset_utils.py:53-66). percent_rank keeps it one window pass."""
+    w = Window.partitionBy(*(partition_by or [])).orderBy(order_col)
+    return df.withColumn(flag_col, F.percent_rank().over(w) <= train_frac)

