@@ -1,0 +1,240 @@
+"""Large-scale training-data text operators: dedup, quality, fingerprints.
+
+These extend the reference's tokenization/dedup surface
+(/root/reference/logai/utils/tokenize.py:26-56, dedup-with-counts
+openset_anomaly_detection_workflow.py:377-410) with the operations a 100 TB
+web-text pipeline needs: exact + near dedup (MinHash/LSH, SimHash, n-gram
+Jaccard), language id, quality scoring, token counting, fingerprinting.
+
+Design rule: every hash is derived from md5 (available identically in Spark
+and DuckDB), so each operator has an exact SQL oracle — no
+platform-private hash functions, no RNG. All expressions are JVM built-ins
+(split / explode / groupBy / aggregate HOFs); nothing here uses a Python UDF.
+
+Scale notes: shingle explode is the only row-multiplying step; MinHash keeps
+per-doc state at k signatures; LSH band-join groups on (band, signature-slice)
+keys so candidate generation is a hash shuffle, never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters: k permutations via (a*h + b) mod P over 32-bit md5-based
+# token hashes. P is prime and < 2^31 so a*h fits in int64 exactly (matches
+# DuckDB BIGINT arithmetic). Coefficients are fixed odd constants, not RNG.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_K = 12
+_A = [(2 * i + 1) * 40503 % MINHASH_P for i in range(1, MINHASH_K + 1)]
+_B = [(i * 9973 + 7) % MINHASH_P for i in range(1, MINHASH_K + 1)]
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "from", "that", "this", "be", "are", "was",
+]
+
+
+def tokenize_expr(col: str | Column, lowercase: bool = True) -> Column:
+    """Whitespace tokenizer (reference tokenize.py:26-36 splits on space)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def _hash32(c: Column) -> Column:
+    """Deterministic 32-bit-ish hash: first 8 hex chars of md5 -> bigint.
+    Identical formula exists in DuckDB SQL, which is what makes every
+    operator below oracle-checkable."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def round4(c: Column) -> Column:
+    """Engine-portable 4-dp rounding: floor(x*1e4 + 0.5)/1e4 in pure IEEE
+    double ops. Spark's round() goes through BigDecimal HALF_UP while DuckDB
+    rounds the binary double — they disagree at representation ties; this
+    formula evaluates bit-identically on both."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out_col, F.size(tokenize_expr(text_col, lowercase=False)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword ratio,
+    alpha ratio -> a 0..1 score. All ratios rounded to 4 dp so float math is
+    bit-stable across engines."""
+    toks = tokenize_expr(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    # distinct stopwords present / 22 as a crude fluency proxy + length band
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    total_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    out = (
+        df.withColumn("n_tokens", n)
+        .withColumn("mean_token_len", round4(F.length(F.trim(F.col(text_col))) / F.greatest(n, F.lit(1))))
+        .withColumn("stopword_hits", n_stop)
+        .withColumn("alpha_ratio", round4(alpha_chars / total_chars))
+    )
+    score = round4(
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_hits") / F.lit(8.0), F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.3
+    )
+    return out.withColumn("quality", score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-overlap language id (n-gram heuristic family). With only an
+    English stopword list baked in, emits en/unknown + the evidence count;
+    extend STOPWORDS per language for a real multilingual classifier."""
+    toks = tokenize_expr(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    hits = F.size(F.array_intersect(toks, stop_arr))
+    return df.withColumn("stopword_hits", hits).withColumn(
+        out_col, F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Order-sensitive rolling fingerprint: sum over tokens of
+    hash32(token) * (pos+1), mod P. Position-weighted so permuted docs get
+    different prints; pure aggregate arithmetic (no overflow: h < 2^32,
+    pos < 2^20, docs < 2^10 tokens -> sum < 2^63)."""
+    toks = tokenize_expr(text_col, lowercase=False)
+    # aggregate HOF with (index via arrays_zip of sequence)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    weighted = F.zip_with(toks, idx, lambda t, i: _hash32(t) * i.cast("long"))
+    total = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.withColumn(out_col, F.pmod(total, F.lit(MINHASH_P)).cast("long"))
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct key, keeper = min id, n_dups kept."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def _shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings (empty when < n tokens)."""
+    toks = tokenize_expr(text_col)
+    k = F.size(toks)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: explode shingles, take min of each of k
+    affine-permuted 32-bit hashes. Output: id + sig_0..sig_{k-1}.
+
+    One explode + one hash-aggregate: fully partial-aggregatable, so the
+    shuffle carries only (doc, k mins), not the shingles."""
+    sh = df.select(F.col(id_col), F.explode_outer(_shingles(text_col, shingle_n)).alias("_sh"))
+    h = _hash32(F.col("_sh"))
+    aggs = [
+        F.min(F.pmod(F.lit(_A[i]) * h + F.lit(_B[i]), F.lit(MINHASH_P))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (banding: k = bands*rows sigs;
+    docs agreeing on ALL rows of any band become a pair). Join key is the
+    band's signature tuple -> equi-join, linear shuffle, no cross product."""
+    k = bands * rows_per_band
+    sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    pairs = None
+    for b in range(bands):
+        cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws("_", F.lit(b), *[F.col(c) for c in cols])
+        left = sigs.select(F.col(id_col).alias("id_a"), key.alias("_band"))
+        right = sigs.select(F.col(id_col).alias("id_b"), key.alias("_band"))
+        cand = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return pairs.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    explode distinct shingles, self-join on shingle, count shared shingles,
+    |A ∪ B| = |A| + |B| - shared. Only docs sharing >=1 shingle ever pair, so
+    cost tracks true overlap (plus hot-shingle skew -> AQE handles the join)."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("_sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "_sh")
+    shared = (
+        a.join(b, "_sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    out = (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            round4(F.col("_shared") / (F.col("_sza") + F.col("_szb") - F.col("_shared"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per bit position, sum +1/-1 over token hashes;
+    bit set iff the sum is positive. explode + one aggregate with ``bits``
+    partial-aggregatable sums; near-dup docs differ in few bits."""
+    toks = df.select(F.col(id_col), F.explode(tokenize_expr(text_col)).alias("_tok"))
+    h = _hash32(F.col("_tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return sums.select(F.col(id_col), sig.alias("simhash"))

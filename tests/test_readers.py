@@ -1,0 +1,97 @@
+"""Grok-format text reader + dimension-mapped loaders (data_loader parity)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logai_spark.preprocess import PreprocessorConfig, clean_log, dense_ids
+from logai_spark.sources.readers import (
+    DataLoaderConfig,
+    grok_to_regex,
+    load_data,
+    read_grok_text,
+)
+
+HDFS_FORMAT = "<Date> <Time> <Pid> <Level> <Content>"
+
+
+@pytest.fixture()
+def hdfs_sample(tmp_path):
+    lines = [
+        "081109 203518 143 INFO dfs.DataNode$DataXceiver: Receiving block blk_-1608999687919862906 src: /10.250.19.102:54106 dest: /10.250.19.102:50010",
+        "081109 203518 35 INFO dfs.FSNamesystem: BLOCK* NameSystem.allocateBlock: /mnt/hadoop/mapred/system/job_200811092030_0001/job.jar. blk_-1608999687919862906",
+        "081109 203519 143 WARN dfs.DataNode$PacketResponder: PacketResponder 1 for block blk_-1608999687919862906 terminating",
+        "toofewtokens",
+    ]
+    p = tmp_path / "sample.log"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_grok_to_regex():
+    pattern, headers = grok_to_regex(HDFS_FORMAT)
+    assert headers == ["Date", "Time", "Pid", "Level", "Content"]
+    import re
+
+    m = re.match(pattern.replace("\\s+", r"\s+"), "081109 203518 143 INFO hello world")
+    assert m and m.group(4) == "INFO"
+
+
+def test_read_grok_text(spark, hdfs_sample):
+    matched, dead = read_grok_text(spark, hdfs_sample, HDFS_FORMAT)
+    assert matched.count() == 3
+    assert dead.count() == 1
+    row = matched.orderBy("Time").first()
+    assert row["Level"] == "INFO" and row["Date"] == "081109"
+
+
+def test_load_data_dimension_mapping(spark, hdfs_sample):
+    cfg = DataLoaderConfig(
+        filepath=hdfs_sample,
+        log_type="log",
+        reader_args={"log_format": HDFS_FORMAT},
+        dimensions={
+            "body": ["Content"],
+            "timestamp": ["Date", "Time"],
+            "attributes": ["Level", "Pid"],
+        },
+        infer_datetime=True,
+        datetime_format="yyMMdd HHmmss",
+    )
+    df = load_data(spark, cfg)
+    assert set(df.columns) == {"logline", "timestamp", "Level", "Pid"}
+    assert df.filter(F.col("timestamp").isNull()).count() == 0
+    assert df.count() == 3
+
+
+def test_load_csv_with_dims(spark, tmp_path):
+    pd.DataFrame(
+        {"ts": ["2024-01-01 00:00:00"], "Action": ["step"], "Details": ["hello 5"]}
+    ).to_csv(tmp_path / "x.csv", index=False)
+    cfg = DataLoaderConfig(
+        filepath=str(tmp_path / "x.csv"),
+        log_type="csv",
+        dimensions={"body": ["Details"], "timestamp": ["ts"], "attributes": ["Action"]},
+        datetime_format="yyyy-MM-dd HH:mm:ss",
+    )
+    df = load_data(spark, cfg)
+    assert df.first()["logline"] == "hello 5"
+
+
+def test_clean_log_capture_and_replace(spark):
+    pdf = pd.DataFrame({"logline": ["connect 10.0.0.1:8080 ok", "plain line"]})
+    cfg = PreprocessorConfig(
+        custom_delimiters_regex=[","],
+        custom_replace_list=[(r"\d+\.\d+\.\d+\.\d+:\d+", "<IP>")],
+    )
+    out = clean_log(spark.createDataFrame(pdf), config=cfg).toPandas()
+    assert out["logline"].tolist() == ["connect <IP> ok", "plain line"]
+    assert list(out["<IP>"].tolist()[0]) == ["10.0.0.1:8080"]
+    assert len(out["<IP>"].tolist()[1]) == 0
+
+
+def test_dense_ids_deterministic(spark):
+    pdf = pd.DataFrame({"k": ["b", "a", "c", "a"]})
+    out = dense_ids(spark.createDataFrame(pdf), "k", "kid").toPandas()
+    mapping = dict(zip(out["k"], out["kid"]))
+    assert mapping == {"a": 0, "b": 1, "c": 2}

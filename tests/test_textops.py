@@ -1,0 +1,91 @@
+"""Training-data text operators: dedup family, quality, fingerprints."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logai_spark.functions.textops import (
+    doc_fingerprint,
+    exact_dedup,
+    lsh_duplicate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+                "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+                "completely different content about spark engines",
+                "completely different content about spark engines here",
+                "zz",
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_token_count(spark, docs):
+    got = token_count(docs).toPandas().set_index("doc_id")["n_tokens"]
+    assert got[0] == 9 and got[5] == 1
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, ["text"]).toPandas()
+    dup_row = out[out["n_dups"] == 2]
+    assert len(dup_row) == 1 and dup_row.iloc[0]["keeper_id"] == 0
+    assert out["n_dups"].sum() == 6
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = minhash_signatures(docs, k=6).toPandas().set_index("doc_id")
+    assert (sigs.loc[0] == sigs.loc[2]).all()
+    # near-dups share most mins; disjoint docs share few
+    near = (sigs.loc[0] == sigs.loc[1]).sum()
+    far = (sigs.loc[0] == sigs.loc[3]).sum()
+    assert near >= far
+
+
+def test_lsh_pairs_find_exact_dup(spark, docs):
+    pairs = lsh_duplicate_pairs(docs, bands=3, rows_per_band=2).toPandas()
+    tup = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 2) in tup
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    tup = {tuple(r) for r in pairs[["id_a", "id_b"]].values}
+    assert (0, 2) in tup  # exact dup -> jaccard 1.0
+    j = pairs.set_index(["id_a", "id_b"])["jaccard"]
+    assert j[(0, 2)] == 1.0
+    assert ((pairs["jaccard"] > 0) & (pairs["jaccard"] <= 1.0)).all()
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    s = simhash(docs, bits=16).toPandas().set_index("doc_id")["simhash"]
+    assert s[0] == s[2]
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(s[0], s[1]) <= ham(s[0], s[3]) + 2
+
+
+def test_fingerprint_order_sensitive(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "c b a"]})
+    fp = doc_fingerprint(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] != fp[1]
+
+
+def test_quality_score_bounds(spark, docs):
+    q = quality_score(docs).toPandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    # the stopword-rich sentence should outscore the 2-char doc
+    byid = q.set_index("doc_id")["quality"]
+    assert byid[0] > byid[5]
