@@ -1,0 +1,89 @@
+"""Per-round benchmark: headline queries + end-to-end pipeline throughput.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <pipeline wall sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the query
+battery; the end-to-end pipeline runs over a deterministic synthetic
+web-pages table (BASELINE.json input shape) generated in-session.
+Parallelism: local[$SPARK_GRAFT_CPUS] (default 32). Scaling-efficiency runs
+at two parallelism levels live in tools/scaling_bench.py (results recorded in
+BASELINE.md) so the per-round bench stays fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+HEADLINE = [
+    "counter_vector",
+    "sliding_window",
+    "session_concat",
+    "enrich_broadcast",
+    "tpch_q1",
+    "minhash",
+    "ngram_jaccard",
+    "simhash",
+    "cosine_topk",
+    "quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+    from logai_spark.pipeline import run_pipeline
+    from logai_spark.session import get_spark
+    from logai_spark.sources.webpages import synth_webpages
+
+    spark = get_spark("bench")
+
+    per_query: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    # end-to-end parse -> enrich -> route -> aggregate over synthetic webpages
+    pages = synth_webpages(spark, N_DOCS).cache()
+    n_docs = pages.count()  # materialize so generation isn't in the timing
+    with tempfile.TemporaryDirectory() as out:
+        t0 = time.perf_counter()
+        metrics = run_pipeline(spark, pages, out)
+        pipeline_sec = time.perf_counter() - t0
+    docs_per_sec = round(n_docs / pipeline_sec, 1)
+
+    result = {
+        "metric": "end-to-end parse->route->aggregate wall time (synthetic webpages) + headline query battery",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+        "lines": metrics["lines"],
+        "templates": metrics["templates"],
+        "agg_rows": metrics["agg_rows"],
+        "query_battery_sec": round(sum(per_query.values()), 3),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,47 +33,109 @@ def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 8) -> DataFr
     return salted.repartition(key, "_salt").drop("_salt")
 
 
+def hot_key_buckets(
+    sizes: dict[str, int], parallelism: int = 32, skew_factor: float = 2.0
+) -> dict[str, int]:
+    """Decide per-key salt-bucket counts from known key sizes.
+
+    Keys holding more than ``skew_factor``x the mean per-task share get split
+    into ceil(share/mean) buckets (capped at parallelism); everything else
+    stays unsalted (1 bucket) so non-skewed sinks write exactly one file.
+    The template sizes from the mining pass make this free for routing.
+    """
+    total = sum(sizes.values()) or 1
+    mean_share = total / max(parallelism, 1)
+    out = {}
+    for key, n in sizes.items():
+        if n > skew_factor * mean_share:
+            out[key] = min(int(n / mean_share) + 1, parallelism)
+    return out
+
+
+def skew_aware_repartition(
+    df: DataFrame, key: str, hot_buckets: dict[str, int] | None
+) -> DataFrame:
+    """Repartition on (key, salt) where only known-hot keys get salt > 0.
+
+    Non-hot keys keep salt 0 -> all rows of a sink land in one task (one
+    output file); hot keys spread over their bucket count.
+    """
+    if not hot_buckets:
+        return df.repartition(F.col(key))
+    pairs = []
+    for k, n in hot_buckets.items():
+        pairs.extend([F.lit(k), F.lit(n)])
+    buckets = F.coalesce(
+        F.create_map(*pairs)[F.col(key)], F.lit(1)
+    )
+    # deterministic salt: input-partition id, folded into the key's bucket
+    # count. Each (input partition, hot key) pair lands on one reducer; a hot
+    # key spreads over min(#input partitions, buckets) writers.
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.spark_partition_id()), buckets)
+    )
+    return salted.repartition(F.col(key), F.col("_salt")).drop("_salt")
+
+
 def route_to_sinks(
     df: DataFrame,
     path: str,
     partition_col: str = "template_id",
     mode: str = "overwrite",
-    salt_buckets: int = 8,
+    hot_buckets: dict[str, int] | None = None,
     stage: str = "route",
     extra_meta: dict | None = None,
+    compute_counts: bool = True,
 ) -> dict:
     """Write the routed table partitioned by ``partition_col``; return (and
     persist) the manifest: per-sink row counts + stage metrics.
 
-    The per-sink counts come from one aggregate over the same frame — they are
-    the 'aggregate counts per sink' the north_rule checks against the
-    reference, and they double as resume lineage (a later run with an
-    identical manifest can skip the stage).
+    ``hot_buckets`` (from :func:`hot_key_buckets`) salts only known-skewed
+    keys so cold sinks get exactly one file while hot sinks parallelize.
+    The per-sink counts are the 'aggregate counts per sink' the north_rule
+    checks against the reference, and they double as resume lineage.
     """
     t0 = time.time()
     (
-        salted_repartition(df, partition_col, salt_buckets)
+        skew_aware_repartition(df, partition_col, hot_buckets)
+        # sort within each task so the partitionBy writer keeps ONE open file
+        # at a time per task instead of one per (task x key) — fewer, bigger
+        # files and far less writer-open overhead
+        .sortWithinPartitions(partition_col)
         .write.mode(mode)
         .partitionBy(partition_col)
         .parquet(path)
     )
-    counts = {
-        str(r[partition_col]): r["n"]
-        for r in df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     manifest = {
         "stage": stage,
         "path": path,
         "partition_col": partition_col,
-        "sinks": counts,
-        "total_rows": int(sum(counts.values())),
-        "n_sinks": len(counts),
         "wall_sec": round(time.time() - t0, 3),
         **(extra_meta or {}),
     }
+    if compute_counts:
+        # derive per-sink counts from the WRITTEN data (one columnar scan):
+        # avoids recomputing the upstream plan and verifies what landed.
+        # Callers that aggregate the routed table anyway should pass
+        # compute_counts=False and fill the manifest via write_manifest with
+        # counts rolled up from their aggregate (saves a full scan).
+        written = df.sparkSession.read.parquet(path)
+        counts = {
+            str(r[partition_col]): r["n"]
+            for r in written.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest["sinks"] = counts
+        manifest["total_rows"] = int(sum(counts.values()))
+        manifest["n_sinks"] = len(counts)
+    write_manifest(path, manifest)
+    return manifest
+
+
+def write_manifest(path: str, manifest: dict) -> None:
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    return manifest
 
 
 def manifest_of(path: str) -> dict | None:

@@ -50,15 +50,30 @@ def mine_templates(
     def _mine(batches):
         tree = DrainTree(cfg)
         for pdf in batches:
-            tree.fit(pdf[column].dropna())
+            for line, cnt in zip(pdf[column], pdf["_cnt"]):
+                if isinstance(line, str):
+                    cluster = tree.add_line(line)
+                    cluster.size += int(cnt) - 1
         tpls = tree.templates()
         yield pd.DataFrame(
             {"template": [t for t, _ in tpls], "size": [s for _, s in tpls]}
         )
 
-    partial = (
+    # JVM-side exact dedup first: the Python tree fits each DISTINCT line once
+    # (weighted by its count). Log lines repeat heavily, so this cuts the
+    # Python-side work by the duplication factor; it also makes mining
+    # independent of the input's partitioning (the groupBy shuffle assigns
+    # distinct lines to fixed hash partitions). Within each partition, fit
+    # frequent lines first (deterministic order: count desc, then line).
+    distinct = (
         df.select(column)
-        .mapInPandas(_mine, schema=_MINE_SCHEMA)
+        .groupBy(column)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .repartition(F.col(column))
+        .sortWithinPartitions(F.desc("_cnt"), column)
+    )
+    partial = (
+        distinct.mapInPandas(_mine, schema=_MINE_SCHEMA)
         .groupBy("template")
         .agg(F.sum("size").alias("size"))
         .collect()
@@ -98,42 +113,82 @@ def match_templates(
     column: str = "logline",
     templates: list[tuple[str, int]] | None = None,
     config: DrainConfig | None = None,
-    template_col: str = "template",
+    template_col: str | None = "template",
     id_col: str = "template_id",
 ) -> DataFrame:
     """Pass 3: broadcast the template dict, match every line (Arrow batches).
 
-    Adds ``template`` (null when the line matches no mined template — callers
-    route those to a dead-letter sink) and a deterministic ``template_id``.
+    Adds a deterministic ``template_id`` (md5[:16] of the template text; null
+    when the line matches no mined template — callers route those to a
+    dead-letter sink) and, when ``template_col`` is not None, the template
+    string itself (derived JVM-side from the broadcast id->template map, so
+    only the 16-char id crosses the Arrow boundary per row).
     """
     cfg = config or DrainConfig()
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((templates, cfg))
 
+    import hashlib
+
     @F.pandas_udf(T.StringType())
-    def _match(series: pd.Series) -> pd.Series:
-        tree = build_matcher(bc.value[0], bc.value[1])
-        cache: dict[str, str | None] = {}
+    def _match_id(series: pd.Series) -> pd.Series:
+        # build the matcher once per python worker, not per Arrow batch;
+        # the memo cache survives batches too (log lines repeat heavily)
+        state = _match_id.__dict__
+        if "tree" not in state:
+            state["tree"] = build_matcher(bc.value[0], bc.value[1])
+            state["cache"] = {}
+        tree = state["tree"]
+        cache: dict[str, str | None] = state["cache"]
 
         def one(line):
             if not isinstance(line, str):
                 return None
             hit = cache.get(line)
             if hit is None and line not in cache:
-                hit = tree.match_line(line)
+                t = tree.match_line(line)
+                hit = (
+                    hashlib.md5(t.encode("utf-8")).hexdigest()[:16]
+                    if t is not None
+                    else None
+                )
                 cache[line] = hit
             return hit
 
         return series.map(one)
 
-    out = df.withColumn(template_col, _match(F.col(column)))
-    return out.withColumn(
-        id_col,
-        F.when(
-            F.col(template_col).isNotNull(),
-            F.substring(F.md5(F.col(template_col)), 1, 16),
-        ),
-    )
+    out = df.withColumn(id_col, _match_id(F.col(column)))
+    if template_col is not None:
+        id_to_template = F.create_map(
+            *[
+                F.lit(x)
+                for t, _ in (templates or [])
+                for x in (template_id_of(t), t)
+            ]
+        )
+        out = out.withColumn(template_col, id_to_template[F.col(id_col)])
+    return out
+
+
+def match_templates_by_join(
+    df: DataFrame,
+    column: str = "logline",
+    templates: list[tuple[str, int]] | None = None,
+    config: DrainConfig | None = None,
+    id_col: str = "template_id",
+) -> DataFrame:
+    """Match via global dedup + equi-join: each DISTINCT line crosses Python
+    exactly once; the fact table gets its template_id from a JVM shuffle join.
+
+    Per-worker memo caches (match_templates) redo work proportional to
+    worker count — with W workers each must match its own copy of the hot
+    lines. Here total Python work is exactly |distinct lines| regardless of
+    parallelism, so the stage scales with executors; the join is plain
+    hash-shuffle relational work Spark already scales.
+    """
+    distinct = df.select(column).distinct()
+    matched = match_templates(distinct, column, templates, config, template_col=None, id_col=id_col)
+    return df.join(matched, column, "left")
 
 
 def parse_df(

@@ -26,7 +26,7 @@ def _routed_df(spark):
 def test_route_and_read_back_rows_equal(spark, tmp_path):
     df = _routed_df(spark)
     path = str(tmp_path / "sinks")
-    manifest = route_to_sinks(df, path, "template_id", salt_buckets=4)
+    manifest = route_to_sinks(df, path, "template_id", hot_buckets={"t1": 4})
     assert manifest["sinks"] == {"t1": 50, "t2": 30, "t3": 20}
     assert manifest["total_rows"] == 100
 
