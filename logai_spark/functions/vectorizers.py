@@ -95,7 +95,13 @@ def tfidf_transform(
     )
     indices = F.transform("_iw", lambda s: s["token_idx"])
     values = F.transform("_iw", lambda s: s["w"])
-    out = per_doc.select(F.col(id_col), indices.alias("indices"), values.alias("values"))
+    # keep docs with zero in-vocabulary tokens (empty vector), like sklearn
+    all_ids = df.select(id_col).distinct()
+    out = (
+        all_ids.join(per_doc, id_col, "left")
+        .withColumn("_iw", F.coalesce("_iw", F.array()))
+        .select(F.col(id_col), indices.alias("indices"), values.alias("values"))
+    )
     if l2_norm:
         norm = F.sqrt(
             F.aggregate("values", F.lit(0.0), lambda acc, v: acc + v * v)

@@ -1,0 +1,189 @@
+"""Algorithm registry: the engine's extension surface.
+
+Same contract as the reference's singleton AlgorithmFactory
+(/root/reference/logai/algorithms/factory.py:12-126): ``@factory.register
+(task, name, config_class)`` over tasks {detection, parsing, clustering,
+vectorization}; lookups by (task, name) return config/algorithm classes or
+instances. Here each registered algorithm contributes DataFrame->DataFrame
+transforms (built-ins or Arrow UDFs), not pandas objects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import fields, is_dataclass
+
+
+class AlgorithmFactory:
+    _TASKS = ("detection", "parsing", "clustering", "vectorization")
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+            cls._instance._algorithms = {t: {} for t in cls._TASKS}
+        return cls._instance
+
+    def register(self, task: str, name: str | list[str], config_class):
+        if task not in self._algorithms:
+            raise ValueError(f"unknown task {task}; choose from {self._TASKS}")
+
+        def wrap(algo_class):
+            for n in [name] if isinstance(name, str) else name:
+                if n in self._algorithms[task]:
+                    raise ValueError(f"algorithm {n} already registered for {task}")
+                self._algorithms[task][n] = (config_class, algo_class)
+            return algo_class
+
+        return wrap
+
+    def unregister(self, task: str, name: str):
+        return self._algorithms[task].pop(name, None)
+
+    def names(self, task: str) -> list[str]:
+        return sorted(self._algorithms[task])
+
+    def get_config_class(self, task: str, name: str):
+        return self._algorithms[task][name][0]
+
+    def get_algorithm_class(self, task: str, name: str):
+        return self._algorithms[task][name][1]
+
+    def get_config(self, task: str, name: str, config_dict: dict):
+        cls = self.get_config_class(task, name)
+        if is_dataclass(cls):
+            valid = {f.name for f in fields(cls)}
+            return cls(**{k: v for k, v in (config_dict or {}).items() if k in valid})
+        return cls(**(config_dict or {}))
+
+    def get_algorithm(self, task: str, name: str, config=None):
+        config_class, algo_class = self._algorithms[task][name]
+        if config is not None and not isinstance(config, config_class):
+            raise TypeError(f"config must be a {config_class.__name__}")
+        return algo_class(config or config_class())
+
+
+factory = AlgorithmFactory()
+
+
+def _register_builtins() -> None:
+    """Register the engine's built-in algorithms (mirrors the reference
+    registry listed in SURVEY.md §2.11, minus torch extras)."""
+    from logai_spark.operators.anomaly import IsolationForest
+    from logai_spark.parse.ael import AELConfig, ael_parse
+    from logai_spark.parse.drain import DrainConfig, DrainTree
+
+    class _DrainAlgo:
+        def __init__(self, cfg: DrainConfig):
+            self.cfg = cfg
+
+        def parse(self, df, column="logline"):
+            from logai_spark.parse.distributed import parse_df
+
+            return parse_df(df, column, self.cfg)[0]
+
+    class _AELAlgo:
+        def __init__(self, cfg: AELConfig):
+            self.cfg = cfg
+
+        def parse(self, df, column="logline"):
+            return ael_parse(df, column, self.cfg)
+
+    from dataclasses import dataclass
+
+    @dataclass
+    class IsolationForestConfig:
+        n_estimators: int = 100
+        max_samples: int = 256
+        seed: int = 42
+        contamination: float = 0.05
+
+    class _IFAlgo:
+        def __init__(self, cfg: IsolationForestConfig):
+            self.cfg = cfg
+            self.model = None
+
+        def fit(self, df, feature_cols):
+            from logai_spark.operators.anomaly import fit_isolation_forest
+
+            self.model = fit_isolation_forest(
+                df,
+                feature_cols,
+                n_estimators=self.cfg.n_estimators,
+                max_samples=self.cfg.max_samples,
+                seed=self.cfg.seed,
+                contamination=self.cfg.contamination,
+            )
+            return self
+
+        def predict(self, df, feature_cols):
+            from logai_spark.operators.anomaly import score_with_model
+
+            return score_with_model(df, self.model, feature_cols)
+
+    @dataclass
+    class TfIdfConfig:
+        lowercase: bool = True
+        smooth_idf: bool = True
+        min_df: int = 1
+        sublinear_tf: bool = False
+
+    class _TfIdfAlgo:
+        def __init__(self, cfg: TfIdfConfig):
+            self.cfg = cfg
+            self.idf_table = None
+
+        def fit(self, df, text_col="logline"):
+            from logai_spark.functions.vectorizers import tfidf_fit
+
+            self.idf_table = tfidf_fit(
+                df, text_col, self.cfg.lowercase, self.cfg.smooth_idf, self.cfg.min_df
+            ).cache()
+            return self
+
+        def transform(self, df, text_col="logline", id_col="doc_id", **kw):
+            from logai_spark.functions.vectorizers import tfidf_transform
+
+            return tfidf_transform(
+                df, self.idf_table, text_col, id_col,
+                self.cfg.lowercase, self.cfg.sublinear_tf, **kw
+            )
+
+    @dataclass
+    class KMeansConfig:
+        k: int = 8
+        seed: int = 42
+        max_iter: int = 20
+
+    class _KMeansAlgo:
+        """Spark-ML KMeans over an array<double> feature column."""
+
+        def __init__(self, cfg: KMeansConfig):
+            self.cfg = cfg
+            self.model = None
+
+        def fit(self, df, features_col="features"):
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            vecs = df.withColumn("_v", array_to_vector(features_col))
+            self.model = KMeans(
+                k=self.cfg.k, seed=self.cfg.seed, maxIter=self.cfg.max_iter,
+                featuresCol="_v", predictionCol="cluster_id",
+            ).fit(vecs)
+            return self
+
+        def predict(self, df, features_col="features"):
+            from pyspark.ml.functions import array_to_vector
+
+            vecs = df.withColumn("_v", array_to_vector(features_col))
+            return self.model.transform(vecs).drop("_v")
+
+    factory.register("parsing", "drain", DrainConfig)(_DrainAlgo)
+    factory.register("parsing", "ael", AELConfig)(_AELAlgo)
+    factory.register("detection", "isolation_forest", IsolationForestConfig)(_IFAlgo)
+    factory.register("vectorization", "tfidf", TfIdfConfig)(_TfIdfAlgo)
+    factory.register("clustering", "kmeans", KMeansConfig)(_KMeansAlgo)
+
+
+_register_builtins()

@@ -1,0 +1,11 @@
+from logai_spark.streaming.counters import (
+    streaming_counter_vector,
+    streaming_session_windows,
+    streaming_match_templates,
+)
+
+__all__ = [
+    "streaming_counter_vector",
+    "streaming_session_windows",
+    "streaming_match_templates",
+]
