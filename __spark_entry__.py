@@ -236,6 +236,114 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5).select("query_id", "rank", "vec_id", "cosine")
 
 
+def _q_tfidf_idf(spark, sf_dir):
+    """TF-IDF fit: document frequencies + smooth idf (sklearn formula parity,
+    vectorizers.tfidf_fit; reference tfidf.py:126-134)."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.functions.vectorizers import tfidf_fit
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("logline"))
+    idf = tfidf_fit(docs)
+    return idf.select("token", "df", round4(F.col("idf")).alias("idf"), "token_idx")
+
+
+def _q_sliding_window_step(spark, sf_dir):
+    """strided sliding windows (feature_extractor.py:174-214 stride semantics)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("seq"), F.col("event_type").alias("logline")
+    )
+    out = sliding_windows(ev, window_size=4, partition_by=["user_id"], order_by="seq", step=3)
+    return out.select("user_id", "seq", "window_text")
+
+
+def _q_token_position_stats(spark, sf_dir):
+    """positional parameter summary shape (auto_log_summarization.py:52-77):
+    posexplode tokens, per-position distinct values + counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        docs.select(F.posexplode(toks).alias("position", "token"))
+        .filter(F.col("position") < 5)
+        .groupBy("position")
+        .agg(
+            F.count(F.lit(1)).alias("value_counts"),
+            F.countDistinct("token").alias("distinct_values"),
+        )
+    )
+
+
+def _q_feature_mean(spark, sf_dir):
+    """group-by element-wise mean of vectors (feature_extractor.py:140-146)."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.operators.features import feature_vector_mean
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    out = feature_vector_mean(emb, ["label"], "vec")
+    return out.select(
+        "label", F.transform("vec", lambda v: round4(v)).alias("mean_vec")
+    )
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    """hyperplane-LSH bucket histogram (similarity.hyperplane_signs)."""
+    from logai_spark.functions.similarity import hyperplane_signs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(emb.select("v").first()["v"])
+    out = emb.withColumn("bucket", hyperplane_signs(F.col("v"), dim, n_planes=4))
+    return out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_pivot_counts(spark, sf_dir):
+    """pivot (SURVEY §2 mapping of one-hot/pivot): per-user counts by type."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("int")).alias(f"n_{t}")
+            for t in types
+        ]
+    )
+
+
+def _q_quantiles(spark, sf_dir):
+    """percentile aggregation (approx/exact quantile surface)."""
+    from logai_spark.functions.textops import round4
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        round4(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+        round4(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    """intersect/except (SURVEY §2.6): users with both purchases and errors."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.intersect(erring).orderBy("user_id")
+
+
+def _q_label_spans(spark, sf_dir):
+    """HDFS-style span labeling via broadcast label join
+    (hdfs_preprocessor.py:31-39): label users by a small dim derived from
+    nation (user_id % 25 -> nationkey), count labeled rows."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "nkey", (F.col("user_id") % 25).cast("int")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"),
+        (F.col("n_regionkey") == 0).cast("int").alias("labels"),
+    )
+    out = ev.join(F.broadcast(nat), "nkey", "left").fillna({"labels": 0})
+    return out.groupBy("labels").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -258,6 +366,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "tfidf_idf": _q_tfidf_idf,
+        "sliding_window_step": _q_sliding_window_step,
+        "token_position_stats": _q_token_position_stats,
+        "feature_mean": _q_feature_mean,
+        "lsh_buckets": _q_lsh_buckets,
+        "pivot_counts": _q_pivot_counts,
+        "quantiles": _q_quantiles,
+        "set_ops": _q_set_ops,
+        "label_spans": _q_label_spans,
     }
 
 
@@ -285,6 +402,25 @@ def _dd_minhash_cte(k: int, shingle_n: int = 3) -> str:
             WHERE len(t) >= {shingle_n}
         ),
         sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)
+    """
+
+
+def _lsh_buckets_sql(dim: int = 64, n_planes: int = 4) -> str:
+    """Mirror similarity.hyperplane_signs: deterministic md5-derived plane
+    coefficients inlined as literals on both sides."""
+    from logai_spark.functions.similarity import _det_coeff
+
+    terms = []
+    for p in range(n_planes):
+        coefs = ", ".join(str(_det_coeff(p, j) / 1000.0) for j in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::double[], [{coefs}]) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH b AS (SELECT {bucket} AS bucket FROM embeddings)
+        SELECT bucket, count(*) AS n FROM b GROUP BY 1
     """
 
 
@@ -444,6 +580,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE floor(shared / (sa.sz + sb.sz - shared) * 10000 + 0.5) / 10000 >= 0.2
+        """,
+        "tfidf_idf": f"""
+            WITH d AS (
+                SELECT list_distinct(list_filter(
+                    regexp_split_to_array(regexp_replace(lower(text), '[^\\w]+', ' ', 'g'), ' '),
+                    t -> length(t) >= 2)) AS toks
+                FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            flat AS (SELECT unnest(toks) AS token FROM d),
+            dfreq AS (SELECT token, count(*) AS df FROM flat GROUP BY 1)
+            SELECT token, df,
+                   floor((ln((n_docs + 1) / (df + 1)) + 1) * 10000 + 0.5) / 10000 AS idf,
+                   row_number() OVER (ORDER BY token) - 1 AS token_idx
+            FROM dfreq, n
+        """,
+        "sliding_window_step": """
+            WITH w AS (
+                SELECT user_id, event_id AS seq,
+                       string_agg(event_type, ' ') OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS window_text,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events)
+            SELECT user_id, seq, window_text FROM w
+            WHERE rn >= 4 AND (rn - 4) % 3 = 0
+        """,
+        "token_position_stats": """
+            WITH t AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+            p AS (
+                SELECT i - 1 AS position, toks[i] AS token
+                FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+                WHERE i <= 5)
+            SELECT position, count(*) AS value_counts,
+                   count(DISTINCT token) AS distinct_values
+            FROM p GROUP BY 1
+        """,
+        "feature_mean": """
+            WITH e AS (SELECT label, embedding::double[] AS v FROM embeddings),
+            x AS (
+                SELECT label, i, avg(v[i]) AS m
+                FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+                GROUP BY 1, 2)
+            SELECT label, list(floor(m * 10000 + 0.5) / 10000 ORDER BY i) AS mean_vec
+            FROM x GROUP BY label
+        """,
+        "lsh_buckets": _lsh_buckets_sql(),
+        "pivot_counts": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "quantiles": """
+            SELECT l_returnflag,
+                   floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+                   floor(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000 AS p90
+            FROM lineitem GROUP BY 1
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "label_spans": """
+            WITH ev AS (
+                SELECT (user_id % 25)::int AS nkey FROM events),
+            nat AS (
+                SELECT n_nationkey AS nkey,
+                       (n_regionkey = 0)::int AS labels
+                FROM nation)
+            SELECT coalesce(labels, 0) AS labels, count(*) AS n
+            FROM ev LEFT JOIN nat USING (nkey)
+            GROUP BY 1
         """,
         "cosine_topk": """
             WITH q AS (

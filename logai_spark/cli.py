@@ -1,0 +1,59 @@
+"""spark-submit entry point.
+
+north_rule: the pipeline ships via ``spark-submit --py-files``. Build the
+zip with ``python tools/build_pyfiles.py`` (writes dist/logai_spark.zip),
+then:
+
+    spark-submit --py-files dist/logai_spark.zip \
+        --master <cluster> this_file.py run \
+        --input /path/to/pages_parquet --output /path/to/out
+
+With no --input, generates a synthetic Common-Crawl-style table (smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logai-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the parse->enrich->route->aggregate pipeline")
+    run.add_argument("--input", help="parquet dir of pages (url, warc_ts, html, text, lang); omit for synthetic")
+    run.add_argument("--output", required=True, help="output dir (routed/ + agg/ written inside)")
+    run.add_argument("--n-docs", type=int, default=10000, help="synthetic doc count when no --input")
+    run.add_argument("--window", default="1 hour")
+    run.add_argument("--mine-sample", type=float, default=1.0)
+
+    bench = sub.add_parser("bench", help="run the repo benchmark")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench  # repo-root bench.py
+
+        bench.main()
+        return 0
+
+    from logai_spark.pipeline import PipelineConfig, run_pipeline
+    from logai_spark.session import get_spark
+    from logai_spark.sources.webpages import synth_webpages
+
+    spark = get_spark("logai_spark_cli")
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = synth_webpages(spark, args.n_docs)
+    cfg = PipelineConfig(window=args.window, sample_fraction_for_mining=args.mine_sample)
+    metrics = run_pipeline(spark, pages, args.output, cfg)
+    print(json.dumps({k: v for k, v in metrics.items() if k != "manifest"}, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
