@@ -344,6 +344,36 @@ def _q_label_spans(spark, sf_dir):
     return out.groupBy("labels").agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_event_index(spark, sf_dir):
+    """group-by collect indices (preprocessor.group_log_index
+    preprocessor.py:73-85; event_index lists feature_extractor.py:240-244)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_index"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    """embedding-cosine near-duplicate pairs (training-data dedup family):
+    all pairs with cosine >= 0.95 among the first 200 vectors."""
+    from logai_spark.functions.similarity import _dot, _norm
+    from logai_spark.functions.textops import round4
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = round4(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    )
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -375,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "set_ops": _q_set_ops,
         "label_spans": _q_label_spans,
+        "event_index": _q_event_index,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -646,6 +678,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             INTERSECT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "event_index": """
+            SELECT event_type,
+                   list(event_id ORDER BY event_id) AS event_index,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "embedding_near_dup": """
+            WITH e AS (
+                SELECT vec_id, embedding::double[] AS v FROM embeddings
+                WHERE vec_id < 200),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       floor(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))) * 10000 + 0.5)
+                       / 10000 AS cosine
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
         """,
         "label_spans": """
             WITH ev AS (

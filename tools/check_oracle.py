@@ -85,6 +85,9 @@ def main() -> int:
             print(f"FAIL {name}: rows spark={len(sdf)} duckdb={len(ddf)}")
             continue
         eq = True
+        if len(sdf) == 0:
+            print(f"OK   {name}: 0 rows (both empty)")
+            continue
         for c in sdf.columns:
             a, b = sdf[c], ddf[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
