@@ -49,6 +49,11 @@ def main() -> None:
 
     spark = get_spark("bench")
 
+    # JVM/codegen warmup so the first measured query isn't charged for it
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).groupBy(
+        "event_type"
+    ).count().collect()
+
     per_query: dict[str, float] = {}
     qs = entrymod.queries()
     for name in HEADLINE:

@@ -147,9 +147,11 @@ def minhash_signatures(
     One explode + one hash-aggregate: fully partial-aggregatable, so the
     shuffle carries only (doc, k mins), not the shingles."""
     sh = df.select(F.col(id_col), F.explode_outer(_shingles(text_col, shingle_n)).alias("_sh"))
-    h = _hash32(F.col("_sh"))
+    # materialize the base hash once per shingle row; the k permuted mins all
+    # reference this column (otherwise each agg recomputes the md5)
+    sh = sh.withColumn("_h", _hash32(F.col("_sh")))
     aggs = [
-        F.min(F.pmod(F.lit(_A[i]) * h + F.lit(_B[i]), F.lit(MINHASH_P))).alias(f"sig_{i}")
+        F.min(F.pmod(F.lit(_A[i]) * F.col("_h") + F.lit(_B[i]), F.lit(MINHASH_P))).alias(f"sig_{i}")
         for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
