@@ -51,6 +51,27 @@ def test_extra_delimiters():
     assert my_out == ref_out
 
 
+@pytest.mark.parametrize("dataset", ["healthapp", "hdfs", "bgl"])
+def test_frozen_matcher_equals_reference_two_pass(dataset):
+    """The distributed design's match pass (frozen matcher over the final
+    template set, parse/distributed.build_matcher) assigns every line the
+    SAME template as the reference's own two-pass fit+match — this is the
+    parity definition from SURVEY.md §7.3, line-exact on all fixtures."""
+    from logai_spark.parse.distributed import build_matcher
+
+    lines = fixture_lines(dataset)
+    ref = refdrain.Drain(refdrain.DrainParams())
+    ref.fit(pd.Series(lines))
+    ref_out = [
+        " ".join(m.log_template_tokens) if (m := ref.match(l)) else None
+        for l in lines
+    ]
+    tree = DrainTree(DrainConfig())
+    tree.fit(lines)
+    matcher = build_matcher(tree.templates())
+    assert [matcher.match_line(l) for l in lines] == ref_out
+
+
 def test_empty_and_nonstring():
     tree = DrainTree()
     tree.fit(["", "   ", "hello world 5", None, 42])
