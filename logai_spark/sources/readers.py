@@ -88,17 +88,22 @@ def load_data(spark: SparkSession, config: DataLoaderConfig) -> DataFrame:
     (SURVEY.md §1.2: one DataFrame, not nine parallel frames).
     """
     lt = config.log_type.lower()
+    reader_args = dict(config.reader_args)
+    schema_names = reader_args.pop("schema_names", None)
     if lt == "csv":
-        df = spark.read.options(header=True, **config.reader_args).csv(config.filepath)
+        reader_args.setdefault("header", "false" if schema_names else "true")
+        reader = spark.read.options(**reader_args)
+        df = reader.csv(config.filepath)
+        if schema_names:
+            df = df.toDF(*schema_names)
     elif lt == "tsv":
-        df = spark.read.options(header=True, sep="\t", **config.reader_args).csv(
-            config.filepath
-        )
+        reader_args.setdefault("header", "true")
+        df = spark.read.options(sep="\t", **reader_args).csv(config.filepath)
     elif lt == "json":
         df = spark.read.options(**config.reader_args).json(config.filepath)
     elif lt == "log":
         df, _dead = read_grok_text(
-            spark, config.filepath, config.reader_args["log_format"]
+            spark, config.filepath, reader_args["log_format"]
         )
     else:
         raise ValueError(f"unsupported log_type {config.log_type}")
@@ -125,3 +130,28 @@ def load_data(spark: SparkSession, config: DataLoaderConfig) -> DataFrame:
         elif fld == "attributes":
             cols.extend(F.col(c) for c in raw_cols)
     return df.select(*cols)
+
+
+def load_openset(spark: SparkSession, dataset: str, filepath: str) -> DataFrame:
+    """Config-driven open-dataset loader (OpenSetDataLoader parity,
+    /root/reference/logai/dataloader/openset_data_loader.py:17-53): the
+    per-dataset JSON configs under ``sources/openset_configs/`` carry the
+    dimension mapping, grok format, and datetime grammar (translated to
+    Spark's to_timestamp patterns)."""
+    import json
+    import os
+
+    cfg_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "openset_configs", f"{dataset.lower()}.json"
+    )
+    with open(cfg_path) as f:
+        raw = json.load(f)
+    cfg = DataLoaderConfig(
+        filepath=filepath,
+        log_type=raw["log_type"],
+        dimensions=raw["dimensions"],
+        reader_args=raw.get("reader_args", {}),
+        infer_datetime=raw.get("infer_datetime", True),
+        datetime_format=raw.get("datetime_format"),
+    )
+    return load_data(spark, cfg)

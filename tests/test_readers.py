@@ -95,3 +95,36 @@ def test_dense_ids_deterministic(spark):
     out = dense_ids(spark.createDataFrame(pdf), "k", "kid").toPandas()
     mapping = dict(zip(out["k"], out["kid"]))
     assert mapping == {"a": 0, "b": 1, "c": 2}
+
+
+def test_load_openset_healthapp(spark):
+    from logai_spark.sources.readers import load_openset
+
+    df = load_openset(
+        spark, "healthapp", "/root/reference/tests/logai/test_data/HealthApp_2000.log"
+    )
+    assert set(df.columns) == {"logline", "timestamp", "Action", "ID"}
+    assert df.count() > 1900
+    assert df.filter(F.col("timestamp").isNull()).count() == 0
+
+
+def test_load_openset_hdfs(spark):
+    from logai_spark.sources.readers import load_openset
+
+    df = load_openset(
+        spark, "hdfs", "/root/reference/tests/logai/test_data/HDFS_5000.log"
+    )
+    assert set(df.columns) == {"logline", "timestamp", "Level", "span_id"}
+    assert df.count() > 4900
+    levels = {r["Level"] for r in df.select("Level").distinct().collect()}
+    assert levels <= {"INFO", "WARN", "ERROR", "FATAL"}
+
+
+def test_load_openset_bgl(spark):
+    from logai_spark.sources.readers import load_openset
+
+    df = load_openset(
+        spark, "bgl", "/root/reference/tests/logai/test_data/BGL_2000.log"
+    )
+    assert {"logline", "timestamp", "labels", "span_id"} <= set(df.columns)
+    assert df.count() > 1900
