@@ -190,7 +190,7 @@ def run_pipeline(
 
     enriched = enrich(parsed, lang_dimension(spark), "lang", select=["lang_name", "script"])
 
-    metrics: dict = {"templates": len(templates)}
+    metrics: dict = {"templates": len(templates), "templates_list": templates}
     if write_sinks:
         # single match pass: write routed data once, then aggregate from the
         # written columnar files (template_id arrives via partition pruning)

@@ -1,0 +1,109 @@
+"""North-rule equality gates: routed-row equality and per-sink aggregate
+counts vs an independent pandas reference pipeline (BASELINE.json metric).
+
+The oracle recomputes extract -> line split -> template match -> routing ->
+windowed aggregation in pure pandas/python (no Spark) from the same
+deterministic page generator, using the mined template dictionary (mining
+itself is pinned by determinism + reference-parity tests elsewhere).
+"""
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logai_spark.parse.distributed import build_matcher
+from logai_spark.pipeline import PipelineConfig, run_pipeline
+from logai_spark.sources.webpages import (
+    extract_text_reference,
+    make_page,
+    synth_webpages,
+)
+
+N_DOCS = 1200
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    pages = synth_webpages(spark, N_DOCS)
+    metrics = run_pipeline(spark, pages, out)
+    return out, metrics
+
+
+def _pandas_oracle(templates):
+    """Pure-python reference pipeline: (url, warc_ts, lang, seq, logline,
+    template_id) rows for every generated page."""
+    matcher = build_matcher(templates)
+    memo = {}
+
+    def tid(line):
+        if line not in memo:
+            t = matcher.match_line(line)
+            memo[line] = (
+                hashlib.md5(t.encode()).hexdigest()[:16] if t is not None else None
+            )
+        return memo[line]
+
+    rows = []
+    for doc in range(N_DOCS):
+        url, epoch_us, html, lang = make_page(42, doc)
+        text = extract_text_reference(html)
+        ts = pd.Timestamp(epoch_us, unit="us")
+        for seq, line in enumerate(text.split("\n")):
+            if line:
+                rows.append((url, ts, lang, seq, line, tid(line)))
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "lang", "seq", "logline", "template_id"]
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(pipeline_out):
+    _out, metrics = pipeline_out
+    templates = metrics["templates_list"]
+    return _pandas_oracle(templates)
+
+
+def test_routed_row_equality(spark, pipeline_out, oracle):
+    """Every routed row matches the pandas reference exactly, per sink."""
+    out, _ = pipeline_out
+    routed = (
+        spark.read.parquet(os.path.join(out, "routed"))
+        .select("url", "seq", "logline", "template_id")
+        .toPandas()
+    )
+    assert len(routed) == len(oracle)
+    key = lambda df: set(map(tuple, df[["url", "seq", "logline", "template_id"]].values))
+    assert key(routed) == key(oracle)
+
+
+def test_per_sink_aggregate_counts(spark, pipeline_out, oracle):
+    """Manifest per-sink counts == pandas reference counts, sink by sink."""
+    _out, metrics = pipeline_out
+    got = metrics["manifest"]["sinks"]
+    want = oracle.groupby("template_id").size().to_dict()
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_windowed_aggregate_equality(spark, pipeline_out, oracle):
+    """Hourly (template, lang) counter vectors match the pandas reference."""
+    out, _ = pipeline_out
+    agg = spark.read.parquet(os.path.join(out, "agg")).toPandas()
+    want = (
+        oracle.assign(timestamp=oracle["warc_ts"].dt.floor("h"))
+        .groupby(["template_id", "lang", "timestamp"])
+        .size()
+        .reset_index(name="counts")
+    )
+    a = agg.sort_values(["template_id", "lang", "timestamp"]).reset_index(drop=True)
+    b = want.sort_values(["template_id", "lang", "timestamp"]).reset_index(drop=True)
+    a["timestamp"] = pd.to_datetime(a["timestamp"])
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(
+        a[["template_id", "lang", "timestamp", "counts"]],
+        b[["template_id", "lang", "timestamp", "counts"]],
+        check_dtype=False,
+    )
