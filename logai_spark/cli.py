@@ -50,7 +50,14 @@ def main(argv: list[str] | None = None) -> int:
         pages = synth_webpages(spark, args.n_docs)
     cfg = PipelineConfig(window=args.window, sample_fraction_for_mining=args.mine_sample)
     metrics = run_pipeline(spark, pages, args.output, cfg)
-    print(json.dumps({k: v for k, v in metrics.items() if k != "manifest"}, default=str))
+    # keep the contract at one readable JSON line: the full template list and
+    # per-sink manifest live in <output>/routed/_lineage_manifest.json
+    print(
+        json.dumps(
+            {k: v for k, v in metrics.items() if k not in ("manifest", "templates_list")},
+            default=str,
+        )
+    )
     spark.stop()
     return 0
 

@@ -65,11 +65,15 @@ def mine_templates(
     # independent of the input's partitioning (the groupBy shuffle assigns
     # distinct lines to fixed hash partitions). Within each partition, fit
     # frequent lines first (deterministic order: count desc, then line).
+    # The repartition count is FIXED (not tied to cluster parallelism) so the
+    # partition-local trees — and therefore the merged template dictionary —
+    # are bit-identical no matter how many executors run the job (north_rule:
+    # same routed output at N and 4N executors).
     distinct = (
         df.select(column)
         .groupBy(column)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .repartition(F.col(column))
+        .repartition(cfg.mine_partitions, F.col(column))
         .sortWithinPartitions(F.desc("_cnt"), column)
     )
     partial = (

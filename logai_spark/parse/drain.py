@@ -44,6 +44,10 @@ class DrainConfig:
     max_clusters: int | None = None
     extra_delimiters: tuple = ()
     wildcard: str = "*"
+    # fixed shuffle width for the distributed mining pass — deliberately NOT
+    # tied to cluster parallelism so the mined template dictionary is
+    # identical at any executor count (see distributed.mine_templates)
+    mine_partitions: int = 64
 
     def __post_init__(self):
         if self.depth < 3:

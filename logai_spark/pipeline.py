@@ -177,14 +177,18 @@ def run_pipeline(
     timings: dict[str, float] = {}
 
     t0 = _time.perf_counter()
-    mine_src = pages_to_lines(pages)
+    mine_pages = pages
     if cfg.sample_fraction_for_mining < 1.0:
-        # deterministic sample: hash the url, not rand()
-        mine_src = mine_src.filter(
-            F.pmod(F.xxhash64("url", "seq"), 10000)
+        # deterministic PAGE-level sample (hash the url, not rand()): the
+        # filter sits BEFORE the html->text UDF, so the mining pass only
+        # extracts the sampled pages instead of extracting everything twice
+        # (once for mining, once for the fused match). At 100TB you mine the
+        # template dictionary on a sample; the match pass stays exact.
+        mine_pages = pages.filter(
+            F.pmod(F.xxhash64("url"), 10000)
             < int(cfg.sample_fraction_for_mining * 10000)
         )
-    templates = mine_templates(mine_src, "logline", cfg.drain)
+    templates = mine_templates(pages_to_lines(mine_pages), "logline", cfg.drain)
     timings["mine"] = round(_time.perf_counter() - t0, 2)
     parsed = extract_parse(pages, templates, cfg.drain)
 
@@ -192,8 +196,16 @@ def run_pipeline(
 
     metrics: dict = {"templates": len(templates), "templates_list": templates}
     if write_sinks:
-        # single match pass: write routed data once, then aggregate from the
-        # written columnar files (template_id arrives via partition pruning)
+        # The parsed+enriched line table is consumed twice (routed write +
+        # windowed aggregate). Persisting it means the expensive fused
+        # extract+match python stage runs ONCE; the aggregate then reads
+        # executor-local cached blocks (memory, spilling to executor disk)
+        # instead of re-scanning the routed files from shared storage —
+        # one less full-table IO round trip, and no driver-side file
+        # listing of N sink directories.
+        from pyspark import StorageLevel
+
+        enriched = enriched.persist(StorageLevel.MEMORY_AND_DISK)
         # skew handling: template sizes from the mining pass tell us which
         # sinks are hot; only those get salted across writer tasks
         sizes = {template_id_of(t): s for t, s in templates}
@@ -214,32 +226,30 @@ def run_pipeline(
             compute_counts=False,
         )
         timings["route_write"] = round(_time.perf_counter() - t0, 2)
-        agg_src = spark.read.parquet(routed_path)
+        agg_src = enriched
     else:
         agg_src = enriched.persist()
         manifest = {"stage": "route", "path": None}
 
-    # one read-back scan: the windowed aggregate; per-sink manifest counts
-    # roll up from the (tiny) aggregate output instead of a second full scan
+    # windowed aggregate from the persisted line table; per-sink manifest
+    # counts roll up from the (tiny) aggregate instead of a second full scan
     t0 = _time.perf_counter()
-    agg = counter_vector(agg_src, ["template_id", "lang"], "warc_ts", cfg.window)
+    agg = counter_vector(agg_src, ["template_id", "lang"], "warc_ts", cfg.window).persist()
     agg.write.mode("overwrite").parquet(os.path.join(out_dir, "agg"))
-    agg_small = spark.read.parquet(os.path.join(out_dir, "agg")).persist()
     sink_counts = {
         str(r["template_id"]): int(r["n"])
-        for r in agg_small.groupBy("template_id").agg(F.sum("counts").alias("n")).collect()
+        for r in agg.groupBy("template_id").agg(F.sum("counts").alias("n")).collect()
     }
     manifest["sinks"] = sink_counts
     manifest["total_rows"] = int(sum(sink_counts.values()))
     manifest["n_sinks"] = len(sink_counts)
-    metrics["agg_rows"] = agg_small.count()
-    agg_small.unpersist()
+    metrics["agg_rows"] = agg.count()
+    agg.unpersist()
     timings["aggregate"] = round(_time.perf_counter() - t0, 2)
     metrics["timings"] = timings
     if write_sinks:
         write_manifest(os.path.join(out_dir, "routed"), manifest)
-    else:
-        enriched.unpersist()
+    enriched.unpersist()
     metrics["manifest"] = manifest
     metrics["lines"] = manifest["total_rows"]
     return metrics

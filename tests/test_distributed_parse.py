@@ -59,7 +59,9 @@ def test_single_node_is_special_case_of_distributed(spark):
     reduces to the plain tree's template set."""
     lines = fixture_lines("healthapp")
     df = spark.createDataFrame(pd.DataFrame({"logline": lines})).coalesce(1)
-    dist = {t for t, _ in mine_templates(df)}
+    # mine_partitions=1 -> exactly one partition-local tree (the fixed default
+    # of 64 shards the distinct lines regardless of input partitioning)
+    dist = {t for t, _ in mine_templates(df, config=DrainConfig(mine_partitions=1))}
     local = DrainTree(DrainConfig())
     local.fit(lines)
     # merging a tree's own templates can only coarsen; with one partition the

@@ -1,0 +1,94 @@
+"""IPLoM parity vs the reference implementation (iplom.py:72-647).
+
+Parity contract: identical per-line template string for every line, on the
+reference's own raw fixture datasets, plus weighted-distinct equivalence
+(our distributed core runs on distinct lines with counts) and the Spark
+applyInPandas wrapper.
+"""
+
+import pandas as pd
+import pytest
+
+from logai_spark.parse.iplom import (
+    IPLoMConfig,
+    iplom_map_distinct,
+    parse_iplom,
+    tokenize_iplom,
+)
+from tests.reference_drain import fixture_lines
+from tests.reference_iplom import load_reference_iplom
+
+refmod = load_reference_iplom()
+
+
+def reference_parse(lines: list[str], **params) -> list[str]:
+    algo = refmod.IPLoM(refmod.IPLoMParams(**params))
+    out = algo.parse(pd.Series(lines, name="logline"))
+    return list(out)
+
+
+def our_parse(lines: list[str], config: IPLoMConfig | None = None) -> list[str]:
+    s = pd.Series(lines)
+    nonempty = s[s.str.strip() != ""]
+    counts = nonempty.groupby(nonempty).size()
+    distinct = pd.Series(counts.index, index=range(len(counts)))
+    tpl = iplom_map_distinct(distinct, pd.Series(counts.values), config)
+    mapping = dict(zip(distinct, tpl))
+    return [mapping.get(ln) for ln in lines]
+
+
+@pytest.mark.parametrize("dataset", ["healthapp", "hdfs", "bgl"])
+def test_iplom_parity_fixtures(dataset):
+    lines = fixture_lines(dataset)
+    assert len(lines) > 1000
+    ref = reference_parse(lines)
+    mine = our_parse(lines)
+    # reference skips empty lines (iplom.py:120-121); align on non-empty
+    mismatches = [
+        (a, b) for ln, a, b in zip(lines, ref, mine) if ln.strip() and a != b
+    ]
+    assert mismatches == [], mismatches[:5]
+
+
+def test_iplom_len2_step3_parity():
+    # width-2 partitions exercise step 3's (0,1) path (iplom.py:526-528)
+    lines = (
+        ["alpha beta"] * 5
+        + [f"alpha v{i}" for i in range(6)]
+        + [f"k{i} close" for i in range(4)]
+        + ["alpha beta"]
+    )
+    assert our_parse(lines) == reference_parse(lines)
+
+
+def test_iplom_weighted_distinct_equivalence():
+    # heavy duplication: weighting must reproduce per-line-count decisions
+    lines = ["conn from 10.0.0.1 port 80"] * 500 + [
+        f"conn from 10.0.0.{i} port {1000 + i}" for i in range(50)
+    ]
+    assert our_parse(lines) == reference_parse(lines)
+
+
+def test_iplom_rex_masking():
+    lines = [f"job {i} finished in {i * 3}ms" for i in range(40)]
+    cfg = IPLoMConfig(rex=[r"\d+"])
+    ref = reference_parse(lines, rex=[r"\d+"])
+    assert our_parse(lines, cfg) == ref
+
+
+def test_tokenize_matches_reference_split():
+    line = "a=b c:d,e  f"
+    assert tokenize_iplom(line) == ["a", "b", "c", "d", "e", "f"]
+    assert tokenize_iplom(" =:, ") == [" "]
+
+
+def test_parse_iplom_spark(spark):
+    lines = fixture_lines("healthapp")[:1500]
+    df = spark.createDataFrame(pd.DataFrame({"logline": lines}))
+    parsed, sizes = parse_iplom(df, "logline")
+    got = {r["logline"]: r["template"] for r in parsed.collect()}
+    ref = dict(zip(lines, reference_parse(lines)))
+    diff = {ln for ln in got if ln.strip() and got[ln] != ref[ln]}
+    assert diff == set(), list(diff)[:5]
+    assert sum(n for _, n in sizes) == len([l for l in lines if l.strip()])
+    assert all(t for t, _ in sizes)

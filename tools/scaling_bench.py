@@ -24,19 +24,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_at(cpus: int, n_docs: int) -> dict:
-    from logai_spark.pipeline import run_pipeline
+def _fast_dir() -> str:
+    """Scratch root for shuffle + sink output. A 1000-executor cluster has
+    one local disk (or memory-backed object-store cache) PER executor; this
+    sandbox has one shared /dev/vda, which serializes all writers and floors
+    scaling. tmpfs models the per-executor-storage case and keeps the
+    measurement about COMPUTE scaling; BASELINE.md reports both."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
+def run_at(cpus: int, n_docs: int, mine_sample: float = 0.1) -> dict:
+    from logai_spark.pipeline import PipelineConfig, run_pipeline
     from logai_spark.session import get_spark
     from logai_spark.sources.webpages import synth_webpages
 
-    spark = get_spark(f"scaling_{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    scratch = tempfile.mkdtemp(prefix=f"scaling_{cpus}_", dir=_fast_dir())
+    spark = get_spark(
+        f"scaling_{cpus}",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": os.path.join(scratch, "spark_local")},
+    )
+    cfg = PipelineConfig(sample_fraction_for_mining=mine_sample)
+    # warmup: tiny pipeline run so codegen JIT + python-worker spawn +
+    # committer init are paid before the timed window (standard JVM-bench
+    # practice; on a long-lived cluster these are amortized to zero)
+    warm = synth_webpages(spark, 10000, partitions=cpus)
+    run_pipeline(spark, warm, os.path.join(scratch, "warm"), cfg)
+
     pages = synth_webpages(spark, n_docs, partitions=cpus * 2).cache()
     pages.count()  # materialize generation outside the timed window
-    with tempfile.TemporaryDirectory() as out:
+    try:
         t0 = time.perf_counter()
-        metrics = run_pipeline(spark, pages, out)
+        metrics = run_pipeline(spark, pages, os.path.join(scratch, "out"), cfg)
         wall = time.perf_counter() - t0
-    spark.stop()
+    finally:
+        spark.stop()
+        subprocess.run(["rm", "-rf", scratch], check=False)
     return {
         "cpus": cpus,
         "wall_sec": round(wall, 2),
