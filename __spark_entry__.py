@@ -206,6 +206,44 @@ def _q_fingerprint(spark, sf_dir):
     return doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def _q_iplom_templates(spark, sf_dir):
+    """IPLoM template mining over document texts (reference iplom.py:72-647):
+    iterative partition refinement by token count, least-diverse column, and
+    token-pair mapping relations; counts per mined template. Iterative
+    set-refinement is not SQL-expressible -> no oracle entry (rows-only
+    check); per-line parity vs the reference is covered by tests/test_iplom.py."""
+    from logai_spark.parse.iplom import IPLoMConfig, iplom_map_distinct
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("logline"))
+    distinct = docs.groupBy("logline").agg(F.count(F.lit(1)).alias("_cnt"))
+    toks = F.filter(F.split(F.col("logline"), r"[\s=:,]"), lambda x: x != "")
+    keyed = distinct.withColumn(
+        "_n", F.when(F.size(toks) > 0, F.size(toks)).otherwise(F.lit(1))
+    )
+    schema = T.StructType(
+        [
+            T.StructField("template", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        tpl = iplom_map_distinct(pdf["logline"], pdf["_cnt"], IPLoMConfig())
+        out = pd.DataFrame({"template": tpl, "n": pdf["_cnt"].values})
+        return out.groupby("template", as_index=False)["n"].sum()
+
+    return (
+        keyed.groupBy("_n")
+        .applyInPandas(_refine, schema)
+        .groupBy("template")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), "template")
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("keeper_id", "n_dups")
@@ -391,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
+        "iplom_templates": _q_iplom_templates,
         "exact_dedup": _q_exact_dedup,
         "minhash": _q_minhash,
         "simhash": _q_simhash,

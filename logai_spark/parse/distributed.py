@@ -47,37 +47,45 @@ def mine_templates(
     """
     cfg = config or DrainConfig()
 
-    def _mine(batches):
+    def _mine(_key, pdf):
+        # deterministic fit order inside the shard: frequent lines first so
+        # they anchor the clusters, lexicographic tiebreak
+        pdf = pdf.sort_values(["_cnt", column], ascending=[False, True], kind="mergesort")
         tree = DrainTree(cfg)
-        for pdf in batches:
-            for line, cnt in zip(pdf[column], pdf["_cnt"]):
-                if isinstance(line, str):
-                    cluster = tree.add_line(line)
-                    cluster.size += int(cnt) - 1
+        for line, cnt in zip(pdf[column], pdf["_cnt"]):
+            if isinstance(line, str):
+                cluster = tree.add_line(line)
+                cluster.size += int(cnt) - 1
         tpls = tree.templates()
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {"template": [t for t, _ in tpls], "size": [s for _, s in tpls]}
         )
 
     # JVM-side exact dedup first: the Python tree fits each DISTINCT line once
     # (weighted by its count). Log lines repeat heavily, so this cuts the
-    # Python-side work by the duplication factor; it also makes mining
-    # independent of the input's partitioning (the groupBy shuffle assigns
-    # distinct lines to fixed hash partitions). Within each partition, fit
-    # frequent lines first (deterministic order: count desc, then line).
-    # The repartition count is FIXED (not tied to cluster parallelism) so the
-    # partition-local trees — and therefore the merged template dictionary —
-    # are bit-identical no matter how many executors run the job (north_rule:
+    # Python-side work by the duplication factor.
+    #
+    # Sharding for the partition-local trees is LOGICAL, not physical: an
+    # explicit shard key (hash of the line mod a fixed width) with
+    # groupBy(shard).applyInPandas. Physical layout is not a stable contract —
+    # AQE legitimately re-sizes even an explicit repartition(n, col) based on
+    # runtime stats, so `mapInPandas` over "64 partitions" sees different
+    # shard contents at different cluster sizes. The logical key makes every
+    # tree's input set and order a pure function of the data, so the merged
+    # template dictionary is bit-identical at any executor count (north_rule:
     # same routed output at N and 4N executors).
     distinct = (
         df.select(column)
         .groupBy(column)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .repartition(cfg.mine_partitions, F.col(column))
-        .sortWithinPartitions(F.desc("_cnt"), column)
+        .withColumn(
+            "_shard",
+            F.pmod(F.xxhash64(column), F.lit(cfg.mine_partitions)).cast("int"),
+        )
     )
     partial = (
-        distinct.mapInPandas(_mine, schema=_MINE_SCHEMA)
+        distinct.groupBy("_shard")
+        .applyInPandas(_mine, schema=_MINE_SCHEMA)
         .groupBy("template")
         .agg(F.sum("size").alias("size"))
         .collect()

@@ -47,6 +47,23 @@ def get_spark(
         # every partition dir at job end — that rename pass is O(#sinks) and
         # does not parallelize with executors
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # python workers fork from a daemon that has already imported
+        # pandas/pyarrow/numpy: each spawned worker otherwise pays ~1-2 s of
+        # imports, which at dozens of workers per executor throttles scaling
+        .config("spark.python.daemon.module", "logai_spark.daemon")
+        # the daemon starts BEFORE --py-files paths are injected, so the
+        # package location must be on the executor pythonpath explicitly
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
