@@ -151,6 +151,85 @@ def score_with_model(
 
 
 # ---------------------------------------------------------------------------
+# local outlier factor (from scratch, numpy)
+# ---------------------------------------------------------------------------
+
+
+class LocalOutlierFactor:
+    """From-scratch LOF in novelty mode (Breunig et al. 2000), the algorithm
+    the reference wraps from sklearn (local_outlier_factor.py:46-94;
+    novelty=True default at :42). Brute-force distances — the fit set is the
+    small post-aggregation feature matrix, collected driver-side; scoring
+    runs distributed via the broadcast model (see :func:`score_with_model`).
+
+    Scoring convention mirrors sklearn: ``score_samples(X) = -LOF(X)``
+    against the TRAIN set (lower = more anomalous); with contamination
+    'auto' the novelty decision offset is -1.5, so predict() flags
+    score < -1.5 as -1 (outlier).
+    """
+
+    def __init__(self, n_neighbors: int = 20, offset: float = -1.5):
+        self.n_neighbors = n_neighbors
+        self.offset = offset
+        self._X: np.ndarray | None = None
+        self._kdist: np.ndarray | None = None
+        self._lrd: np.ndarray | None = None
+
+    @staticmethod
+    def _dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # (a-b)^2 = a^2 + b^2 - 2ab; clamp tiny negatives from rounding
+        sq = (
+            (A * A).sum(1)[:, None]
+            + (B * B).sum(1)[None, :]
+            - 2.0 * (A @ B.T)
+        )
+        return np.sqrt(np.maximum(sq, 0.0))
+
+    def fit(self, X: np.ndarray) -> "LocalOutlierFactor":
+        X = np.asarray(X, dtype=float)
+        n = len(X)
+        k = min(self.n_neighbors, n - 1)
+        if k < 1:
+            raise ValueError("LOF needs at least 2 fit points")
+        self._X = X
+        self._k = k
+        d = self._dists(X, X)
+        np.fill_diagonal(d, np.inf)
+        idx = np.argsort(d, axis=1)[:, :k]  # kNN of each train point
+        ndist = np.take_along_axis(d, idx, axis=1)
+        self._kdist = ndist[:, -1]  # k-distance per train point
+        # local reachability density over the train set
+        reach = np.maximum(ndist, self._kdist[idx])
+        self._lrd = 1.0 / (reach.mean(axis=1) + 1e-10)
+        return self
+
+    def score_samples(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=float)
+        d = self._dists(X, self._X)
+        idx = np.argsort(d, axis=1)[:, : self._k]
+        ndist = np.take_along_axis(d, idx, axis=1)
+        reach = np.maximum(ndist, self._kdist[idx])
+        lrd_x = 1.0 / (reach.mean(axis=1) + 1e-10)
+        lof = self._lrd[idx].mean(axis=1) / lrd_x
+        return -lof
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.where(self.score_samples(X) < self.offset, -1, 1)
+
+
+def fit_lof(
+    df: DataFrame,
+    feature_cols: list[str],
+    max_fit_rows: int = 50_000,
+    **params,
+) -> LocalOutlierFactor:
+    """Driver-side LOF fit on the (post-aggregation, small) feature matrix;
+    score with :func:`score_with_model` (broadcast + Arrow batches)."""
+    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    return LocalOutlierFactor(**params).fit(pdf.to_numpy(dtype=float))
+
+
+# ---------------------------------------------------------------------------
 # per-attribute time-series detectors (het detector semantics)
 # ---------------------------------------------------------------------------
 

@@ -120,13 +120,22 @@ def route_to_sinks(
         # compute_counts=False and fill the manifest via write_manifest with
         # counts rolled up from their aggregate (saves a full scan).
         written = df.sparkSession.read.parquet(path)
-        counts = {
-            str(r[partition_col]): r["n"]
-            for r in written.groupBy(partition_col)
+        # one columnar scan gives both levels of lineage: per-sink row counts
+        # (the north_rule's per-sink aggregate equality) and per-FILE counts
+        # inside each sink (file == writer task -> per-partition lineage)
+        rows = (
+            written.groupBy(partition_col, F.input_file_name().alias("f"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        }
+        )
+        counts: dict[str, int] = {}
+        files: dict[str, dict[str, int]] = {}
+        for r in rows:
+            k = str(r[partition_col])
+            counts[k] = counts.get(k, 0) + int(r["n"])
+            files.setdefault(k, {})[os.path.basename(r["f"])] = int(r["n"])
         manifest["sinks"] = counts
+        manifest["sink_files"] = files
         manifest["total_rows"] = int(sum(counts.values()))
         manifest["n_sinks"] = len(counts)
     write_manifest(path, manifest)
@@ -161,7 +170,15 @@ def checkpoint(
     """Stage checkpoint: write parquet + manifest unless a completed manifest
     already exists, then read back (cuts lineage, enables mid-DAG resume).
     Spark analog of the reference's write-CSV-then-reload-if-present stages
-    (openset_anomaly_detection_workflow.py:260-321)."""
+    (openset_anomaly_detection_workflow.py:260-321).
+
+    The manifest records PER-PARTITION lineage (north_rule): one entry per
+    written file (file == writer task/partition) with its row count, so a
+    resume can verify the checkpoint is complete and re-drive only missing
+    partitions, and an auditor can trace every output row to the task that
+    wrote it. The per-file counts come from one footer-cheap scan of the
+    freshly written columnar files.
+    """
     spark = df.sparkSession
     m = manifest_of(path)
     if resume and m is not None and m.get("stage") == stage:
@@ -169,10 +186,18 @@ def checkpoint(
     t0 = time.time()
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
+    per_file = {
+        os.path.basename(r["f"]): int(r["n"])
+        for r in out.groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     manifest = {
         "stage": stage,
         "path": path,
-        "total_rows": out.count(),
+        "total_rows": int(sum(per_file.values())),
+        "n_partitions": len(per_file),
+        "partitions": per_file,
         "wall_sec": round(time.time() - t0, 3),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:

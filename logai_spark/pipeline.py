@@ -232,19 +232,23 @@ def run_pipeline(
         manifest = {"stage": "route", "path": None}
 
     # windowed aggregate from the persisted line table; per-sink manifest
-    # counts roll up from the (tiny) aggregate instead of a second full scan
+    # counts roll up from the (tiny) aggregate instead of a second full scan.
+    # Two actions total: the parquet write, and ONE collect of the small
+    # aggregate from which sink counts and row count both derive (each action
+    # is a full driver round trip — they are the non-scaling part of the job)
     t0 = _time.perf_counter()
     agg = counter_vector(agg_src, ["template_id", "lang"], "warc_ts", cfg.window).persist()
     agg.write.mode("overwrite").parquet(os.path.join(out_dir, "agg"))
-    sink_counts = {
-        str(r["template_id"]): int(r["n"])
-        for r in agg.groupBy("template_id").agg(F.sum("counts").alias("n")).collect()
-    }
+    agg_rows = agg.select("template_id", "counts").collect()
+    agg.unpersist()
+    sink_counts: dict[str, int] = {}
+    for r in agg_rows:
+        k = str(r["template_id"])
+        sink_counts[k] = sink_counts.get(k, 0) + int(r["counts"])
     manifest["sinks"] = sink_counts
     manifest["total_rows"] = int(sum(sink_counts.values()))
     manifest["n_sinks"] = len(sink_counts)
-    metrics["agg_rows"] = agg.count()
-    agg.unpersist()
+    metrics["agg_rows"] = len(agg_rows)
     timings["aggregate"] = round(_time.perf_counter() - t0, 2)
     metrics["timings"] = timings
     if write_sinks:

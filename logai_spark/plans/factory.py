@@ -122,6 +122,55 @@ def _register_builtins() -> None:
             return score_with_model(df, self.model, feature_cols)
 
     @dataclass
+    class LOFConfig:
+        n_neighbors: int = 20
+        offset: float = -1.5
+
+    class _LOFAlgo:
+        def __init__(self, cfg: LOFConfig):
+            self.cfg = cfg
+            self.model = None
+
+        def fit(self, df, feature_cols):
+            from logai_spark.operators.anomaly import fit_lof
+
+            self.model = fit_lof(
+                df, feature_cols,
+                n_neighbors=self.cfg.n_neighbors, offset=self.cfg.offset,
+            )
+            return self
+
+        def predict(self, df, feature_cols):
+            from logai_spark.operators.anomaly import score_with_model
+
+            return score_with_model(df, self.model, feature_cols)
+
+    @dataclass
+    class IPLoMFactoryConfig:
+        max_event_len: int = 200
+        ct: float = 0.0
+        lower_bound: float = 0.25
+        upper_bound: float = 0.9
+
+    class _IPLoMAlgo:
+        def __init__(self, cfg: IPLoMFactoryConfig):
+            self.cfg = cfg
+
+        def parse(self, df, column="logline"):
+            from logai_spark.parse.iplom import IPLoMConfig, parse_iplom
+
+            return parse_iplom(
+                df,
+                column,
+                IPLoMConfig(
+                    max_event_len=self.cfg.max_event_len,
+                    ct=self.cfg.ct,
+                    lower_bound=self.cfg.lower_bound,
+                    upper_bound=self.cfg.upper_bound,
+                ),
+            )[0]
+
+    @dataclass
     class TfIdfConfig:
         lowercase: bool = True
         smooth_idf: bool = True
@@ -181,7 +230,9 @@ def _register_builtins() -> None:
 
     factory.register("parsing", "drain", DrainConfig)(_DrainAlgo)
     factory.register("parsing", "ael", AELConfig)(_AELAlgo)
+    factory.register("parsing", "iplom", IPLoMFactoryConfig)(_IPLoMAlgo)
     factory.register("detection", "isolation_forest", IsolationForestConfig)(_IFAlgo)
+    factory.register("detection", "lof", LOFConfig)(_LOFAlgo)
     factory.register("vectorization", "tfidf", TfIdfConfig)(_TfIdfAlgo)
     factory.register("clustering", "kmeans", KMeansConfig)(_KMeansAlgo)
 

@@ -76,3 +76,71 @@ def test_distribution_divergence(spark):
     diff = distribution_divergence(a, b_diff, "v")
     assert same["kl"] < 1e-6 and same["js"] < 1e-6
     assert diff["kl"] > 0.5 and diff["js"] > 0.1
+
+
+# ---------------------------------------------------------------------------
+# local outlier factor (reference local_outlier_factor.py:46-94, novelty mode)
+# ---------------------------------------------------------------------------
+
+def test_lof_uniform_cluster_scores_near_minus_one():
+    from logai_spark.operators.anomaly import LocalOutlierFactor
+
+    rng = np.random.default_rng(3)
+    X = rng.uniform(0, 1, size=(400, 2))
+    m = LocalOutlierFactor(n_neighbors=10).fit(X)
+    scores = m.score_samples(X)
+    # LOF of points inside a uniform-density cloud is ~1 -> score ~ -1
+    assert abs(np.median(scores) + 1.0) < 0.1
+    assert (m.predict(X) == 1).mean() > 0.97
+
+
+def test_lof_flags_planted_outliers():
+    from logai_spark.operators.anomaly import LocalOutlierFactor
+
+    rng = np.random.default_rng(4)
+    train = rng.normal(0, 1, size=(300, 3))
+    m = LocalOutlierFactor(n_neighbors=20).fit(train)
+    far = np.array([[12.0, 12.0, -12.0], [20.0, 0.0, 0.0]])
+    near = rng.normal(0, 1, size=(5, 3))
+    assert (m.predict(far) == -1).all()
+    assert (m.predict(near) == 1).all()
+    assert m.score_samples(far).max() < m.score_samples(near).min()
+
+
+def test_lof_spark_broadcast_scoring(spark):
+    from logai_spark.operators.anomaly import fit_lof
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(rng.normal(0, 1, size=(250, 2)), columns=["f0", "f1"])
+    pdf.loc[249] = [18.0, -18.0]
+    df = spark.createDataFrame(pdf)
+    model = fit_lof(df, ["f0", "f1"], n_neighbors=15)
+    scored = score_with_model(df, model, ["f0", "f1"])
+    worst = scored.orderBy("anom_score").first()
+    assert worst["f0"] == 18.0 and worst["is_anomaly"] == 1
+    # gaussian tails put a few % past the -1.5 novelty offset (as in sklearn)
+    assert scored.filter("is_anomaly = 1").count() <= 25
+
+
+def test_lof_factory_roundtrip(spark):
+    from logai_spark.plans.factory import factory
+
+    algo = factory.get_algorithm("detection", "lof", factory.get_config("detection", "lof", {"n_neighbors": 12}))
+    rng = np.random.default_rng(6)
+    pdf = pd.DataFrame(rng.normal(0, 1, size=(200, 2)), columns=["f0", "f1"])
+    pdf.loc[199] = [25.0, 25.0]
+    df = spark.createDataFrame(pdf)
+    out = algo.fit(df, ["f0", "f1"]).predict(df, ["f0", "f1"])
+    assert out.orderBy("anom_score").first()["is_anomaly"] == 1
+
+
+def test_iplom_factory_roundtrip(spark):
+    from logai_spark.plans.factory import factory
+
+    algo = factory.get_algorithm("parsing", "iplom", None)
+    df = spark.createDataFrame(
+        pd.DataFrame({"logline": [f"job {i} done in {i * 2}ms" for i in range(30)]})
+    )
+    parsed = algo.parse(df, "logline")
+    tpls = {r["template"] for r in parsed.select("template").distinct().collect()}
+    assert len(tpls) == 1 and "<*>" in next(iter(tpls))

@@ -82,10 +82,20 @@ def _port_open(port: int) -> bool:
         return s.connect_ex(("127.0.0.1", port)) == 0
 
 
-# disjoint 7-core "nodes"; driver + master on the spare cores
-NODE_CPUSETS = ["0-6", "7-13", "14-20", "21-27"]
-DRIVER_CPUSET = "28-31"
+# disjoint per-"node" cpusets; driver + master on the spare top cores.
+# EXECUTOR_CORES is settable (argv 3): 7 -> four 7-core nodes (28 cores),
+# 2 -> four 2-core nodes (8 cores), etc.
 EXECUTOR_CORES = 7
+DRIVER_CPUSET = "28-31"
+
+
+def _node_cpusets() -> list[str]:
+    return [
+        f"{i * EXECUTOR_CORES}-{(i + 1) * EXECUTOR_CORES - 1}" for i in range(4)
+    ]
+
+
+NODE_CPUSETS = _node_cpusets()
 
 
 def start_master(scratch: str) -> subprocess.Popen:
@@ -182,6 +192,18 @@ def submit(scratch: str, n_docs: int, tag: str) -> dict:
         "--conf",
         f"spark.executorEnv.PYTHONPATH={ROOT}",
         "--conf",
+        "spark.locality.wait=0s",
+        # At 100TB every shuffle yields thousands of advisory-sized tasks, so
+        # all task slots stay full. At bench scale the default 64MB advisory
+        # coalesces shuffles to FEWER tasks than the cluster has slots (e.g.
+        # 25 tasks on 28 cores) and executors starve between waves. A smaller
+        # advisory size recreates the at-scale regime (tasks >> slots) while
+        # keeping the AQE machinery in the loop.
+        "--conf",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
+        "--conf",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize=1m",
+        "--conf",
         f"spark.local.dir={os.path.join(scratch, 'spark_local_' + tag)}",
         "--conf",
         "spark.ui.enabled=false",
@@ -219,8 +241,12 @@ def run_size(scratch: str, n_workers: int, n_docs: int, repeats: int) -> dict:
 
 
 def main() -> None:
+    global EXECUTOR_CORES, NODE_CPUSETS
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if len(sys.argv) > 3:
+        EXECUTOR_CORES = int(sys.argv[3])
+        NODE_CPUSETS = _node_cpusets()
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "build_pyfiles.py")], check=True)
     scratch = tempfile.mkdtemp(prefix="cluster_bench_", dir="/dev/shm")
     os.makedirs(os.path.join(scratch, "logs"), exist_ok=True)
@@ -242,8 +268,9 @@ def main() -> None:
         json.dumps(
             {
                 "n_docs": n_docs,
-                "executors_1x8": one,
-                "executors_4x8": four,
+                "cores_per_executor": EXECUTOR_CORES,
+                f"executors_1x{EXECUTOR_CORES}": one,
+                f"executors_4x{EXECUTOR_CORES}": four,
                 "speedup_N_to_4N": round(four["docs_per_sec"] / one["docs_per_sec"], 2),
                 "scaling_efficiency": eff,
                 "identical_output_across_sizes": same_output,

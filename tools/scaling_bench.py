@@ -39,11 +39,21 @@ def run_at(cpus: int, n_docs: int, mine_sample: float = 0.1) -> dict:
     from logai_spark.sources.webpages import synth_webpages
 
     scratch = tempfile.mkdtemp(prefix=f"scaling_{cpus}_", dir=_fast_dir())
+    # the PLAN is fixed across parallelism levels (64 input partitions, 64
+    # shuffle partitions): only the core count varies, exactly like scaling
+    # executors on a cluster against the same table. The 8m advisory size
+    # keeps AQE from coalescing bench-scale shuffles below the slot count
+    # (at 100TB shuffles are thousands of advisory-sized tasks anyway).
     spark = get_spark(
         f"scaling_{cpus}",
         cpus=cpus,
-        shuffle_partitions=cpus,
-        extra_conf={"spark.local.dir": os.path.join(scratch, "spark_local")},
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.local.dir": os.path.join(scratch, "spark_local"),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m",
+            "spark.locality.wait": "0s",
+        },
     )
     cfg = PipelineConfig(sample_fraction_for_mining=mine_sample)
     # warmup: tiny pipeline run so codegen JIT + python-worker spawn +
@@ -52,7 +62,7 @@ def run_at(cpus: int, n_docs: int, mine_sample: float = 0.1) -> dict:
     warm = synth_webpages(spark, 10000, partitions=cpus)
     run_pipeline(spark, warm, os.path.join(scratch, "warm"), cfg)
 
-    pages = synth_webpages(spark, n_docs, partitions=cpus * 2).cache()
+    pages = synth_webpages(spark, n_docs, partitions=64).cache()
     pages.count()  # materialize generation outside the timed window
     try:
         t0 = time.perf_counter()
@@ -104,14 +114,17 @@ def main() -> None:
         print(json.dumps(run_at(int(sys.argv[2]), int(sys.argv[3]))))
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
-    low = run_isolated(8, n_docs)
-    high = run_isolated(32, n_docs)
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    n_high = n_low * 4
+    low = run_isolated(n_low, n_docs, repeats)
+    high = run_isolated(n_high, n_docs, repeats)
     efficiency = round((high["docs_per_sec"] / low["docs_per_sec"]) / 4.0, 3)
     print(json.dumps({
         "n_docs": n_docs,
-        "local8": low,
-        "local32": high,
-        "speedup_8_to_32": round(high["docs_per_sec"] / low["docs_per_sec"], 2),
+        f"local{n_low}": low,
+        f"local{n_high}": high,
+        f"speedup_{n_low}_to_{n_high}": round(high["docs_per_sec"] / low["docs_per_sec"], 2),
         "scaling_efficiency": efficiency,
     }, indent=1))
 
