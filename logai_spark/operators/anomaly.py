@@ -230,6 +230,168 @@ def fit_lof(
 
 
 # ---------------------------------------------------------------------------
+# one-class SVM (from scratch, numpy)
+# ---------------------------------------------------------------------------
+
+
+class OneClassSVM:
+    """From-scratch one-class SVM (Schölkopf et al. 2001) — the detector the
+    reference wraps from sklearn (one_class_svm.py:44-90; RBF kernel and
+    nu=0.5 defaults). Solves the dual
+
+        min 1/2 a^T K a   s.t. 0 <= a_i <= 1/(nu*n),  sum(a) = 1
+
+    by deterministic projected gradient descent (fit sets are the small
+    post-aggregation feature matrices, so an O(n^2) kernel is fine; scoring
+    distributes via the broadcast model). ``gamma='scale'`` reproduces
+    sklearn's 1/(d * Var(X)).
+
+    score_samples(x) = sum_i a_i k(x_i, x); decision = score - rho; predict
+    -1 when decision < 0 (sklearn convention).
+    """
+
+    def __init__(self, nu: float = 0.5, gamma: str | float = "scale",
+                 max_iter: int = 3000, tol: float = 1e-12):
+        self.nu = nu
+        self.gamma = gamma
+        self.max_iter = max_iter
+        self.tol = tol
+
+    def _rbf(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        sq = (
+            (A * A).sum(1)[:, None]
+            + (B * B).sum(1)[None, :]
+            - 2.0 * (A @ B.T)
+        )
+        return np.exp(-self._gamma * np.maximum(sq, 0.0))
+
+    @staticmethod
+    def _project(a: np.ndarray, ub: float) -> np.ndarray:
+        """Euclidean projection onto {0 <= a <= ub, sum(a) = 1} (capped
+        simplex) by bisection on the shift."""
+        lo, hi = a.min() - 1.0, a.max()
+        for _ in range(100):
+            mid = 0.5 * (lo + hi)
+            s = np.clip(a - mid, 0.0, ub).sum()
+            if s > 1.0:
+                lo = mid
+            else:
+                hi = mid
+        return np.clip(a - 0.5 * (lo + hi), 0.0, ub)
+
+    def fit(self, X: np.ndarray) -> "OneClassSVM":
+        X = np.asarray(X, dtype=float)
+        n, d = X.shape
+        if self.gamma == "scale":
+            v = X.var()
+            self._gamma = 1.0 / (d * v) if v > 0 else 1.0
+        else:
+            self._gamma = float(self.gamma)
+        self._X = X
+        K = self._rbf(X, X)
+        ub = 1.0 / max(self.nu * n, 1e-12)
+        a = np.full(n, 1.0 / n)
+        if ub < 1.0 / n:  # infeasible start guard (nu > 1)
+            a = self._project(a, ub)
+        # accelerated projected gradient (FISTA) — plain PGD converges too
+        # slowly on this quadratic for rho (and hence the nu-property of the
+        # training outlier fraction) to come out right
+        step = 1.0 / max(np.linalg.norm(K, ord=2), 1e-12)
+        y, t_m = a.copy(), 1.0
+        prev_obj = np.inf
+        for _ in range(self.max_iter):
+            a_next = self._project(y - step * (K @ y), ub)
+            t_next = 0.5 * (1.0 + math.sqrt(1.0 + 4.0 * t_m * t_m))
+            y = a_next + ((t_m - 1.0) / t_next) * (a_next - a)
+            a, t_m = a_next, t_next
+            obj = 0.5 * a @ K @ a
+            if prev_obj - obj < self.tol * max(abs(prev_obj), 1.0) and prev_obj >= obj:
+                break
+            prev_obj = obj
+        self._alpha = a
+        # rho = decision value at margin support vectors (0 < a_i < ub)
+        margin = (a > 1e-8) & (a < ub - 1e-8)
+        dec = K @ a
+        self.rho = float(dec[margin].mean() if margin.any() else dec[a > 1e-8].mean())
+        self.offset = 0.0  # decision threshold: score - rho < 0 -> outlier
+        return self
+
+    def score_samples(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=float)
+        return self._rbf(X, self._X) @ self._alpha - self.rho
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.where(self.score_samples(X) < 0.0, -1, 1)
+
+
+def fit_ocsvm(
+    df: DataFrame,
+    feature_cols: list[str],
+    max_fit_rows: int = 20_000,
+    **params,
+) -> OneClassSVM:
+    """Driver-side one-class-SVM fit; score via :func:`score_with_model`."""
+    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    return OneClassSVM(**params).fit(pdf.to_numpy(dtype=float))
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (from scratch, numpy; reference clustering_algo/dbscan.py:44-79)
+# ---------------------------------------------------------------------------
+
+
+def dbscan_labels(X: np.ndarray, eps: float = 0.3, min_samples: int = 10) -> np.ndarray:
+    """Classic DBSCAN over a small matrix: core points have >= min_samples
+    neighbors within eps (inclusive, counting self, as sklearn does);
+    clusters are connected components of core points; border points join a
+    neighboring core's cluster; the rest are noise (-1). Deterministic:
+    clusters are seeded in row order."""
+    X = np.asarray(X, dtype=float)
+    n = len(X)
+    sq = (X * X).sum(1)[:, None] + (X * X).sum(1)[None, :] - 2.0 * (X @ X.T)
+    within = np.sqrt(np.maximum(sq, 0.0)) <= eps
+    core = within.sum(1) >= min_samples
+    labels = np.full(n, -1)
+    cluster = 0
+    for i in range(n):
+        if not core[i] or labels[i] != -1:
+            continue
+        # BFS over density-reachable points
+        labels[i] = cluster
+        frontier = [i]
+        while frontier:
+            j = frontier.pop()
+            for k in np.flatnonzero(within[j]):
+                if labels[k] == -1:
+                    labels[k] = cluster
+                    if core[k]:
+                        frontier.append(int(k))
+        cluster += 1
+    return labels
+
+
+def dbscan_fit_predict(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    eps: float = 0.3,
+    min_samples: int = 10,
+    max_fit_rows: int = 50_000,
+) -> DataFrame:
+    """Cluster the (small, post-aggregation) feature matrix driver-side and
+    join labels back by ``id_col`` — the reference's fit_predict shape
+    (dbscan.py:63-79) made explicit about row identity, since Spark rows
+    have no stable index."""
+    spark = df.sparkSession
+    pdf = df.select(id_col, *feature_cols).limit(max_fit_rows).toPandas()
+    labels = dbscan_labels(pdf[feature_cols].to_numpy(dtype=float), eps, min_samples)
+    lab = spark.createDataFrame(
+        pd.DataFrame({id_col: pdf[id_col], "cluster_id": labels})
+    )
+    return df.join(F.broadcast(lab), id_col, "left")
+
+
+# ---------------------------------------------------------------------------
 # per-attribute time-series detectors (het detector semantics)
 # ---------------------------------------------------------------------------
 

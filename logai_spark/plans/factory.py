@@ -146,6 +146,43 @@ def _register_builtins() -> None:
             return score_with_model(df, self.model, feature_cols)
 
     @dataclass
+    class OCSVMConfig:
+        nu: float = 0.5
+        gamma: object = "scale"
+
+    class _OCSVMAlgo:
+        def __init__(self, cfg: OCSVMConfig):
+            self.cfg = cfg
+            self.model = None
+
+        def fit(self, df, feature_cols):
+            from logai_spark.operators.anomaly import fit_ocsvm
+
+            self.model = fit_ocsvm(df, feature_cols, nu=self.cfg.nu, gamma=self.cfg.gamma)
+            return self
+
+        def predict(self, df, feature_cols):
+            from logai_spark.operators.anomaly import score_with_model
+
+            return score_with_model(df, self.model, feature_cols)
+
+    @dataclass
+    class DBSCANConfig:
+        eps: float = 0.3
+        min_samples: int = 10
+
+    class _DBSCANAlgo:
+        def __init__(self, cfg: DBSCANConfig):
+            self.cfg = cfg
+
+        def fit_predict(self, df, feature_cols, id_col):
+            from logai_spark.operators.anomaly import dbscan_fit_predict
+
+            return dbscan_fit_predict(
+                df, feature_cols, id_col, eps=self.cfg.eps, min_samples=self.cfg.min_samples
+            )
+
+    @dataclass
     class IPLoMFactoryConfig:
         max_event_len: int = 200
         ct: float = 0.0
@@ -233,6 +270,8 @@ def _register_builtins() -> None:
     factory.register("parsing", "iplom", IPLoMFactoryConfig)(_IPLoMAlgo)
     factory.register("detection", "isolation_forest", IsolationForestConfig)(_IFAlgo)
     factory.register("detection", "lof", LOFConfig)(_LOFAlgo)
+    factory.register("detection", "one_class_svm", OCSVMConfig)(_OCSVMAlgo)
+    factory.register("clustering", "dbscan", DBSCANConfig)(_DBSCANAlgo)
     factory.register("vectorization", "tfidf", TfIdfConfig)(_TfIdfAlgo)
     factory.register("clustering", "kmeans", KMeansConfig)(_KMeansAlgo)
 

@@ -144,3 +144,66 @@ def test_iplom_factory_roundtrip(spark):
     parsed = algo.parse(df, "logline")
     tpls = {r["template"] for r in parsed.select("template").distinct().collect()}
     assert len(tpls) == 1 and "<*>" in next(iter(tpls))
+
+
+# ---------------------------------------------------------------------------
+# one-class SVM (reference one_class_svm.py:44-90) and DBSCAN (dbscan.py:44-79)
+# ---------------------------------------------------------------------------
+
+def test_ocsvm_separates_planted_outliers():
+    from logai_spark.operators.anomaly import OneClassSVM
+
+    rng = np.random.default_rng(7)
+    train = rng.normal(0, 1, size=(300, 2))
+    m = OneClassSVM(nu=0.1).fit(train)
+    far = np.array([[9.0, 9.0], [-8.0, 8.0]])
+    near = np.zeros((3, 2))
+    assert (m.predict(far) == -1).all()
+    assert (m.predict(near) == 1).all()
+    # dual feasibility: alpha on the capped simplex
+    assert abs(m._alpha.sum() - 1.0) < 1e-6
+    assert m._alpha.max() <= 1.0 / (0.1 * 300) + 1e-9
+    # nu upper-bounds the training outlier fraction (soft check)
+    assert (m.predict(train) == -1).mean() <= 0.2
+
+
+def test_ocsvm_spark_broadcast_scoring(spark):
+    from logai_spark.operators.anomaly import fit_ocsvm, score_with_model
+
+    rng = np.random.default_rng(8)
+    pdf = pd.DataFrame(rng.normal(0, 1, size=(200, 2)), columns=["f0", "f1"])
+    pdf.loc[199] = [11.0, -11.0]
+    df = spark.createDataFrame(pdf)
+    model = fit_ocsvm(df, ["f0", "f1"], nu=0.05)
+    scored = score_with_model(df, model, ["f0", "f1"])
+    assert scored.orderBy("anom_score").first()["f0"] == 11.0
+
+
+def test_dbscan_two_blobs_and_noise():
+    from logai_spark.operators.anomaly import dbscan_labels
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(0, 0.05, size=(60, 2))
+    b = rng.normal(5, 0.05, size=(60, 2)) 
+    noise = np.array([[2.5, 2.5]])
+    X = np.vstack([a, b, noise])
+    labels = dbscan_labels(X, eps=0.3, min_samples=5)
+    assert set(labels[:60]) == {0}
+    assert set(labels[60:120]) == {1}
+    assert labels[120] == -1
+
+
+def test_dbscan_spark_join_back(spark):
+    from logai_spark.operators.anomaly import dbscan_fit_predict
+
+    rng = np.random.default_rng(10)
+    pdf = pd.DataFrame(
+        np.vstack([rng.normal(0, 0.05, size=(50, 2)), rng.normal(3, 0.05, size=(50, 2))]),
+        columns=["f0", "f1"],
+    )
+    pdf["row_id"] = range(len(pdf))
+    out = dbscan_fit_predict(spark.createDataFrame(pdf), ["f0", "f1"], "row_id", eps=0.3, min_samples=5)
+    got = {r["row_id"]: r["cluster_id"] for r in out.collect()}
+    assert len({got[i] for i in range(50)}) == 1
+    assert len({got[i] for i in range(50, 100)}) == 1
+    assert got[0] != got[99]
