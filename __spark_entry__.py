@@ -274,6 +274,27 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5).select("query_id", "rank", "vec_id", "cosine")
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer + multi-probe): with n_probe = all
+    cells the index must reproduce the EXACT brute-force top-k, so this
+    entry shares cosine_topk's oracle — the value-equality check covers the
+    index's assign/probe/score path, while tests/test_ivf.py covers the
+    few-probe recall behavior."""
+    from logai_spark.functions.similarity import ivf_assign, ivf_topk, ivf_train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_train_centroids(emb, n_cells=8)
+    tagged = ivf_assign(emb, cents)
+    return ivf_topk(tagged, queries, cents, k=5, n_probe=len(cents)).select(
+        "query_id", "rank", "vec_id", "cosine"
+    )
+
+
 def _q_tfidf_idf(spark, sf_dir):
     """TF-IDF fit: document frequencies + smooth idf (sklearn formula parity,
     vectorizers.tfidf_fit; reference tfidf.py:126-134)."""
@@ -435,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
         "tfidf_idf": _q_tfidf_idf,
         "sliding_window_step": _q_sliding_window_step,
         "token_position_stats": _q_token_position_stats,
@@ -506,7 +528,7 @@ def oracle_sql() -> dict[str, str]:
     simhash_val = " + ".join(
         f"(CASE WHEN b{b} > 0 THEN {2 ** b}::bigint ELSE 0 END)" for b in range(16)
     )
-    return {
+    out = {
         "counter_vector": """
             SELECT event_type,
                    to_timestamp(floor(epoch(ts) / 300) * 300)::timestamp AS bucket_ts,
@@ -767,3 +789,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 5
         """,
     }
+    # IVF with full probing is exactness-equivalent to brute force
+    out["ivf_topk"] = out["cosine_topk"]
+    return out

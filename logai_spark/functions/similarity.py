@@ -119,3 +119,112 @@ def lsh_bucket_topk(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + multi-probe search
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 8,
+    sample_rows: int = 50_000,
+) -> list[list[float]]:
+    """Driver-side deterministic k-means on a sample: the coarse quantizer of
+    a classic IVF index (the other scale path besides LSH — at 100 TB the
+    cell id is a partition key and a query probes a handful of cells).
+
+    Determinism: the sample is the first ``sample_rows`` rows in ``id``-less
+    natural order ONLY if the caller passes a sorted frame — we instead seed
+    centroids from evenly spaced rows of the collected sample sorted by
+    vector bytes, and Lloyd iterations are order-free. No RNG state.
+    """
+    import numpy as np
+
+    pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=float)
+    order = np.lexsort(X.T[::-1])
+    X = X[order]
+    n_cells = min(n_cells, len(X))
+    seeds = X[np.linspace(0, len(X) - 1, n_cells).astype(int)]
+    C = seeds.copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        assign = d2.argmin(1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(0)
+    return [list(map(float, c)) for c in C]
+
+
+def _cell_expr(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id as a pure SQL expression (JVM-side, no UDF):
+    argmin over squared distances computed with zip_with/aggregate."""
+    best_id = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec_col, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d = d
+        else:
+            best_id = F.when(d < best_d, F.lit(i)).otherwise(best_id)
+            best_d = F.least(best_d, d)
+    return best_id
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Tag every vector with its IVF cell. At scale you'd
+    ``write.partitionBy(cell_col)`` so probing prunes file groups."""
+    return vectors.withColumn(cell_col, _cell_expr(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    vectors_with_cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's ``n_probe``
+    nearest cells. The cell filter is an equi-join on the (broadcast)
+    query->cells table, so with cell-partitioned storage it becomes
+    partition pruning, not a scan."""
+    import numpy as np
+
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qvec")).toPandas()
+    C = np.array(centroids)
+    probe_rows = []
+    for _, row in q.iterrows():
+        qv = np.array(list(row["_qvec"]), dtype=float)
+        d2 = ((C - qv) ** 2).sum(1)
+        for cell in np.argsort(d2, kind="stable")[:n_probe]:
+            probe_rows.append((row[query_id_col], int(cell), list(map(float, qv))))
+    spark = vectors_with_cells.sparkSession
+    probes = spark.createDataFrame(probe_rows, [query_id_col, cell_col, "_qvec"])
+    scored = vectors_with_cells.join(F.broadcast(probes), cell_col).select(
+        query_id_col,
+        id_col,
+        cosine_expr(F.col(vec_col), F.col("_qvec").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
