@@ -209,22 +209,36 @@ def _q_fingerprint(spark, sf_dir):
 def _q_iplom_templates(spark, sf_dir):
     """IPLoM template mining over document texts (reference iplom.py:72-647):
     iterative partition refinement by token count, least-diverse column, and
-    token-pair mapping relations; counts per mined template. Iterative
-    set-refinement is not SQL-expressible -> no oracle entry (rows-only
-    check); per-line parity vs the reference is covered by tests/test_iplom.py."""
-    from logai_spark.parse.iplom import IPLoMConfig, iplom_map_distinct
+    token-pair mapping relations. The iterative refinement itself is not
+    SQL-expressible, so the DRIVER-CHECKED output is the flow-conservation
+    invariant: per token-count group, the total line mass carried by the
+    mined templates must equal the number of input lines with that token
+    count (every line gets exactly one template; too-long lines land in the
+    ``__too_long__`` dead-letter template instead of vanishing). Per-line
+    template parity vs the reference is covered by tests/test_iplom.py.
+
+    The applyInPandas group key ``_n`` is computed by the SAME Python
+    tokenizer the miner uses (tokenize_iplom), not a Java regex, so no line
+    can land in the wrong token-length group (Java ``\\s`` is ASCII-only
+    while Python's is Unicode)."""
+    from logai_spark.parse.iplom import IPLoMConfig, iplom_map_distinct, tokenize_iplom
 
     import pandas as pd
     from pyspark.sql import types as T
 
     docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("logline"))
     distinct = docs.groupBy("logline").agg(F.count(F.lit(1)).alias("_cnt"))
-    toks = F.filter(F.split(F.col("logline"), r"[\s=:,]"), lambda x: x != "")
-    keyed = distinct.withColumn(
-        "_n", F.when(F.size(toks) > 0, F.size(toks)).otherwise(F.lit(1))
-    )
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve 'pd.Series' from a nested scope
+    @F.pandas_udf(T.IntegerType())
+    def _ntok(s):
+        return s.map(lambda x: len(tokenize_iplom(x)) if isinstance(x, str) else 1)
+
+    keyed = distinct.withColumn("_n", _ntok("logline"))
     schema = T.StructType(
         [
+            T.StructField("n_tokens", T.IntegerType()),
             T.StructField("template", T.StringType()),
             T.StructField("n", T.LongType()),
         ]
@@ -232,15 +246,17 @@ def _q_iplom_templates(spark, sf_dir):
 
     def _refine(pdf: pd.DataFrame) -> pd.DataFrame:
         tpl = iplom_map_distinct(pdf["logline"], pdf["_cnt"], IPLoMConfig())
-        out = pd.DataFrame({"template": tpl, "n": pdf["_cnt"].values})
-        return out.groupby("template", as_index=False)["n"].sum()
+        tpl = tpl.fillna("__too_long__")  # dead-letter, keeps mass conserved
+        out = pd.DataFrame(
+            {"n_tokens": pdf["_n"].values, "template": tpl.values, "n": pdf["_cnt"].values}
+        )
+        return out.groupby(["n_tokens", "template"], as_index=False)["n"].sum()
 
     return (
         keyed.groupBy("_n")
         .applyInPandas(_refine, schema)
-        .groupBy("template")
-        .agg(F.sum("n").alias("n"))
-        .orderBy(F.desc("n"), "template")
+        .groupBy("n_tokens")
+        .agg(F.sum("n").alias("n_lines"))
     )
 
 
@@ -332,17 +348,26 @@ def _q_token_position_stats(spark, sf_dir):
 
 
 def _q_feature_mean(spark, sf_dir):
-    """group-by element-wise mean of vectors (feature_extractor.py:140-146)."""
-    from logai_spark.functions.textops import round4
+    """group-by element-wise mean of vectors (feature_extractor.py:140-146).
+
+    The mean vector is rendered as a comma-joined string of
+    round-half-up(1e4 * x) integers: the driver's canonicalizer cannot hash
+    array-typed cells, and integer rendering is bit-identical across engines
+    (no float-to-string formatting differences)."""
     from logai_spark.operators.features import feature_vector_mean
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     out = feature_vector_mean(emb, ["label"], "vec")
-    return out.select(
-        "label", F.transform("vec", lambda v: round4(v)).alias("mean_vec")
+    rendered = F.array_join(
+        F.transform(
+            "vec",
+            lambda v: F.floor(v * 10000 + F.lit(0.5)).cast("long").cast("string"),
+        ),
+        ",",
     )
+    return out.select("label", rendered.alias("mean_vec"))
 
 
 def _q_lsh_buckets(spark, sf_dir):
@@ -407,8 +432,14 @@ def _q_event_index(spark, sf_dir):
     """group-by collect indices (preprocessor.group_log_index
     preprocessor.py:73-85; event_index lists feature_extractor.py:240-244)."""
     ev = _t(spark, sf_dir, "events")
+    idx = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("event_id")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_index"),
+        idx.alias("event_index"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -635,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
             w AS (
                 SELECT doc_id, {_DD_H32.format(x='toks[i]')} * i AS v
                 FROM t, unnest(range(1, len(toks) + 1)) AS u(i))
-            SELECT doc_id, sum(v) % {MINHASH_P} AS fingerprint
+            SELECT doc_id, (sum(v) % {MINHASH_P})::bigint AS fingerprint
             FROM w GROUP BY doc_id
         """,
         "exact_dedup": """
@@ -716,17 +747,34 @@ def oracle_sql() -> dict[str, str]:
                 SELECT label, i, avg(v[i]) AS m
                 FROM e, unnest(range(1, len(v) + 1)) AS u(i)
                 GROUP BY 1, 2)
-            SELECT label, list(floor(m * 10000 + 0.5) / 10000 ORDER BY i) AS mean_vec
+            SELECT label,
+                   array_to_string(
+                       list((floor(m * 10000 + 0.5)::bigint)::varchar ORDER BY i),
+                       ',') AS mean_vec
             FROM x GROUP BY label
         """,
         "lsh_buckets": _lsh_buckets_sql(),
+        # flow-conservation invariant of the IPLoM partition-refinement: sum
+        # of per-template masses within a token-count group == lines in the
+        # group (tokenizer: split on [\s=:,], empties dropped, all-empty -> 1
+        # token, mirroring iplom.tokenize_iplom)
+        "iplom_templates": r"""
+            WITH t AS (
+                SELECT greatest(
+                           len(list_filter(
+                               regexp_split_to_array(text, '[\s=:,]'),
+                               x -> x != '')),
+                           1)::int AS n_tokens
+                FROM documents)
+            SELECT n_tokens, count(*) AS n_lines FROM t GROUP BY 1
+        """,
         "pivot_counts": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::bigint AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::bigint AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS n_view
             FROM events GROUP BY user_id
         """,
         "quantiles": """
@@ -742,7 +790,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_index": """
             SELECT event_type,
-                   list(event_id ORDER BY event_id) AS event_index,
+                   string_agg(event_id::varchar, ',' ORDER BY event_id) AS event_index,
                    count(*) AS n
             FROM events GROUP BY 1
         """,
