@@ -260,6 +260,144 @@ def _q_iplom_templates(spark, sf_dir):
     )
 
 
+def _q_drain_parse(spark, sf_dir):
+    """Distributed Drain end-to-end (SURVEY §2.7 flagship): mine partition-
+    local trees over logical md5 shards, merge deterministically, match every
+    line via global-dedup + equi-join (the scaling matcher), count lines per
+    template id. Oracle: a single-process pure-Python replica of the same
+    pipeline (parse/distributed.mine_templates_local) rendered as a VALUES
+    fixture — verifies the distributed orchestration is partition-invariant
+    and line-exact vs a single-node run. Algorithm parity vs the reference's
+    own Drain (drain.py:363-438) is separately pinned by tests/test_drain_parity."""
+    from logai_spark.parse.distributed import match_templates_by_join, mine_templates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("logline")
+    )
+    templates = mine_templates(docs, "logline")
+    matched = match_templates_by_join(docs, "logline", templates)
+    return matched.groupBy("template_id").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+def _q_ael_templates(spark, sf_dir):
+    """Distributed AEL (bin by token/placeholder counts -> per-bin reconcile
+    -> join back; reference ael.py:57-200): weighted line counts per template
+    id. Oracle: single-process replica over the distinct-line histogram
+    (same bin keys, same deterministic in-bin order, same _reconcile_bin)."""
+    from logai_spark.parse.ael import ael_parse
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("logline"))
+    out = ael_parse(docs, "logline")
+    return out.groupBy("template_id").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+def _q_parameter_list(spark, sf_dir):
+    """Positional parameter extraction (reference utils/functions.py:36-75):
+    given a template, the parameters are the line tokens at wildcard
+    positions — pure zip_with, JVM-side. The template here is a
+    deterministic digit-mask (tokens containing a digit -> '*') so the
+    whole operator chain is SQL-expressible for the oracle. The mask rule is
+    token length >= 6 (the synthetic corpus is digit-free, so a digit mask
+    would be vacuous)."""
+    from logai_spark.parse.distributed import parameter_list_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("logline")
+    )
+    toks = F.split(F.trim(F.col("logline")), r"\s+")
+    tpl = F.array_join(
+        F.transform(
+            toks, lambda t: F.when(F.length(t) >= 6, F.lit("*")).otherwise(t)
+        ),
+        " ",
+    )
+    with_tpl = docs.withColumn("template", tpl)
+    params = parameter_list_expr("logline", "template")
+    return with_tpl.select("doc_id", F.array_join(params, "|").alias("params"))
+
+
+def _q_eval_metrics(spark, sf_dir):
+    """Precision/recall/F1 aggregate (reference utils/evaluate.py:12-27).
+    Deterministic pseudo-detector: pred = value > 75, label = error event."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.operators.evaluate import binary_metrics
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("value") > 75).cast("int").alias("pred"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    m = binary_metrics(ev, "pred", "label")
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        round4(F.col("accuracy")).alias("accuracy"),
+        round4(F.col("precision")).alias("precision"),
+        round4(F.col("recall")).alias("recall"),
+        round4(F.col("f1")).alias("f1"),
+    )
+
+
+def _q_split_by_span(spark, sf_dir):
+    """Span-level train/dev/test split (reference dataset_utils.py:15-113):
+    spans ordered by first timestamp, cut 72/8/20, anomalous spans forced to
+    test (unsupervised mode). Output: per-split row + span counts."""
+    from logai_spark.operators.splits import split_by_span
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "labels", (F.col("event_type") == "error").cast("int")
+    )
+    out = split_by_span(
+        ev, span_col="user_id", label_col="labels", order_col="ts"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_spans"),
+    )
+
+
+def _q_label_encode(spark, sf_dir):
+    """Label encoder (reference label_encoding.py:14-37): alphabetical dense
+    ids per distinct value, joined back broadcast-style."""
+    from logai_spark.functions.encoders import label_encode
+
+    ev = _t(spark, sf_dir, "events")
+    out = label_encode(ev, ["event_type"])
+    return out.groupBy("event_type", "event_type_categorical").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_sequential_ids(spark, sf_dir):
+    """Sequential vectorizer (reference sequential.py:33-103): session strings
+    split on [SEP], each line mapped to its vocab id via DataFrame JOIN (no
+    driver-side vocab collect), OOV -> vocab size, padded to fixed length.
+    The vocab deliberately excludes 'view' so the OOV path is exercised."""
+    from logai_spark.functions.vectorizers import sequential_transform, sequential_vocab
+    from logai_spark.operators.features import group_loglines
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = group_loglines(
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("logline"),
+            F.col("event_id").alias("seq"),
+        ),
+        ["user_id"],
+        order_col="seq",
+        sep=" [SEP] ",
+        out_col="session_text",
+    )
+    vocab = sequential_vocab(
+        ev.filter(F.col("event_type") != "view").select(
+            F.col("event_type").alias("logline")
+        )
+    )
+    out = sequential_transform(sessions, vocab, max_len=8)
+    ids = F.array_join(
+        F.transform("token_ids", lambda x: x.cast("string")), ","
+    )
+    return out.select("user_id", ids.alias("token_ids"))
+
+
 def _q_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("keeper_id", "n_dups")
@@ -275,9 +413,14 @@ def _q_simhash(spark, sf_dir):
     return simhash(docs, bits=16)
 
 
+_NGRAM_DF_CAP = 100  # stop-shingle cap: see ngram_jaccard_pairs docstring
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, max_shingle_df=_NGRAM_DF_CAP
+    )
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -304,7 +447,10 @@ def _q_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = ivf_train_centroids(emb, n_cells=8)
+    # 64 cells routes ivf_assign through the Arrow matrix-argmin path (the
+    # one that survives real index sizes); full probing keeps the exact
+    # brute-force equivalence that the shared oracle checks
+    cents = ivf_train_centroids(emb, n_cells=64)
     tagged = ivf_assign(emb, cents)
     return ivf_topk(tagged, queries, cents, k=5, n_probe=len(cents)).select(
         "query_id", "rank", "vec_id", "cosine"
@@ -444,23 +590,23 @@ def _q_event_index(spark, sf_dir):
     )
 
 
-def _q_embedding_near_dup(spark, sf_dir):
-    """embedding-cosine near-duplicate pairs (training-data dedup family):
-    all pairs with cosine >= 0.95 among the first 200 vectors."""
-    from logai_spark.functions.similarity import _dot, _norm
-    from logai_spark.functions.textops import round4
+_ND_BANDS, _ND_ROWS, _ND_THRESHOLD = 4, 4, 0.3
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, BUCKETED (training-data dedup
+    family): banded hyperplane-LSH candidate generation (equi-join on
+    (band, bucket) — no cartesian product anywhere in the plan), exact
+    cosine only on candidates. The oracle mirrors the banding bit-for-bit in
+    SQL, so the whole candidate-then-verify pipeline is value-checked;
+    collision recall vs brute force is measured in tests/test_ivf.py."""
+    from logai_spark.functions.similarity import near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = round4(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    )
-    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= 0.3
+    return near_dup_pairs(
+        emb, dim=64, threshold=_ND_THRESHOLD, bands=_ND_BANDS, rows_per_band=_ND_ROWS
     )
 
 
@@ -499,6 +645,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spans": _q_label_spans,
         "event_index": _q_event_index,
         "embedding_near_dup": _q_embedding_near_dup,
+        "drain_parse": _q_drain_parse,
+        "ael_templates": _q_ael_templates,
+        "parameter_list": _q_parameter_list,
+        "eval_metrics": _q_eval_metrics,
+        "split_by_span": _q_split_by_span,
+        "label_encode": _q_label_encode,
+        "sequential_ids": _q_sequential_ids,
     }
 
 
@@ -506,6 +659,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DD_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _DD_TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
 _DD_H32 = "(('0x' || substr(md5({x}), 1, 8))::bigint)"
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the driver's DuckDB oracle runs against (contract: sf0.01).
+
+    The Drain/AEL fixture oracles need the corpus to mine their expected
+    template dictionaries; overridable for local checks at other sf."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _distinct_doc_lines() -> list[tuple[str, int]]:
+    import duckdb
+
+    con = duckdb.connect()
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    return con.execute(
+        f"SELECT text, count(*) FROM '{path}' WHERE text IS NOT NULL GROUP BY text"
+    ).fetchall()
+
+
+def _counts_values_sql(counts: dict[str | None, int]) -> str:
+    vals = ", ".join(
+        f"(NULL, {n})" if tid is None else f"('{tid}', {n})"
+        for tid, n in sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))
+    )
+    return (
+        f"SELECT template_id::varchar AS template_id, n_lines::bigint AS n_lines "
+        f"FROM (VALUES {vals}) AS t(template_id, n_lines)"
+    )
+
+
+def _drain_fixture_sql() -> str:
+    """Expected per-template-id line counts from a single-process replica of
+    the distributed Drain pipeline (see _q_drain_parse docstring)."""
+    from logai_spark.parse.distributed import build_matcher, mine_templates_local
+    from logai_spark.parse.drain import template_id_of
+
+    rows = _distinct_doc_lines()
+    templates = mine_templates_local(rows)
+    matcher = build_matcher(templates)
+    counts: dict[str | None, int] = {}
+    for line, cnt in rows:
+        t = matcher.match_line(line)
+        tid = template_id_of(t) if t is not None else None
+        counts[tid] = counts.get(tid, 0) + cnt
+    return _counts_values_sql(counts)
+
+
+def _ael_fixture_sql() -> str:
+    """Expected per-template-id line counts from a single-process replica of
+    the distributed AEL (same bin keys, same deterministic in-bin order)."""
+    import hashlib
+    import re
+
+    from logai_spark.parse.ael import AELConfig, PLACEHOLDER, _reconcile_bin
+
+    rows = _distinct_doc_lines()
+    bins: dict[tuple[int, int], list[tuple[str, int]]] = {}
+    for line, cnt in rows:
+        toks = re.split(r"\s+", line.strip()) if line.strip() else [""]
+        npar = sum(1 for t in toks if t == PLACEHOLDER)
+        bins.setdefault((len(toks), npar), []).append((line, cnt))
+    counts: dict[str | None, int] = {}
+    cfg = AELConfig()
+    for _, items in bins.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        mapping = _reconcile_bin([ln for ln, _ in items], cfg)
+        for line, cnt in items:
+            tpl = mapping[line]
+            tid = hashlib.md5(tpl.encode("utf-8")).hexdigest()[:16]
+            counts[tid] = counts.get(tid, 0) + cnt
+    return _counts_values_sql(counts)
+
+
+def _near_dup_sql(
+    dim: int = 64,
+    bands: int = _ND_BANDS,
+    rows_per_band: int = _ND_ROWS,
+    threshold: float = _ND_THRESHOLD,
+) -> str:
+    """Mirror similarity.near_dup_pairs: per-band hyperplane-sign buckets from
+    the same md5-derived plane coefficients, equi-join on (band, bucket),
+    exact cosine on candidates."""
+    from logai_spark.functions.similarity import _det_coeff
+
+    band_cols = []
+    for bnd in range(bands):
+        terms = []
+        for p in range(rows_per_band):
+            coefs = ", ".join(
+                str(_det_coeff(bnd * rows_per_band + p, j) / 1000.0)
+                for j in range(dim)
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{coefs}]) > 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        band_cols.append("(" + " + ".join(terms) + f") AS b{bnd}")
+    case_band = " ".join(f"WHEN {i} THEN b{i}" for i in range(bands))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        bk AS (SELECT vec_id, v, {", ".join(band_cols)} FROM e),
+        expl AS (
+            SELECT vec_id, u.band, CASE u.band {case_band} END AS bucket
+            FROM bk, unnest(range({bands})) AS u(band)),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM expl a JOIN expl b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        scored AS (
+            SELECT id_a, id_b,
+                   floor(list_dot_product(ea.v, eb.v)
+                         / (sqrt(list_dot_product(ea.v, ea.v))
+                            * sqrt(list_dot_product(eb.v, eb.v))) * 10000 + 0.5)
+                   / 10000 AS cosine
+            FROM cand
+            JOIN e ea ON ea.vec_id = id_a
+            JOIN e eb ON eb.vec_id = id_b)
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
 
 
 def _dd_minhash_cte(k: int, shingle_n: int = 3) -> str:
@@ -689,10 +962,14 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH toks AS (
                 SELECT doc_id, {_DD_TOKS} AS t FROM documents),
-            sh AS (
+            sh0 AS (
                 SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
                 FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
                 WHERE len(t) >= 3),
+            keep AS (
+                SELECT sh FROM sh0 GROUP BY sh
+                HAVING count(*) <= {_NGRAM_DF_CAP}),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             shared AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -794,18 +1071,97 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1
         """,
-        "embedding_near_dup": """
-            WITH e AS (
-                SELECT vec_id, embedding::double[] AS v FROM embeddings
-                WHERE vec_id < 200),
-            pairs AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       floor(list_dot_product(a.v, b.v)
-                             / (sqrt(list_dot_product(a.v, a.v))
-                                * sqrt(list_dot_product(b.v, b.v))) * 10000 + 0.5)
-                       / 10000 AS cosine
-                FROM e a JOIN e b ON a.vec_id < b.vec_id)
-            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+        "embedding_near_dup": _near_dup_sql(),
+        "drain_parse": _drain_fixture_sql(),
+        "ael_templates": _ael_fixture_sql(),
+        "parameter_list": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   coalesce(
+                       array_to_string(
+                           list_filter(toks, x -> length(x) >= 6), '|'),
+                       '') AS params
+            FROM t
+        """,
+        "eval_metrics": """
+            WITH c AS (
+                SELECT (value > 75)::int AS p,
+                       (event_type = 'error')::int AS y
+                FROM events),
+            agg AS (
+                SELECT sum(p * y)::bigint AS tp,
+                       sum(p * (1 - y))::bigint AS fp,
+                       sum((1 - p) * y)::bigint AS fn,
+                       sum((1 - p) * (1 - y))::bigint AS tn
+                FROM c),
+            m AS (
+                SELECT tp, fp, fn, tn,
+                       CASE WHEN tp+fp+fn+tn > 0
+                            THEN (tp+tn)::double / (tp+fp+fn+tn) ELSE 0 END AS acc,
+                       CASE WHEN tp+fp > 0 THEN tp::double / (tp+fp) ELSE 0 END AS prec,
+                       CASE WHEN tp+fn > 0 THEN tp::double / (tp+fn) ELSE 0 END AS rec
+                FROM agg)
+            SELECT tp, fp, fn, tn,
+                   floor(acc * 10000 + 0.5) / 10000 AS accuracy,
+                   floor(prec * 10000 + 0.5) / 10000 AS precision,
+                   floor(rec * 10000 + 0.5) / 10000 AS recall,
+                   floor((CASE WHEN prec + rec > 0
+                               THEN 2 * prec * rec / (prec + rec)
+                               ELSE 0 END) * 10000 + 0.5) / 10000 AS f1
+            FROM m
+        """,
+        "split_by_span": f"""
+            WITH spans AS (
+                SELECT user_id, min(ts) AS _ord,
+                       max((event_type = 'error')::int) AS _lab
+                FROM events GROUP BY user_id),
+            r AS (
+                SELECT user_id, _lab,
+                       percent_rank() OVER (ORDER BY _ord, user_id) AS pr
+                FROM spans),
+            s AS (
+                SELECT user_id,
+                       CASE WHEN _lab = 1 THEN 'test'
+                            WHEN pr < {1.0 - 0.2 - 0.08!r} THEN 'train'
+                            WHEN pr < {1.0 - 0.2!r} THEN 'dev'
+                            ELSE 'test' END AS split
+                FROM r)
+            SELECT s.split, count(*) AS n_rows,
+                   count(DISTINCT e.user_id) AS n_spans
+            FROM events e JOIN s USING (user_id)
+            GROUP BY 1
+        """,
+        "label_encode": """
+            WITH ids AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY event_type) - 1
+                           AS event_type_categorical
+                FROM (SELECT DISTINCT event_type FROM events))
+            SELECT e.event_type, i.event_type_categorical, count(*) AS n
+            FROM events e JOIN ids i USING (event_type)
+            GROUP BY 1, 2
+        """,
+        "sequential_ids": """
+            WITH vocab AS (
+                SELECT event_type AS l,
+                       row_number() OVER (ORDER BY event_type) - 1 AS id
+                FROM (SELECT DISTINCT event_type FROM events
+                      WHERE event_type <> 'view')),
+            nv AS (SELECT count(*) AS oov FROM vocab),
+            m AS (
+                SELECT e.user_id, e.event_id, coalesce(v.id, nv.oov) AS id
+                FROM events e CROSS JOIN nv
+                LEFT JOIN vocab v ON e.event_type = v.l),
+            agg AS (
+                SELECT user_id, list(id ORDER BY event_id) AS ids
+                FROM m GROUP BY user_id)
+            SELECT user_id,
+                   array_to_string(
+                       list_resize(ids, 8, (SELECT oov FROM nv)), ',') AS token_ids
+            FROM agg
         """,
         "label_spans": """
             WITH ev AS (

@@ -45,12 +45,20 @@ def ordinal_encode(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def one_hot_encode(df: DataFrame, cols: list[str]) -> DataFrame:
     """Add dense 0/1 columns ``{col}-{i}`` per distinct value, i in
-    alphabetical order (one_hot_encoding.py:44-63)."""
+    alphabetical order (one_hot_encoding.py:44-63).
+
+    A dense one-hot needs the category set in the SCHEMA, so one small
+    distinct-values job per column is unavoidable; all indicators for a
+    column are then added in a single select (one projection node, not one
+    withColumn plan layer per value). Meant for bounded-cardinality dims —
+    for unbounded categories use label_encode (id join) instead.
+    """
     out = df
     for c in cols:
         values = [r[c] for r in _value_ids(df, c).orderBy("_id").collect()]
-        for i, v in enumerate(values):
-            out = out.withColumn(
-                f"{c}-{i}", (F.col(c) == F.lit(v)).cast("int")
-            )
+        indicators = [
+            (F.col(c) == F.lit(v)).cast("int").alias(f"{c}-{i}")
+            for i, v in enumerate(values)
+        ]
+        out = out.select("*", *indicators)
     return out

@@ -63,19 +63,23 @@ def cosine_topk(
     )
 
 
-def hyperplane_signs(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+def hyperplane_signs(
+    vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """Deterministic random-hyperplane sign bucket for a vector.
 
     Plane p's component j = (md5-hash(p:j) mod 2001 - 1000)/1000 — a fixed
     pseudo-random direction identical on every executor with no RNG state.
-    Returns a bigint bucket = sum of sign bits.
+    Returns a bigint bucket = sum of sign bits. ``plane_offset`` selects a
+    disjoint plane family (used by banded LSH: band b uses planes
+    [b*r, (b+1)*r)).
     """
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         comps = F.array(
             *[
                 F.lit(
-                    (_det_coeff(p, j)) / 1000.0
+                    (_det_coeff(plane_offset + p, j)) / 1000.0
                 )
                 for j in range(dim)
             ]
@@ -83,6 +87,58 @@ def hyperplane_signs(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
         dot = _dot(vec_col, comps)
         bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed (no all-pairs join).
+
+    Candidate generation is banded hyperplane LSH (OR over ``bands`` bands of
+    ``rows_per_band`` sign bits each): vectors agreeing on every bit of any
+    band become a candidate pair via an equi-join on (band, bucket) — a hash
+    shuffle whose cost tracks bucket occupancy, never a cartesian product.
+    Exact cosine then runs ONLY on candidates. The operator's contract is
+    "pairs that LSH-collide AND have cosine >= threshold": collision recall
+    vs brute force is tunable with bands/rows_per_band (P[collide] =
+    1-(1-p^r)^b, p = 1 - angle/pi) and measured in tests/test_ivf.py.
+    """
+    band_buckets = F.array(
+        *[
+            hyperplane_signs(
+                F.col(vec_col), dim, rows_per_band, plane_offset=b * rows_per_band
+            )
+            for b in range(bands)
+        ]
+    )
+    vb = vectors.select(
+        F.col(id_col), F.posexplode(band_buckets).alias("_band", "_bucket")
+    )
+    a = vb.select(F.col(id_col).alias("id_a"), "_band", "_bucket")
+    b = vb.select(F.col(id_col).alias("id_b"), "_band", "_bucket")
+    cand = (
+        a.join(b, ["_band", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb2 = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from logai_spark.functions.textops import round4
+
+    cos = round4(_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))))
+    return (
+        cand.join(va, "id_a")
+        .join(vb2, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def _det_coeff(p: int, j: int) -> int:
@@ -137,14 +193,22 @@ def ivf_train_centroids(
     a classic IVF index (the other scale path besides LSH — at 100 TB the
     cell id is a partition key and a query probes a handful of cells).
 
-    Determinism: the sample is the first ``sample_rows`` rows in ``id``-less
-    natural order ONLY if the caller passes a sorted frame — we instead seed
-    centroids from evenly spaced rows of the collected sample sorted by
-    vector bytes, and Lloyd iterations are order-free. No RNG state.
+    Determinism: the sample itself is a pure function of the data — the
+    ``sample_rows`` vectors with the smallest xxhash64 of their rendered
+    value (orderBy+limit compiles to TakeOrdered, a single O(n) scan with a
+    bounded heap per partition, not a full sort). Seeds are evenly spaced
+    rows of the sample sorted by vector value; Lloyd iterations are
+    order-free. No RNG state, no dependence on physical partitioning — the
+    same table yields the same centroids at any cluster size.
     """
     import numpy as np
 
-    pdf = vectors.select(vec_col).limit(sample_rows).toPandas()
+    pdf = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(sample_rows)
+        .toPandas()
+    )
     X = np.array([list(v) for v in pdf[vec_col]], dtype=float)
     order = np.lexsort(X.T[::-1])
     X = X[order]
@@ -186,10 +250,42 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Tag every vector with its IVF cell. At scale you'd
-    ``write.partitionBy(cell_col)`` so probing prunes file groups."""
-    return vectors.withColumn(cell_col, _cell_expr(F.col(vec_col), centroids))
+    ``write.partitionBy(cell_col)`` so probing prunes file groups.
+
+    Two assignment paths:
+    - ``sql``  — nested-CASE argmin, pure JVM expression. Great up to a few
+      dozen cells; the expression is O(cells x dim) and stops compiling at
+      the thousands of cells a real index needs.
+    - ``arrow`` — vectorized pandas_udf: one Arrow batch -> one numpy
+      ||x-c||^2 matrix argmin (O(batch x cells x dim) BLAS work). Handles
+      thousands of cells; ties broken by lowest cell id on both paths.
+    ``auto`` picks sql for <= 32 cells, arrow beyond.
+    """
+    if method not in ("auto", "sql", "arrow"):
+        raise ValueError("method must be auto|sql|arrow")
+    if method == "sql" or (method == "auto" and len(centroids) <= 32):
+        return vectors.withColumn(cell_col, _cell_expr(F.col(vec_col), centroids))
+
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=float)
+    c_sq = (C * C).sum(1)
+
+    @F.pandas_udf("int")
+    def _assign(s):
+        X = np.asarray(s.tolist(), dtype=float)
+        if X.ndim != 2:  # empty batch
+            return pd.Series([], dtype="int32")
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; the x^2 term is constant
+        # per row and irrelevant to the argmin
+        d2 = -2.0 * (X @ C.T) + c_sq[None, :]
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return vectors.withColumn(cell_col, _assign(F.col(vec_col).cast("array<double>")))
 
 
 def ivf_topk(

@@ -187,14 +187,30 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    """n-gram Jaccard near-dup pairs via shingle inverted index:
     explode distinct shingles, self-join on shingle, count shared shingles,
-    |A ∪ B| = |A| + |B| - shared. Only docs sharing >=1 shingle ever pair, so
-    cost tracks true overlap (plus hot-shingle skew -> AQE handles the join)."""
+    |A ∪ B| = |A| + |B| - shared. Only docs sharing >=1 shingle ever pair.
+
+    ``max_shingle_df`` caps the document frequency of shingles admitted to
+    the index (stop-shingle removal): a single ubiquitous shingle shared by
+    10^6 docs would otherwise make the self-join quadratic (10^12 candidate
+    rows). With the cap, jaccard is computed over the df-capped shingle sets
+    on BOTH the numerator and the denominators — a well-defined, documented
+    semantics (the common trick in production near-dup pipelines). Pass None
+    for exact jaccard on bounded corpora."""
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("_sh")
     ).distinct()
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("_sh")
+        )
+        sh = sh.join(keep, "_sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")

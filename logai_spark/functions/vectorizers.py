@@ -138,6 +138,46 @@ def sequential_vocab(df: DataFrame, line_col: str = "logline") -> DataFrame:
     )
 
 
+def _ids_by_join(
+    df: DataFrame,
+    vocab: DataFrame,
+    split_col: str,
+    elems: Column,
+    key_col: str,
+    id_col: str,
+    max_len: int,
+) -> DataFrame:
+    """Shared element-id mapping: dedup the carrier strings, posexplode their
+    elements, equi-join the vocab DataFrame, reassemble ordered id arrays,
+    and join the mapping back onto the fact table by the carrier string.
+
+    This is the scale-correct shape (same pattern as tfidf_transform and
+    match_templates_by_join): the vocab stays a DataFrame — Spark broadcasts
+    it when small and shuffle-joins when it is the 10^7-entry vocab of a
+    web-scale corpus — and NOTHING is collected to the driver. OOV id =
+    vocab row count (reference semantics: sequential.py:96-99).
+    """
+    oov = vocab.count()
+    distinct = df.select(split_col).distinct()
+    exploded = distinct.select(
+        split_col, F.posexplode(elems).alias("_pos", "_elem")
+    )
+    mapped = exploded.join(
+        vocab.select(F.col(key_col).alias("_elem"), F.col(id_col).alias("_id")),
+        "_elem",
+        "left",
+    ).withColumn("_id", F.coalesce("_id", F.lit(oov)))
+    assembled = mapped.groupBy(split_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_pos", "_id"))), lambda s: s["_id"]
+        ).alias("_ids")
+    )
+    assembled = assembled.withColumn(
+        "token_ids", pad_array(F.col("_ids"), max_len, oov)
+    ).drop("_ids")
+    return df.join(assembled, split_col, "left")
+
+
 def sequential_transform(
     df: DataFrame,
     vocab: DataFrame,
@@ -149,21 +189,14 @@ def sequential_transform(
     """Split a session string on the separator, map each line to its vocab id
     (OOV -> vocab size), pad to max_len (sequential.py:82-103).
 
-    The vocab is broadcast as a map expression — no Python UDF.
+    The vocab is joined as a DataFrame (explode + equi-join + reassemble) —
+    never collected: a web-scale sequential vocab has one id per distinct
+    logline, far too large for a driver-side literal map.
     """
-    rows = vocab.collect()
-    oov = len(rows)
-    pairs = []
-    for r in rows:
-        pairs.extend([F.lit(r[line_col]), F.lit(r["line_id"])])
-    vmap = F.create_map(*pairs) if pairs else F.create_map()
     import re as _re
 
-    ids = F.transform(
-        F.split(F.col(session_col), _re.escape(sep)),
-        lambda x: F.coalesce(vmap[x], F.lit(oov)),
-    )
-    return df.withColumn("token_ids", pad_array(ids, max_len, oov))
+    elems = F.split(F.col(session_col), _re.escape(sep))
+    return _ids_by_join(df, vocab, session_col, elems, line_col, "line_id", max_len)
 
 
 def semantic_vocab(
@@ -188,18 +221,11 @@ def semantic_transform(
     line_col: str = "logline",
     max_len: int = 10,
 ) -> DataFrame:
-    """Map tokens to ids (OOV -> vocab size), pad (semantic.py:209-228)."""
-    rows = vocab.collect()
-    oov = len(rows)
-    pairs = []
-    for r in rows:
-        pairs.extend([F.lit(r["token"]), F.lit(r["token_id"])])
-    vmap = F.create_map(*pairs) if pairs else F.create_map()
-    ids = F.transform(
-        F.split(F.trim(F.col(line_col)), r"\s+"),
-        lambda t: F.coalesce(vmap[t], F.lit(oov)),
-    )
-    return df.withColumn("token_ids", pad_array(ids, max_len, oov))
+    """Map tokens to ids (OOV -> vocab size), pad (semantic.py:209-228).
+
+    Vocab join, not a collected literal map — see _ids_by_join."""
+    elems = F.split(F.trim(F.col(line_col)), r"\s+")
+    return _ids_by_join(df, vocab, line_col, elems, "token", "token_id", max_len)
 
 
 def word2vec_embeddings(

@@ -74,13 +74,19 @@ def mine_templates(
     # tree's input set and order a pure function of the data, so the merged
     # template dictionary is bit-identical at any executor count (north_rule:
     # same routed output at N and 4N executors).
+    # shard hash = first 8 hex chars of md5 (portable: hashlib reproduces it
+    # bit-exactly, so mine_templates_local below is a true single-process
+    # replica of this whole pass — that replica is the driver-oracle fixture)
     distinct = (
         df.select(column)
         .groupBy(column)
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .withColumn(
             "_shard",
-            F.pmod(F.xxhash64(column), F.lit(cfg.mine_partitions)).cast("int"),
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col(column)), 1, 8), 16, 10).cast("long"),
+                F.lit(cfg.mine_partitions),
+            ).cast("int"),
         )
     )
     partial = (
@@ -96,6 +102,47 @@ def mine_templates(
     merged = DrainTree(cfg)
     for row in ordered:
         merged.add_template(row["template"], int(row["size"]))
+    out = [(t, s) for t, s in merged.templates()]
+    out.sort(key=lambda ts: (-ts[1], ts[0]))
+    return out
+
+
+def shard_of(line: str, n_shards: int) -> int:
+    """Python replica of the JVM shard expression in ``mine_templates``."""
+    import hashlib
+
+    return int(hashlib.md5(line.encode("utf-8")).hexdigest()[:8], 16) % n_shards
+
+
+def mine_templates_local(
+    pairs: list[tuple[str, int]], config: DrainConfig | None = None
+) -> list[tuple[str, int]]:
+    """Single-process replica of ``mine_templates`` over (distinct line,
+    count) pairs: same sharding, same per-shard fit order, same merge.
+
+    Because every step of the distributed pass is a pure function of the
+    distinct-line histogram, this replica must produce the bit-identical
+    template dictionary — it is the fixture generator for the driver's
+    correctness oracle and the strongest partition-invariance check we have.
+    """
+    cfg = config or DrainConfig()
+    shards: dict[int, list[tuple[str, int]]] = {}
+    for line, cnt in pairs:
+        if isinstance(line, str):
+            shards.setdefault(shard_of(line, cfg.mine_partitions), []).append((line, cnt))
+    partial: dict[str, int] = {}
+    for _, items in shards.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        tree = DrainTree(cfg)
+        for line, cnt in items:
+            cluster = tree.add_line(line)
+            cluster.size += int(cnt) - 1
+        for t, s in tree.templates():
+            partial[t] = partial.get(t, 0) + s
+    ordered = sorted(partial.items(), key=lambda kv: (-kv[1], kv[0]))
+    merged = DrainTree(cfg)
+    for t, s in ordered:
+        merged.add_template(t, s)
     out = [(t, s) for t, s in merged.templates()]
     out.sort(key=lambda ts: (-ts[1], ts[0]))
     return out

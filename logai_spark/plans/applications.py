@@ -183,11 +183,20 @@ class LogClustering:
         cfg = self.config
         cleaned = clean_log(df, "logline", cfg.preprocessor)
         parsed, _ = parse_df(cleaned, "logline", cfg.drain)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        parsed = parsed.withColumn("row_id", F.row_number().over(w))
+        # content-hash row key, NOT a global row_number window (which would
+        # funnel the whole fact table through one task and depends on
+        # retry-unstable monotonically_increasing_id). Identical content rows
+        # share a key on purpose: their features and cluster are identical,
+        # so vectorization runs once per distinct content and the final join
+        # fans the cluster id back out to every duplicate row.
+        key_cols = ["logline", "template"] + list(cfg.attributes or [])
+        parsed = parsed.withColumn("row_id", F.xxhash64(*key_cols))
+        distinct_rows = parsed.select("row_id", "template", *(cfg.attributes or [])).distinct()
 
+        # idf is fit on the FULL table (duplicates count toward document
+        # frequency, reference semantics); transform runs per distinct row
         idf = tfidf_fit(parsed, "template")
-        vecs = tfidf_transform(parsed, idf, "template", "row_id", dense=True)
+        vecs = tfidf_transform(distinct_rows, idf, "template", "row_id", dense=True)
         feats = vecs.withColumn(
             "features", pad_array(F.col("dense"), self.max_len, 0.0)
         ).select("row_id", "features")
@@ -196,7 +205,9 @@ class LogClustering:
             attr_vec = F.array(
                 *[F.col(f"{c}_categorical").cast("double") for c in cfg.attributes]
             )
-            enc = encoded.select("row_id", attr_vec.alias("_attrs"))
+            # distinct: row_id keys distinct content, parsed carries one row
+            # per duplicate — without it the join would fan out
+            enc = encoded.select("row_id", attr_vec.alias("_attrs")).distinct()
             feats = feats.join(enc, "row_id").withColumn(
                 "features", F.concat("features", "_attrs")
             ).drop("_attrs")
