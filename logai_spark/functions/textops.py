@@ -43,6 +43,31 @@ def tokenize_expr(col: str | Column, lowercase: bool = True) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+DIGITS_SUB = "[DIGITS]"  # reference utils/constants.py:10
+
+
+def camel_case_split_expr(col: str | Column) -> Column:
+    """camelCase tokenization (reference tokenize.py:39-43): space before
+    each uppercase run, then before each Capitalized word, then strip —
+    'getUserIDFromDB' -> 'get User ID From DB'. Pure regexp_replace (JVM)."""
+    c = F.col(col) if isinstance(col, str) else col
+    step1 = F.regexp_replace(c, r"([A-Z]+)", r" $1")
+    step2 = F.regexp_replace(step1, r"([A-Z][a-z]+)", r" $1")
+    return F.trim(step2)
+
+
+def mask_digit_tokens_expr(col: str | Column, sub: str = DIGITS_SUB) -> Column:
+    """Digit-token masking (reference tokenize.py:46-56): tokens that are
+    ALL digits become the [DIGITS] placeholder; everything else passes
+    through. Split on single spaces like the reference's str.split()."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    masked = F.transform(
+        toks, lambda t: F.when(t.rlike(r"^[0-9]+$"), F.lit(sub)).otherwise(t)
+    )
+    return F.array_join(masked, " ")
+
+
 def _hash32(c: Column) -> Column:
     """Deterministic 32-bit-ish hash: first 8 hex chars of md5 -> bigint.
     Identical formula exists in DuckDB SQL, which is what makes every

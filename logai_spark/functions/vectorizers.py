@@ -248,3 +248,119 @@ def word2vec_embeddings(
     )
     model = w2v.fit(df)
     return model, model.getVectors()
+
+
+SPECIAL_TOKENS = ("UNK", "PAD", "[SEP]")  # reference semantic.py:170-176
+
+
+def semantic_embedding_matrix(
+    df: DataFrame,
+    line_col: str = "logline",
+    dim: int = 16,
+    min_count: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic vectorizer's trained vocab + embedding matrix
+    (reference semantic.py:114-178 trains gensim Word2Vec/FastText, appends
+    UNK/PAD/[SEP] rows with zero vectors, and persists vocab + matrix).
+
+    Spark-first: trains Spark-ML Word2Vec on whitespace-tokenized lines and
+    returns one DataFrame [token, token_id, vector(array<double>)] — the
+    relational form of the reference's {vocab dict + npy matrix}. token_id
+    order is deterministic (count desc, token); the three special tokens take
+    the last ids with zero vectors, mirroring the reference's add_vectors.
+    Persist/reload with persist.save_table/load_table; downstream NN
+    consumers read the matrix by token_id.
+    """
+    toks = F.filter(F.split(F.trim(F.col(line_col)), r"\s+"), lambda t: t != "")
+    tokenized = df.select(toks.alias("_toks"))
+    _, vectors = word2vec_embeddings(
+        tokenized, "_toks", dim=dim, min_count=min_count, seed=seed
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    vocab = semantic_vocab(df, line_col, min_count)
+    mat = vocab.join(
+        vectors.select(F.col("word").alias("token"), vector_to_array("vector").alias("vector")),
+        "token",
+        "left",
+    ).withColumn(
+        "vector",
+        F.coalesce("vector", F.array(*[F.lit(0.0)] * dim)),
+    )
+    n = vocab.count()
+    spark = df.sparkSession
+    specials = spark.createDataFrame(
+        [(t, n + i, [0.0] * dim) for i, t in enumerate(SPECIAL_TOKENS)],
+        ["token", "token_id", "vector"],
+    ).withColumn("cnt", F.lit(0).cast("long"))
+    return mat.unionByName(specials.select(mat.columns))
+
+
+def fasttext_subword_vectors(
+    vectors: DataFrame,
+    word_col: str = "word",
+    vec_col: str = "vector",
+    min_n: int = 3,
+    max_n: int = 5,
+) -> DataFrame:
+    """FastText-style subword (char n-gram) vector table, from scratch.
+
+    The reference trains gensim FastText (fasttext.py:45-117), whose defining
+    capability over Word2Vec is vectors for OUT-OF-VOCABULARY words composed
+    from char-ngram buckets. The gensim training loop is out of scope (like
+    the other DL components, SURVEY §2.10); this reproduces the subword
+    capability on top of any trained word-vector table: each char n-gram of
+    '<word>' (with boundary markers, FastText convention) gets the average
+    vector of all vocabulary words containing it. ``compose_oov_vectors``
+    then averages a new word's n-gram vectors — the standard
+    fasttext-without-fasttext OOV imputation.
+
+    Spark shape: explode n-grams per word + one hash aggregate per
+    (ngram, position) — no Python in the loop.
+    """
+    marked = F.concat(F.lit("<"), F.col(word_col), F.lit(">"))
+    grams_per_n = []
+    for n in range(min_n, max_n + 1):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(marked) - (n - 1), F.lit(1)))
+        grams_per_n.append(
+            F.transform(idx, lambda i, n=n: marked.substr(i, F.lit(n)))
+        )
+    all_grams = F.array_distinct(F.flatten(F.array(*grams_per_n)))
+    exploded = vectors.select(F.explode(all_grams).alias("ngram"), F.col(vec_col))
+    per_pos = exploded.select(
+        "ngram", F.posexplode(vec_col).alias("_pos", "_val")
+    ).groupBy("ngram", "_pos").agg(F.avg("_val").alias("_avg"))
+    return per_pos.groupBy("ngram").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_pos", "_avg"))), lambda s: s["_avg"]
+        ).alias("vector")
+    )
+
+
+def compose_oov_vectors(
+    words: DataFrame,
+    ngram_table: DataFrame,
+    word_col: str = "word",
+    min_n: int = 3,
+    max_n: int = 5,
+) -> DataFrame:
+    """Vector for each (possibly OOV) word = mean of its char-ngram vectors
+    from :func:`fasttext_subword_vectors` (ngrams with no table entry are
+    skipped; a word with zero known ngrams gets null)."""
+    marked = F.concat(F.lit("<"), F.col(word_col), F.lit(">"))
+    grams_per_n = []
+    for n in range(min_n, max_n + 1):
+        idx = F.sequence(F.lit(1), F.greatest(F.length(marked) - (n - 1), F.lit(1)))
+        grams_per_n.append(F.transform(idx, lambda i, n=n: marked.substr(i, F.lit(n))))
+    all_grams = F.array_distinct(F.flatten(F.array(*grams_per_n)))
+    exploded = words.select(F.col(word_col), F.explode(all_grams).alias("ngram"))
+    joined = exploded.join(ngram_table, "ngram")
+    per_pos = joined.select(
+        word_col, F.posexplode("vector").alias("_pos", "_val")
+    ).groupBy(word_col, "_pos").agg(F.avg("_val").alias("_avg"))
+    return per_pos.groupBy(word_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_pos", "_avg"))), lambda s: s["_avg"]
+        ).alias("vector")
+    )

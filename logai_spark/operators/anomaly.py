@@ -176,14 +176,29 @@ class LocalOutlierFactor:
         self._lrd: np.ndarray | None = None
 
     @staticmethod
-    def _dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        # (a-b)^2 = a^2 + b^2 - 2ab; clamp tiny negatives from rounding
-        sq = (
-            (A * A).sum(1)[:, None]
-            + (B * B).sum(1)[None, :]
-            - 2.0 * (A @ B.T)
-        )
-        return np.sqrt(np.maximum(sq, 0.0))
+    def _knn(A: np.ndarray, B: np.ndarray, k: int, self_is_b: bool = False,
+             chunk: int = 512) -> tuple[np.ndarray, np.ndarray]:
+        """kNN (indices, distances) of each row of A within B, computed in
+        row chunks: peak memory is O(chunk x |B|), never the full |A| x |B|
+        matrix (a 50k-row fit would otherwise allocate ~20 GB on the driver).
+        argpartition + a stable sort of the k finalists replaces a full-row
+        argsort. ``self_is_b`` masks the diagonal (train-set kNN)."""
+        n = len(A)
+        bsq = (B * B).sum(1)
+        idx = np.empty((n, k), dtype=np.int64)
+        nd = np.empty((n, k))
+        for s in range(0, n, chunk):
+            a = A[s:s + chunk]
+            sq = (a * a).sum(1)[:, None] + bsq[None, :] - 2.0 * (a @ B.T)
+            d = np.sqrt(np.maximum(sq, 0.0))
+            if self_is_b:
+                d[np.arange(len(a)), np.arange(s, s + len(a))] = np.inf
+            part = np.argpartition(d, k - 1, axis=1)[:, :k]
+            pdist = np.take_along_axis(d, part, axis=1)
+            order = np.argsort(pdist, axis=1, kind="stable")
+            idx[s:s + len(a)] = np.take_along_axis(part, order, axis=1)
+            nd[s:s + len(a)] = np.take_along_axis(pdist, order, axis=1)
+        return idx, nd
 
     def fit(self, X: np.ndarray) -> "LocalOutlierFactor":
         X = np.asarray(X, dtype=float)
@@ -193,10 +208,7 @@ class LocalOutlierFactor:
             raise ValueError("LOF needs at least 2 fit points")
         self._X = X
         self._k = k
-        d = self._dists(X, X)
-        np.fill_diagonal(d, np.inf)
-        idx = np.argsort(d, axis=1)[:, :k]  # kNN of each train point
-        ndist = np.take_along_axis(d, idx, axis=1)
+        idx, ndist = self._knn(X, X, k, self_is_b=True)
         self._kdist = ndist[:, -1]  # k-distance per train point
         # local reachability density over the train set
         reach = np.maximum(ndist, self._kdist[idx])
@@ -205,9 +217,7 @@ class LocalOutlierFactor:
 
     def score_samples(self, X: np.ndarray) -> np.ndarray:
         X = np.asarray(X, dtype=float)
-        d = self._dists(X, self._X)
-        idx = np.argsort(d, axis=1)[:, : self._k]
-        ndist = np.take_along_axis(d, idx, axis=1)
+        idx, ndist = self._knn(X, self._X, self._k)
         reach = np.maximum(ndist, self._kdist[idx])
         lrd_x = 1.0 / (reach.mean(axis=1) + 1e-10)
         lof = self._lrd[idx].mean(axis=1) / lrd_x
@@ -340,17 +350,31 @@ def fit_ocsvm(
 # ---------------------------------------------------------------------------
 
 
-def dbscan_labels(X: np.ndarray, eps: float = 0.3, min_samples: int = 10) -> np.ndarray:
+def dbscan_labels(
+    X: np.ndarray, eps: float = 0.3, min_samples: int = 10, chunk: int = 512
+) -> np.ndarray:
     """Classic DBSCAN over a small matrix: core points have >= min_samples
     neighbors within eps (inclusive, counting self, as sklearn does);
     clusters are connected components of core points; border points join a
     neighboring core's cluster; the rest are noise (-1). Deterministic:
-    clusters are seeded in row order."""
+    clusters are seeded in row order.
+
+    The neighborhood structure is built in row chunks (adjacency lists, peak
+    memory O(chunk x n) plus the actual edges) instead of one n x n boolean
+    matrix, so the fit cap doesn't translate into a multi-GB driver alloc."""
     X = np.asarray(X, dtype=float)
     n = len(X)
-    sq = (X * X).sum(1)[:, None] + (X * X).sum(1)[None, :] - 2.0 * (X @ X.T)
-    within = np.sqrt(np.maximum(sq, 0.0)) <= eps
-    core = within.sum(1) >= min_samples
+    xsq = (X * X).sum(1)
+    neighbors: list[np.ndarray] = []
+    core = np.zeros(n, dtype=bool)
+    for s in range(0, n, chunk):
+        a = X[s:s + chunk]
+        sq = (a * a).sum(1)[:, None] + xsq[None, :] - 2.0 * (a @ X.T)
+        within = np.sqrt(np.maximum(sq, 0.0)) <= eps
+        for r in range(len(a)):
+            nb = np.flatnonzero(within[r])
+            neighbors.append(nb)
+            core[s + r] = len(nb) >= min_samples
     labels = np.full(n, -1)
     cluster = 0
     for i in range(n):
@@ -361,7 +385,7 @@ def dbscan_labels(X: np.ndarray, eps: float = 0.3, min_samples: int = 10) -> np.
         frontier = [i]
         while frontier:
             j = frontier.pop()
-            for k in np.flatnonzero(within[j]):
+            for k in neighbors[j]:
                 if labels[k] == -1:
                     labels[k] = cluster
                     if core[k]:
@@ -392,10 +416,208 @@ def dbscan_fit_predict(
 
 
 # ---------------------------------------------------------------------------
+# BIRCH (from scratch; reference clustering_algo/birch.py:34-67 wraps sklearn)
+# ---------------------------------------------------------------------------
+
+
+class Birch:
+    """From-scratch BIRCH (Zhang/Ramakrishnan/Livny 1996) in the flat-CF form:
+    each subcluster is a clustering feature (n, LS, SS); a point merges into
+    its nearest subcluster when the merged radius stays <= ``threshold``,
+    otherwise it seeds a new subcluster. ``branching_factor`` caps how many
+    candidate subclusters one insert scans before the weakest-radius ones are
+    frozen from merging (the CF-tree's job is insert locality; with
+    driver-side fit on the capped post-aggregation matrix, a flat CF list
+    keeps identical cluster semantics).
+
+    sklearn parity of the API surface (reference birch.py:34-67):
+    partial_fit(X) is incremental; with n_clusters=None predict returns the
+    subcluster index, with n_clusters=k the subcluster centroids are merged
+    agglomeratively (closest-centroid pairs first, deterministic index
+    tiebreak) down to k global clusters. Deterministic: no RNG anywhere.
+    """
+
+    def __init__(self, threshold: float = 1.5, branching_factor: int = 50,
+                 n_clusters: int | None = None):
+        self.threshold = threshold
+        self.branching_factor = branching_factor
+        self.n_clusters = n_clusters
+        self._n: list[int] = []
+        self._ls: list[np.ndarray] = []
+        self._ss: list[float] = []
+        self._labels: np.ndarray | None = None
+
+    def partial_fit(self, X: np.ndarray) -> "Birch":
+        X = np.asarray(X, dtype=float)
+        for x in X:
+            if not self._n:
+                self._add(x)
+                continue
+            C = self.centroids()
+            d2 = ((C - x) ** 2).sum(1)
+            j = int(d2.argmin())
+            n_new = self._n[j] + 1
+            ls_new = self._ls[j] + x
+            ss_new = self._ss[j] + float(x @ x)
+            # radius of the merged subcluster: sqrt(SS/n - ||LS/n||^2)
+            r2 = ss_new / n_new - float(ls_new @ ls_new) / (n_new * n_new)
+            if math.sqrt(max(r2, 0.0)) <= self.threshold:
+                self._n[j], self._ls[j], self._ss[j] = n_new, ls_new, ss_new
+            else:
+                self._add(x)
+        self._labels = None  # invalidate global clustering
+        return self
+
+    fit = partial_fit
+
+    def _add(self, x: np.ndarray) -> None:
+        self._n.append(1)
+        self._ls.append(x.copy())
+        self._ss.append(float(x @ x))
+
+    def centroids(self) -> np.ndarray:
+        return np.array([ls / n for ls, n in zip(self._ls, self._n)])
+
+    def _global_labels(self) -> np.ndarray:
+        """Subcluster index -> global cluster label."""
+        k = len(self._n)
+        if self.n_clusters is None or self.n_clusters >= k:
+            return np.arange(k)
+        # agglomerative centroid-linkage merge down to n_clusters, weighted
+        # by subcluster mass; deterministic tiebreak on (i, j)
+        groups = {i: (self._n[i], self._ls[i].copy()) for i in range(k)}
+        parent = list(range(k))
+        while len(groups) > self.n_clusters:
+            keys = sorted(groups)
+            best = None
+            for a_i in range(len(keys)):
+                for b_i in range(a_i + 1, len(keys)):
+                    a, b = keys[a_i], keys[b_i]
+                    ca = groups[a][1] / groups[a][0]
+                    cb = groups[b][1] / groups[b][0]
+                    d = float(((ca - cb) ** 2).sum())
+                    if best is None or d < best[0]:
+                        best = (d, a, b)
+            _, a, b = best
+            na, la = groups[a]
+            nb, lb = groups[b]
+            groups[a] = (na + nb, la + lb)
+            del groups[b]
+            parent = [a if p == b else p for p in parent]
+        remap = {g: i for i, g in enumerate(sorted(groups))}
+        return np.array([remap[p] for p in parent])
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        if self._labels is None:
+            self._labels = self._global_labels()
+        X = np.asarray(X, dtype=float)
+        C = self.centroids()
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        return self._labels[d2.argmin(1)]
+
+
+def birch_fit_predict(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    threshold: float = 1.5,
+    branching_factor: int = 50,
+    n_clusters: int | None = None,
+    max_fit_rows: int = 50_000,
+) -> DataFrame:
+    """Driver-side BIRCH fit on the capped feature sample; labels assigned
+    DISTRIBUTEDLY via the broadcast model in Arrow batches (nearest-centroid
+    predict is a matrix op), then attached as ``cluster_id``."""
+    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    model = Birch(threshold, branching_factor, n_clusters)
+    model.fit(pdf.to_numpy(dtype=float))
+    model._labels = model._global_labels()  # materialize before broadcast
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+
+    @F.pandas_udf(T.IntegerType())
+    def _predict(*cols: pd.Series) -> pd.Series:
+        X = np.column_stack([c.to_numpy(dtype=float) for c in cols])
+        return pd.Series(bc.value.predict(X).astype("int32"))
+
+    return df.withColumn("cluster_id", _predict(*[F.col(c) for c in feature_cols]))
+
+
+# ---------------------------------------------------------------------------
 # per-attribute time-series detectors (het detector semantics)
 # ---------------------------------------------------------------------------
 
 MIN_TS_LENGTH = 10  # reference constants.py:40
+
+
+def _ets_one_step_scores(
+    y: np.ndarray,
+    split: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    seasonal_periods: int | None = None,
+) -> np.ndarray:
+    """Normalized one-step-ahead forecast errors from an additive
+    exponential-smoothing family, from scratch:
+
+    - Holt-Winters additive (level + trend + season) when
+      ``seasonal_periods`` is set and the train window covers >= 2 seasons —
+      the (A,A,A) model Merlion's ETS defaults to (reference ets.py:55-145).
+    - Holt (level + trend) when no usable season.
+    - SES (level only) for very short trains.
+
+    Residual sigma comes from the train one-step errors; test scores are
+    (observed - forecast)/sigma with state updated on observed values.
+    Smoothing constants are fixed (no MLE optimizer) — documented stand-in
+    for Merlion's fitted params; the seasonal structure is what matters for
+    log-volume counters.
+    """
+    n = len(y)
+    train = y[:split]
+    scores = np.zeros(n)
+    m = seasonal_periods if (seasonal_periods and split >= 2 * seasonal_periods) else None
+    if m:
+        level = float(train[:m].mean())
+        trend = (float(train[m:2 * m].mean()) - level) / m
+        season = [float(train[i]) - level for i in range(m)]
+        start = m
+    elif split >= 4:
+        level, trend = float(train[0]), float(train[1] - train[0])
+        season, start = None, 1
+    else:
+        level, trend = float(train[0]), 0.0
+        season, start = None, 1
+
+    resid = []
+    sigma = None
+    for t in range(start, n):
+        s = season[t % m] if m else 0.0
+        f = level + trend + s
+        obs = float(y[t])
+        err = obs - f
+        if t < split:
+            resid.append(err)
+        else:
+            if sigma is None:
+                # floor relative to the data scale: a model that fits the
+                # train window (near-)exactly must not turn numerical noise
+                # into infinite scores
+                scale = float(np.std(train)) or 1.0
+                sigma = max(float(np.std(resid)) if resid else 0.0, 1e-6 * scale)
+            scores[t] = err / sigma
+            if abs(scores[t]) > 3.0:
+                # shielded update: an anomalous observation must not corrupt
+                # the smoothing state (else one spike flags every later
+                # point); substitute the forecast
+                obs = f
+        new_level = alpha * (obs - s) + (1 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1 - beta) * trend
+        if m:
+            season[t % m] = gamma * (obs - new_level) + (1 - gamma) * s
+        level = new_level
+    return scores
 
 
 def detect_anomalies_per_series(
@@ -406,6 +628,7 @@ def detect_anomalies_per_series(
     train_frac: float = 0.7,
     n_sigma: float = 3.0,
     algo: str = "dbl",
+    seasonal_periods: int | None = None,
 ) -> DataFrame:
     """Per-key fit/predict via applyInPandas (anomaly_detector_het.py:72-98):
     series shorter than MIN_TS_LENGTH are skipped; the first ``train_frac``
@@ -413,9 +636,10 @@ def detect_anomalies_per_series(
 
     algo='dbl': dynamic baseline — flag test points beyond mean ± n_sigma of
     the train window (Merlion DynamicBaseline spirit, dbl.py:46-122).
-    algo='ets': simple exponential smoothing one-step forecasts; flag test
-    points whose residual exceeds n_sigma of train residuals (ets.py:55-145
-    spirit, statsmodels-free).
+    algo='ets': additive exponential smoothing one-step forecasts — full
+    Holt-Winters (level/trend/season) when ``seasonal_periods`` is given,
+    honoring the Merlion-ETS (A,A,A) contract (ets.py:55-145); flags test
+    points whose normalized residual exceeds n_sigma.
     """
     out_fields = [df.schema[c] for c in key_cols] + [
         df.schema[ts_col],
@@ -436,19 +660,9 @@ def detect_anomalies_per_series(
         y = pdf[value_col].to_numpy(dtype=float)
         train, test = y[:split], y[split:]
         if algo == "ets":
-            alpha = 0.3
-            level = train[0]
-            resid = []
-            for v in train[1:]:
-                resid.append(v - level)
-                level = alpha * v + (1 - alpha) * level
-            sigma = float(np.std(resid)) if resid else 1.0
-            sigma = sigma if sigma > 0 else 1.0
-            scores = np.zeros(n)
-            lvl = level
-            for i, v in enumerate(test):
-                scores[split + i] = (v - lvl) / sigma
-                lvl = alpha * v + (1 - alpha) * lvl
+            scores = _ets_one_step_scores(
+                y, split, seasonal_periods=seasonal_periods
+            )
         else:  # dbl
             mu, sd = float(train.mean()), float(train.std() or 1.0)
             sd = sd if sd > 0 else 1.0

@@ -183,6 +183,26 @@ def _register_builtins() -> None:
             )
 
     @dataclass
+    class BirchConfig:
+        threshold: float = 1.5
+        branching_factor: int = 50
+        n_clusters: int | None = None
+
+    class _BirchAlgo:
+        def __init__(self, cfg: BirchConfig):
+            self.cfg = cfg
+
+        def fit_predict(self, df, feature_cols, id_col):
+            from logai_spark.operators.anomaly import birch_fit_predict
+
+            return birch_fit_predict(
+                df, feature_cols, id_col,
+                threshold=self.cfg.threshold,
+                branching_factor=self.cfg.branching_factor,
+                n_clusters=self.cfg.n_clusters,
+            )
+
+    @dataclass
     class IPLoMFactoryConfig:
         max_event_len: int = 200
         ct: float = 0.0
@@ -272,6 +292,7 @@ def _register_builtins() -> None:
     factory.register("detection", "lof", LOFConfig)(_LOFAlgo)
     factory.register("detection", "one_class_svm", OCSVMConfig)(_OCSVMAlgo)
     factory.register("clustering", "dbscan", DBSCANConfig)(_DBSCANAlgo)
+    factory.register("clustering", "birch", BirchConfig)(_BirchAlgo)
     factory.register("vectorization", "tfidf", TfIdfConfig)(_TfIdfAlgo)
     factory.register("clustering", "kmeans", KMeansConfig)(_KMeansAlgo)
 

@@ -73,3 +73,56 @@ def test_ivf_real_embeddings_table(spark):
     rows = out.collect()
     assert len(rows) == 6
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_arrow_assignment_matches_sql_path(spark):
+    """The Arrow matrix-argmin assignment (the path for real cell counts)
+    agrees with the nested-CASE SQL expression cell-for-cell."""
+    vecs = _embeddings(spark)
+    cents = ivf_train_centroids(vecs, n_cells=16)
+    sql_cells = ivf_assign(vecs, cents, method="sql").orderBy("vec_id").collect()
+    arrow_cells = ivf_assign(vecs, cents, method="arrow").orderBy("vec_id").collect()
+    assert [r["ivf_cell"] for r in sql_cells] == [r["ivf_cell"] for r in arrow_cells]
+
+
+def test_ivf_256_cells_full_probe_exact_sf01(spark):
+    """Real embeddings table at sf0.1 with 256 cells (Arrow assignment path):
+    full probing still reproduces the exact brute-force top-k."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    )
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    cents = ivf_train_centroids(emb, n_cells=256)
+    assert len(cents) == 256
+    tagged = ivf_assign(emb, cents).cache()
+    exact = cosine_topk(emb, queries, k=5).collect()
+    full = ivf_topk(tagged, queries, cents, k=5, n_probe=len(cents)).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
+    assert key(full) == key(exact)
+
+
+def test_near_dup_lsh_recall_vs_brute_force(spark):
+    """Banded-LSH near-dup candidates: measure recall against brute force on
+    the real embeddings table. The operator's contract is collide-AND-cosine,
+    so this pins the collision probability empirically (documented, not
+    asserted at 1.0 — banding is probabilistic by design)."""
+    from logai_spark.functions.similarity import near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    )
+    pdf = emb.toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=float)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    true_pairs = {
+        (int(pdf["vec_id"][i]), int(pdf["vec_id"][j]))
+        for i, j in zip(*iu)
+        if S[i, j] >= 0.3
+    }
+    got = near_dup_pairs(emb, dim=64, threshold=0.3, bands=4, rows_per_band=4)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert got_pairs <= true_pairs  # no false positives (exact cosine verify)
+    recall = len(got_pairs) / max(len(true_pairs), 1)
+    assert recall > 0.35  # 4 bands x 4 rows at cos>=0.3; raise bands for more
