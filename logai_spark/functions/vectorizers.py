@@ -250,6 +250,45 @@ def word2vec_embeddings(
     return model, model.getVectors()
 
 
+def word2vec_transform(
+    df: DataFrame,
+    vectors: DataFrame,
+    line_col: str = "logline",
+    id_col: str = "doc_id",
+    max_token_len: int = 100,
+    out_col: str = "log_vector",
+) -> DataFrame:
+    """Reference Word2Vec.transform parity (word2vec.py:73-96): per logline,
+    the flattened concatenation of its tokens' word vectors — tokens
+    lowercased, '*' placeholders skipped, capped at ``max_token_len`` tokens;
+    tokens absent from the vocabulary are skipped (gensim would KeyError;
+    skipping is this engine's documented OOV behavior).
+
+    Spark shape: posexplode tokens -> equi-join the vector table ->
+    order-preserving reassemble + flatten. The vector table stays a
+    DataFrame (broadcast when small), nothing collects to the driver.
+    """
+    toks = F.slice(
+        F.filter(F.split(F.col(line_col), " "), lambda t: (t != "") & (t != "*")),
+        1,
+        max_token_len,
+    )
+    exploded = df.select(id_col, F.posexplode(toks).alias("_pos", "_tok"))
+    joined = exploded.withColumn("_tok", F.lower("_tok")).join(
+        vectors.select(F.lower(F.col("word")).alias("_tok"), F.col("vector").alias("_vec")),
+        "_tok",
+    )
+    assembled = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_vec"))),
+                lambda s: s["_vec"],
+            )
+        ).alias(out_col)
+    )
+    return df.join(assembled, id_col, "left")
+
+
 SPECIAL_TOKENS = ("UNK", "PAD", "[SEP]")  # reference semantic.py:170-176
 
 

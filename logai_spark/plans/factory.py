@@ -256,6 +256,190 @@ def _register_builtins() -> None:
             )
 
     @dataclass
+    class SeriesDetectorConfig:
+        """Shared knobs for the per-series ETS/DBL detectors
+        (reference ets.py:55-145, dbl.py:46-122)."""
+
+        train_frac: float = 0.7
+        n_sigma: float = 3.0
+        seasonal_periods: int | None = None
+
+    def _series_algo(algo_name: str):
+        class _SeriesAlgo:
+            def __init__(self, cfg: SeriesDetectorConfig):
+                self.cfg = cfg
+
+            def fit_predict(self, df, key_cols, ts_col="timestamp", value_col="counts"):
+                from logai_spark.operators.anomaly import detect_anomalies_per_series
+
+                return detect_anomalies_per_series(
+                    df, key_cols, ts_col=ts_col, value_col=value_col,
+                    train_frac=self.cfg.train_frac, n_sigma=self.cfg.n_sigma,
+                    algo=algo_name, seasonal_periods=self.cfg.seasonal_periods,
+                )
+
+        return _SeriesAlgo
+
+    @dataclass
+    class DivergenceConfig:
+        n_bins: int = 10
+
+    class _DivergenceAlgo:
+        def __init__(self, cfg: DivergenceConfig):
+            self.cfg = cfg
+
+        def compare(self, train, test, value_col):
+            from logai_spark.operators.anomaly import distribution_divergence
+
+            return distribution_divergence(train, test, value_col, self.cfg.n_bins)
+
+    @dataclass
+    class Word2VecConfig:
+        dim: int = 16
+        min_count: int = 1
+        seed: int = 42
+        max_token_len: int = 100
+
+    class _Word2VecAlgo:
+        def __init__(self, cfg: Word2VecConfig):
+            self.cfg = cfg
+            self.vectors = None
+
+        def fit(self, df, line_col="logline"):
+            from pyspark.sql import functions as F
+
+            from logai_spark.functions.vectorizers import word2vec_embeddings
+
+            toks = F.filter(
+                F.split(F.lower(F.col(line_col)), " "),
+                lambda t: (t != "") & (t != "*"),
+            )
+            _, vecs = word2vec_embeddings(
+                df.select(toks.alias("_toks")), "_toks",
+                dim=self.cfg.dim, min_count=self.cfg.min_count, seed=self.cfg.seed,
+            )
+            from pyspark.ml.functions import vector_to_array
+
+            self.vectors = vecs.select(
+                "word", vector_to_array("vector").alias("vector")
+            ).cache()
+            return self
+
+        def transform(self, df, line_col="logline", id_col="doc_id"):
+            from logai_spark.functions.vectorizers import word2vec_transform
+
+            return word2vec_transform(
+                df, self.vectors, line_col, id_col, self.cfg.max_token_len
+            )
+
+    @dataclass
+    class SequentialConfig:
+        max_len: int = 10
+        sep: str = " [SEP] "
+
+    class _SequentialAlgo:
+        def __init__(self, cfg: SequentialConfig):
+            self.cfg = cfg
+            self.vocab = None
+
+        def fit(self, df, line_col="logline"):
+            from logai_spark.functions.vectorizers import sequential_vocab
+
+            self.vocab = sequential_vocab(df, line_col).cache()
+            return self
+
+        def transform(self, df, session_col="session_text"):
+            from logai_spark.functions.vectorizers import sequential_transform
+
+            return sequential_transform(
+                df, self.vocab, session_col, self.cfg.sep, self.cfg.max_len
+            )
+
+    @dataclass
+    class SemanticConfig:
+        max_len: int = 10
+        dim: int = 16
+        min_count: int = 1
+
+    class _SemanticAlgo:
+        def __init__(self, cfg: SemanticConfig):
+            self.cfg = cfg
+            self.matrix = None  # [token, token_id, vector] (semantic.py:114-178)
+
+        def fit(self, df, line_col="logline"):
+            from logai_spark.functions.vectorizers import semantic_embedding_matrix
+
+            self.matrix = semantic_embedding_matrix(
+                df, line_col, self.cfg.dim, self.cfg.min_count
+            ).cache()
+            return self
+
+        def transform(self, df, line_col="logline"):
+            from logai_spark.functions.vectorizers import semantic_transform
+
+            return semantic_transform(df, self.matrix, line_col, self.cfg.max_len)
+
+    @dataclass
+    class FastTextConfig:
+        dim: int = 16
+        min_count: int = 1
+        seed: int = 42
+        min_n: int = 3
+        max_n: int = 5
+        max_token_len: int = 100
+
+    class _FastTextAlgo:
+        """FastText-capability vectorizer (reference fasttext.py:45-117):
+        word vectors from Spark-ML Word2Vec plus char-ngram subword buckets
+        for OOV composition — see vectorizers.fasttext_subword_vectors for
+        the documented scope (no gensim training loop)."""
+
+        def __init__(self, cfg: FastTextConfig):
+            self.cfg = cfg
+            self.vectors = None
+            self.subwords = None
+
+        def fit(self, df, line_col="logline"):
+            from pyspark.sql import functions as F
+
+            from logai_spark.functions.vectorizers import (
+                fasttext_subword_vectors,
+                word2vec_embeddings,
+            )
+
+            toks = F.filter(
+                F.split(F.lower(F.col(line_col)), " "),
+                lambda t: (t != "") & (t != "*"),
+            )
+            _, vecs = word2vec_embeddings(
+                df.select(toks.alias("_toks")), "_toks",
+                dim=self.cfg.dim, min_count=self.cfg.min_count, seed=self.cfg.seed,
+            )
+            from pyspark.ml.functions import vector_to_array
+
+            self.vectors = vecs.select(
+                "word", vector_to_array("vector").alias("vector")
+            ).cache()
+            self.subwords = fasttext_subword_vectors(
+                self.vectors, min_n=self.cfg.min_n, max_n=self.cfg.max_n
+            ).cache()
+            return self
+
+        def transform(self, df, line_col="logline", id_col="doc_id"):
+            from logai_spark.functions.vectorizers import word2vec_transform
+
+            return word2vec_transform(
+                df, self.vectors, line_col, id_col, self.cfg.max_token_len
+            )
+
+        def oov_vectors(self, words):
+            from logai_spark.functions.vectorizers import compose_oov_vectors
+
+            return compose_oov_vectors(
+                words, self.subwords, min_n=self.cfg.min_n, max_n=self.cfg.max_n
+            )
+
+    @dataclass
     class KMeansConfig:
         k: int = 8
         seed: int = 42
@@ -295,6 +479,15 @@ def _register_builtins() -> None:
     factory.register("clustering", "birch", BirchConfig)(_BirchAlgo)
     factory.register("vectorization", "tfidf", TfIdfConfig)(_TfIdfAlgo)
     factory.register("clustering", "kmeans", KMeansConfig)(_KMeansAlgo)
+    factory.register("detection", "ets", SeriesDetectorConfig)(_series_algo("ets"))
+    factory.register("detection", "dbl", SeriesDetectorConfig)(_series_algo("dbl"))
+    factory.register("detection", "distribution_divergence", DivergenceConfig)(
+        _DivergenceAlgo
+    )
+    factory.register("vectorization", "word2vec", Word2VecConfig)(_Word2VecAlgo)
+    factory.register("vectorization", "sequential", SequentialConfig)(_SequentialAlgo)
+    factory.register("vectorization", "semantic", SemanticConfig)(_SemanticAlgo)
+    factory.register("vectorization", "fasttext", FastTextConfig)(_FastTextAlgo)
 
 
 _register_builtins()

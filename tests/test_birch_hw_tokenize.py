@@ -201,3 +201,96 @@ def test_fasttext_subword_oov_composition(spark):
     # 'reads' shares <re/rea/read/ead... ngrams with the two read* words only,
     # so its composed vector leans to their side of the space
     assert v[0] > v[1]
+
+
+# ---------------------------------------------------------------------------
+# factory registry completeness + word2vec transform parity shape
+# ---------------------------------------------------------------------------
+
+
+def test_factory_registry_covers_reference_non_dl_surface():
+    from logai_spark.plans.factory import factory
+
+    assert set(factory.names("parsing")) >= {"drain", "ael", "iplom"}
+    assert set(factory.names("detection")) >= {
+        "isolation_forest", "lof", "one_class_svm",
+        "ets", "dbl", "distribution_divergence",
+    }
+    assert set(factory.names("clustering")) >= {"kmeans", "dbscan", "birch"}
+    assert set(factory.names("vectorization")) >= {
+        "tfidf", "word2vec", "sequential", "semantic", "fasttext",
+    }
+
+
+def test_word2vec_transform_flattened_shape(spark):
+    """Reference word2vec.py:73-96: per-line vector = flattened concat of the
+    line's token vectors, '*' skipped, capped at max_token_len."""
+    from logai_spark.plans.factory import factory
+
+    lines = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "logline": ["open file x", "close * x", "open open"],
+            }
+        )
+    )
+    algo = factory.get_algorithm(
+        "vectorization", "word2vec",
+        factory.get_config("vectorization", "word2vec", {"dim": 4}),
+    )
+    out = algo.fit(lines, "logline").transform(lines, "logline", "doc_id").toPandas()
+    by_id = dict(zip(out["doc_id"], out["log_vector"]))
+    assert len(by_id[1]) == 12  # 3 tokens x 4 dims
+    assert len(by_id[2]) == 8   # '*' skipped
+    assert len(by_id[3]) == 8
+    # same token -> same vector slice, order preserved
+    assert list(by_id[3][:4]) == list(by_id[3][4:])
+    assert list(by_id[1][:4]) == list(by_id[3][:4])  # 'open' leads both
+
+
+def test_fasttext_factory_oov(spark):
+    from logai_spark.plans.factory import factory
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"logline": ["reading logs fast", "reader of logs"] * 5})
+    )
+    algo = factory.get_algorithm(
+        "vectorization", "fasttext",
+        factory.get_config("vectorization", "fasttext", {"dim": 4}),
+    )
+    algo.fit(lines, "logline")
+    oov = algo.oov_vectors(
+        spark.createDataFrame(pd.DataFrame({"word": ["reads"]}))
+    ).collect()
+    assert len(oov) == 1 and len(oov[0]["vector"]) == 4
+
+
+def test_semantic_factory_roundtrip(spark):
+    from logai_spark.plans.factory import factory
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"logline": ["alpha beta", "alpha gamma", "alpha beta"]})
+    )
+    algo = factory.get_algorithm(
+        "vectorization", "semantic",
+        factory.get_config("vectorization", "semantic", {"dim": 4, "max_len": 3}),
+    )
+    out = algo.fit(lines, "logline").transform(lines, "logline").toPandas()
+    ids = out[out["logline"] == "alpha beta"]["token_ids"].iloc[0]
+    assert list(ids)[:1] == [0]  # 'alpha' most frequent -> id 0
+    assert len(ids) == 3
+
+
+def test_ets_dbl_factory(spark):
+    from logai_spark.plans.factory import factory
+
+    df = _seasonal_series(spark)
+    algo = factory.get_algorithm(
+        "detection", "ets",
+        factory.get_config("detection", "ets", {"seasonal_periods": 12}),
+    )
+    out = algo.fit_predict(df, ["key"], ts_col="timestamp", value_col="counts").toPandas()
+    assert set(out[out["is_anomaly"] == 1]["timestamp"]) == {85}
+    dbl = factory.get_algorithm("detection", "dbl")
+    assert dbl.fit_predict(df, ["key"], ts_col="timestamp", value_col="counts").count() > 0
