@@ -146,9 +146,14 @@ def exact_dedup(
     )
 
 
-def _shingles(text_col: str, n: int = 3) -> Column:
-    """Word n-gram shingles as space-joined strings (empty when < n tokens)."""
-    toks = tokenize_expr(text_col)
+def _shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings (empty when < n tokens).
+
+    ``toks`` must be a MATERIALIZED token-array column (a plain column
+    reference, not the tokenize expression itself): referencing the split()
+    subtree from inside the per-shingle transform lambda defeats common-
+    subexpression elimination and re-tokenizes the document once per
+    shingle — measured 5x slower on the sf0.1 battery."""
     k = F.size(toks)
     return F.when(
         k >= n,
@@ -171,7 +176,10 @@ def minhash_signatures(
 
     One explode + one hash-aggregate: fully partial-aggregatable, so the
     shuffle carries only (doc, k mins), not the shingles."""
-    sh = df.select(F.col(id_col), F.explode_outer(_shingles(text_col, shingle_n)).alias("_sh"))
+    work = df.withColumn("_toks", tokenize_expr(text_col))
+    sh = work.select(
+        F.col(id_col), F.explode_outer(_shingles(F.col("_toks"), shingle_n)).alias("_sh")
+    )
     # materialize the base hash once per shingle row; the k permuted mins all
     # reference this column (otherwise each agg recomputes the md5)
     sh = sh.withColumn("_h", _hash32(F.col("_sh")))
@@ -225,17 +233,23 @@ def ngram_jaccard_pairs(
     on BOTH the numerator and the denominators — a well-defined, documented
     semantics (the common trick in production near-dup pipelines). Pass None
     for exact jaccard on bounded corpora."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("_sh")
+    from pyspark.sql import Window
+
+    work = df.withColumn("_toks", tokenize_expr(text_col))
+    sh = work.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(F.col("_toks"), shingle_n))).alias("_sh"),
     ).distinct()
     if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # window count over the shingle key: one shuffle on _sh (which the
+        # self-join below shuffles on anyway), no extra aggregate+join round
+        sh = (
+            sh.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+            )
             .filter(F.col("_df") <= max_shingle_df)
-            .select("_sh")
+            .drop("_df")
         )
-        sh = sh.join(keep, "_sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
