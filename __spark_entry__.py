@@ -398,6 +398,49 @@ def _q_sequential_ids(spark, sf_dir):
     return out.select("user_id", ids.alias("token_ids"))
 
 
+def _q_lsh_dup_pairs(spark, sf_dir):
+    """MinHash-LSH banding candidate duplicate pairs (SURVEY §2 dedup
+    family): docs agreeing on ALL rows of any band pair via an equi-join on
+    the band signature — hash shuffle, never a cross product. Oracle mirrors
+    the banding from the shared md5-affine minhash CTE."""
+    from logai_spark.functions.textops import lsh_duplicate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_duplicate_pairs(docs, bands=4, rows_per_band=3)
+
+
+def _q_regex_extract(spark, sf_dir):
+    """Regex replace-with-capture preprocessing (reference
+    preprocessor.py:36-71): every match is captured into a side column, then
+    replaced by the token in the cleaned line."""
+    from logai_spark.preprocess import PreprocessorConfig, clean_log
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("logline")
+    )
+    cfg = PreprocessorConfig(custom_replace_list=[(r"(table|value)", "<TOK>")])
+    out = clean_log(docs, "logline", cfg)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("<TOK>"), "|").alias("captures"),
+        F.col("logline").alias("cleaned"),
+    )
+
+
+def _q_collapse_runs(spark, sf_dir):
+    """OpenSet run-collapse preprocessing (openset_preprocessor.py:45-54):
+    replacement-token runs collapse to one token, '*' dropped, spaces
+    squeezed — chained regexp_replace, fully SQL-expressible."""
+    from logai_spark.preprocess import PreprocessorConfig, clean_log_openset
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("logline")
+    )
+    cfg = PreprocessorConfig(custom_replace_list=[(r"(table|value)", "<TOK>")])
+    out = clean_log_openset(docs, "logline", cfg)
+    return out.select("doc_id", F.col("logline").alias("cleaned"))
+
+
 def _q_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("keeper_id", "n_dups")
@@ -649,6 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ael_templates": _q_ael_templates,
         "parameter_list": _q_parameter_list,
         "eval_metrics": _q_eval_metrics,
+        "lsh_dup_pairs": _q_lsh_dup_pairs,
+        "regex_extract": _q_regex_extract,
+        "collapse_runs": _q_collapse_runs,
         "split_by_span": _q_split_by_span,
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
@@ -1072,6 +1118,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "embedding_near_dup": _near_dup_sql(),
+        "lsh_dup_pairs": f"""
+            WITH {_dd_minhash_cte(12)},
+            bands AS (
+                SELECT doc_id, concat_ws('_', 0, sig_0, sig_1, sig_2) AS key FROM sigs
+                UNION ALL
+                SELECT doc_id, concat_ws('_', 1, sig_3, sig_4, sig_5) FROM sigs
+                UNION ALL
+                SELECT doc_id, concat_ws('_', 2, sig_6, sig_7, sig_8) FROM sigs
+                UNION ALL
+                SELECT doc_id, concat_ws('_', 3, sig_9, sig_10, sig_11) FROM sigs)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "regex_extract": """
+            SELECT doc_id,
+                   coalesce(
+                       array_to_string(
+                           regexp_extract_all(text, '(table|value)', 0), '|'),
+                       '') AS captures,
+                   regexp_replace(text, '(table|value)', '<TOK>', 'g') AS cleaned
+            FROM documents
+        """,
+        "collapse_runs": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       regexp_replace(text, '(table|value)', '<TOK>', 'g') AS s
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(s, '((<TOK>)[ /=]*)+', '<TOK>', 'g'),
+                           '\*', '', 'g'),
+                       ' +', ' ', 'g') AS cleaned
+            FROM c
+        """,
         "drain_parse": _drain_fixture_sql(),
         "ael_templates": _ael_fixture_sql(),
         "parameter_list": r"""

@@ -10,9 +10,14 @@ from logai_spark.functions.textops import (
     simhash,
     tokenize_expr,
 )
-from logai_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+from logai_spark.functions.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    near_dup_pairs,
+)
 
 __all__ = [
+    "near_dup_pairs",
     "token_count",
     "quality_score",
     "lang_id",

@@ -60,8 +60,13 @@ def tfidf_fit(
     idf = dfreq.withColumn(
         "idf", F.log((F.lit(float(n_docs + s))) / (F.col("df") + s)) + 1.0
     )
-    w = Window.orderBy("token")
-    return idf.withColumn("token_idx", F.row_number().over(w) - 1)
+    # alphabetical dense ids WITHOUT a single-task global window — a web-text
+    # token vocabulary is large enough that row_number() over an
+    # unpartitioned orderBy would funnel it through one task
+    from logai_spark.preprocess import distributed_dense_ids
+
+    ids = distributed_dense_ids(idf, "token", "token_idx")
+    return idf.join(ids, "token")
 
 
 def tfidf_transform(
@@ -131,11 +136,12 @@ def pad_array(col: Column, max_len: int, value: float | int = 0) -> Column:
 
 def sequential_vocab(df: DataFrame, line_col: str = "logline") -> DataFrame:
     """Distinct logline -> dense id (sequential.py:33-60); deterministic
-    (alphabetical) instead of first-seen order."""
-    w = Window.orderBy(line_col)
-    return (
-        df.select(line_col).distinct().withColumn("line_id", F.row_number().over(w) - 1)
-    )
+    (alphabetical) instead of first-seen order. One id per DISTINCT LOGLINE
+    — unbounded at web scale, so ids come from the distributed range-ranked
+    assigner, not a single-task global window."""
+    from logai_spark.preprocess import distributed_dense_ids
+
+    return distributed_dense_ids(df.select(line_col), line_col, "line_id")
 
 
 def _ids_by_join(

@@ -8,9 +8,13 @@ from logai_spark.operators.features import (
     chrono_split,
 )
 from logai_spark.operators.enrich import enrich
+from logai_spark.operators.evaluate import binary_metrics
 from logai_spark.operators.route import route_to_sinks, read_sink, salted_repartition
+from logai_spark.operators.splits import split_by_span
 
 __all__ = [
+    "binary_metrics",
+    "split_by_span",
     "counter_vector",
     "group_loglines",
     "sliding_windows",

@@ -71,6 +71,48 @@ def _sql_quote(pattern: str) -> str:
     return pattern.replace("\\", "\\\\").replace("'", "\\'")
 
 
+def distributed_dense_ids(
+    df: DataFrame, column: str, out_col: str, buckets: int | None = None
+) -> DataFrame:
+    """Dense 0-based ids in global sort order WITHOUT a single-task window.
+
+    ``row_number() over (order by col)`` funnels every row through ONE task —
+    fine for bounded categorical dims, a driver-side bottleneck for web-scale
+    vocabularies (one id per distinct logline can be 10^7+). This variant
+    stays fully distributed:
+
+    1. range-repartition the distinct keys into ``buckets`` sorted ranges
+       (distributed sample + range sort — the same machinery as orderBy),
+    2. rank within each range (window partitioned by the materialized range
+       id — each range is one task),
+    3. add per-range offsets (a tiny count table, broadcast).
+
+    Ids equal the global-sort row numbers regardless of where the range
+    boundaries fall, because ranges partition the key ORDER: id = (#keys in
+    earlier ranges) + rank within range. The frame with materialized range
+    ids is persisted so task retries cannot observe different partition ids.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = buckets or spark.sparkContext.defaultParallelism * 4
+    keys = (
+        df.select(column)
+        .distinct()
+        .repartitionByRange(n, F.col(column))
+        .withColumn("_range", F.spark_partition_id())
+        .persist()
+    )
+    keys.count()  # freeze _range assignment before reuse
+    offsets = keys.groupBy("_range").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = offsets.withColumn("_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    w_in = Window.partitionBy("_range").orderBy(column)
+    ranked = keys.withColumn("_rank", F.row_number().over(w_in) - 1)
+    out = ranked.join(F.broadcast(offsets.select("_range", "_offset")), "_range")
+    return out.select(column, (F.col("_rank") + F.col("_offset")).alias(out_col))
+
+
 def dense_ids(df: DataFrame, column: str, out_col: str) -> DataFrame:
     """String keys -> dense 0-based int ids, deterministically (sorted order).
 

@@ -97,3 +97,30 @@ def test_semantic_vocab_and_transform(spark):
     first = [r for r in out if r["logline"] == "alpha beta"][0]
     assert list(first["token_ids"])[0] == 0
     assert len(first["token_ids"]) == 3
+
+
+def test_distributed_dense_ids_match_global_sort(spark):
+    """distributed_dense_ids == row_number over a global sort, at any input
+    partitioning (the scale-safe id assigner behind tfidf/sequential vocab)."""
+    import pandas as pd
+
+    from logai_spark.preprocess import distributed_dense_ids
+
+    vals = [f"key_{i:05d}" for i in range(0, 5000, 3)]
+    import random
+
+    shuffled = vals[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame(pd.DataFrame({"k": shuffled})).repartition(7)
+    got = {
+        r["k"]: r["id"]
+        for r in distributed_dense_ids(df, "k", "id", buckets=13).collect()
+    }
+    expected = {v: i for i, v in enumerate(sorted(vals))}
+    assert got == expected
+    # different partitioning, same ids
+    got2 = {
+        r["k"]: r["id"]
+        for r in distributed_dense_ids(df.repartition(3), "k", "id", buckets=5).collect()
+    }
+    assert got2 == expected
