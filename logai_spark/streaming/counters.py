@@ -66,6 +66,92 @@ def streaming_session_windows(
     )
 
 
+def streaming_dbl_scores(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    value_col: str = "value",
+    n_sigma: float = 3.0,
+    min_points: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-key running-baseline anomaly scores — the streaming analog of the
+    batch DBL detector (reference dbl.py:46-122 spirit, anomaly.py
+    detect_anomalies_per_series): a point is scored against the baseline of
+    everything seen BEFORE it, then absorbed into the baseline.
+
+    State per key is the Welford accumulator (n, mean, M2) — constant-size,
+    exactly-once-updated by the state store across micro-batches, so a key's
+    baseline survives restarts with checkpointing. Scores are 0 until the
+    key has ``min_points`` observations (the reference's MIN_TS_LENGTH
+    gate). Anomalous points DO update the baseline (streaming contract: no
+    lookahead, no shielding — flag fast, adapt after).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_fields = [stream.schema[c] for c in key_cols]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            stream.schema[ts_col],
+            stream.schema[value_col],
+            T.StructField("anom_score", T.DoubleType()),
+            T.StructField("is_anomaly", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("m2", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            scores, flags = [], []
+            for v in pdf[value_col]:
+                v = float(v)
+                if n >= min_points:
+                    var = m2 / (n - 1) if n > 1 else 0.0
+                    sd = math.sqrt(var) if var > 0 else 1.0
+                    s = (v - mean) / sd
+                else:
+                    s = 0.0
+                scores.append(s)
+                flags.append(1 if abs(s) > n_sigma else 0)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+            out = pd.DataFrame(
+                {
+                    **{c: pdf[c].values for c in key_cols},
+                    ts_col: pdf[ts_col].values,
+                    value_col: pdf[value_col].values,
+                    "anom_score": scores,
+                    "is_anomaly": pd.Series(flags, dtype="int32"),
+                }
+            )
+            yield out
+        state.update((n, mean, m2))
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_match_templates(
     stream: DataFrame,
     templates: list[tuple[str, int]],

@@ -82,3 +82,67 @@ def test_streaming_template_match(spark, stream_dir):
     assert len(out) == 200
     assert out["template_id"].notna().all()
     assert out["template_id"].nunique() == 1  # "request * handled"
+
+
+def test_streaming_dbl_state_carries_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState baseline detector: the baseline learned in
+    micro-batch 1 must score micro-batch 2 (state store carry-over), and a
+    planted spike in batch 2 must be the only flagged point."""
+    import pandas as pd
+
+    from logai_spark.streaming import streaming_dbl_scores
+
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = pd.Timestamp("2024-01-01")
+    batch1 = pd.DataFrame(
+        {
+            "timestamp": [base + pd.Timedelta(seconds=i) for i in range(50)],
+            "key": "k",
+            "value": [10.0 + (i % 5) * 0.1 for i in range(50)],
+        }
+    )
+    vals2 = [10.0 + (i % 5) * 0.1 for i in range(50)]
+    vals2[25] = 500.0  # planted spike
+    batch2 = pd.DataFrame(
+        {
+            "timestamp": [base + pd.Timedelta(seconds=100 + i) for i in range(50)],
+            "key": "k",
+            "value": vals2,
+        }
+    )
+    p = tmp_path / "in"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(p / "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(p / "b2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(p / "b*"))
+    )
+    scored = streaming_dbl_scores(stream, ["key"], "timestamp", "value")
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dbl_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM dbl_out").toPandas().sort_values("timestamp")
+    assert len(out) == 100
+    flagged = out[out["is_anomaly"] == 1]
+    assert len(flagged) == 1
+    assert float(flagged["value"].iloc[0]) == 500.0
+    # the spike is in batch 2: catching it proves the batch-1 baseline
+    # survived in the state store
+    assert flagged["timestamp"].iloc[0] >= base + pd.Timedelta(seconds=100)
