@@ -1,0 +1,62 @@
+"""Physical-plan regression gates: the properties that make these operators
+scale must stay visible in explain() output — a silent planner regression to
+a cartesian product or a lost pushdown is a 100x cliff at web scale."""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["embedding_near_dup", "ngram_jaccard", "lsh_dup_pairs"],
+)
+def test_dedup_family_never_cartesian(spark, qs, name):
+    p = _plan(qs[name](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+@pytest.mark.parametrize("name", ["enrich_broadcast", "label_spans"])
+def test_dim_joins_broadcast(spark, qs, name):
+    assert "BroadcastHashJoin" in _plan(qs[name](spark, SF))
+
+
+def test_scan_filter_pushdown(spark, qs):
+    p = _plan(qs["tpch_q1"](spark, SF))
+    m = re.search(r"PushedFilters: \[(.*?)\]", p)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1)
+
+
+def test_scan_column_pruning(spark, qs):
+    p = _plan(qs["token_count"](spark, SF))
+    m = re.search(r"ReadSchema: struct<(.*?)>", p)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}  # 2-col projection reaches the scan
+
+
+def test_cosine_topk_broadcasts_queries(spark, qs):
+    """Exact top-k is a deliberate broadcast-queries x scan nested loop —
+    the scan side must be the streamed side (BuildRight on the tiny query
+    set), never a shuffle."""
+    p = _plan(qs["cosine_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
