@@ -441,6 +441,25 @@ def _q_collapse_runs(spark, sf_dir):
     return out.select("doc_id", F.col("logline").alias("cleaned"))
 
 
+def _q_divergence(spark, sf_dir):
+    """KL/JS divergence between train/test value histograms (reference
+    distribution_divergence.py:46-92): lineitem split by ship date, 10
+    equal-width bins over l_quantity fixed to [1, 50]. The operator's
+    driver-side math reduces over n_bins numbers; rendered to 4 dp."""
+    from logai_spark.operators.anomaly import distribution_divergence
+
+    li = _t(spark, sf_dir, "lineitem")
+    train = li.filter(F.col("l_shipdate") <= "1995-01-01")
+    test = li.filter(F.col("l_shipdate") > "1995-01-01")
+    d = distribution_divergence(train, test, "l_quantity", n_bins=10, lo=1.0, hi=50.0)
+    import math
+
+    def r4(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    return spark.createDataFrame([(r4(d["kl"]), r4(d["js"]))], ["kl", "js"])
+
+
 def _q_exact_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return exact_dedup(docs, ["text"], "doc_id").select("keeper_id", "n_dups")
@@ -692,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ael_templates": _q_ael_templates,
         "parameter_list": _q_parameter_list,
         "eval_metrics": _q_eval_metrics,
+        "divergence": _q_divergence,
         "lsh_dup_pairs": _q_lsh_dup_pairs,
         "regex_extract": _q_regex_extract,
         "collapse_runs": _q_collapse_runs,
@@ -1131,6 +1151,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "divergence": """
+            WITH bins AS (SELECT unnest(range(10))::int AS b),
+            tr AS (
+                SELECT least(greatest(floor((l_quantity - 1) / 4.9), 0), 9)::int AS b
+                FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-01-01 00:00:00'),
+            te AS (
+                SELECT least(greatest(floor((l_quantity - 1) / 4.9), 0), 9)::int AS b
+                FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-01-01 00:00:00'),
+            trh AS (SELECT b, count(*)::double AS c FROM tr GROUP BY b),
+            teh AS (SELECT b, count(*)::double AS c FROM te GROUP BY b),
+            h AS (
+                SELECT bins.b,
+                       coalesce(trh.c, 0) + 1e-12 AS hp,
+                       coalesce(teh.c, 0) + 1e-12 AS hq
+                FROM bins LEFT JOIN trh USING (b) LEFT JOIN teh USING (b)),
+            tot AS (SELECT sum(hp) AS sp, sum(hq) AS sq FROM h),
+            pq AS (SELECT hp / sp AS p, hq / sq AS q FROM h, tot),
+            m AS (
+                SELECT sum(p * ln(p / q)) AS kl,
+                       0.5 * sum(p * ln(p / ((p + q) / 2)))
+                       + 0.5 * sum(q * ln(q / ((p + q) / 2))) AS js
+                FROM pq)
+            SELECT floor(kl * 10000 + 0.5) / 10000 AS kl,
+                   floor(js * 10000 + 0.5) / 10000 AS js
+            FROM m
         """,
         "regex_extract": """
             SELECT doc_id,
