@@ -1099,13 +1099,17 @@ def oracle_sql() -> dict[str, str]:
         "lsh_buckets": _lsh_buckets_sql(),
         # flow-conservation invariant of the IPLoM partition-refinement: sum
         # of per-template masses within a token-count group == lines in the
-        # group (tokenizer: split on [\s=:,], empties dropped, all-empty -> 1
-        # token, mirroring iplom.tokenize_iplom)
+        # group (tokenizer mirrors iplom.tokenize_iplom: empties dropped,
+        # all-empty -> 1 token). The char class adds \p{Z}, \x85 and
+        # \x1c-\x1f to RE2's ASCII-only \s so it matches PYTHON's Unicode
+        # \s exactly — validated against tokenize_iplom on Unicode
+        # whitespace in tests/test_iplom.py
         "iplom_templates": r"""
             WITH t AS (
                 SELECT greatest(
                            len(list_filter(
-                               regexp_split_to_array(text, '[\s=:,]'),
+                               regexp_split_to_array(
+                                   text, '[\s\p{Z}\x85\x1c-\x1f=:,]'),
                                x -> x != '')),
                            1)::int AS n_tokens
                 FROM documents)

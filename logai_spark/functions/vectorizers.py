@@ -152,6 +152,7 @@ def _ids_by_join(
     key_col: str,
     id_col: str,
     max_len: int,
+    oov_id: int | None = None,
 ) -> DataFrame:
     """Shared element-id mapping: dedup the carrier strings, posexplode their
     elements, equi-join the vocab DataFrame, reassemble ordered id arrays,
@@ -161,9 +162,11 @@ def _ids_by_join(
     match_templates_by_join): the vocab stays a DataFrame — Spark broadcasts
     it when small and shuffle-joins when it is the 10^7-entry vocab of a
     web-scale corpus — and NOTHING is collected to the driver. OOV id =
-    vocab row count (reference semantics: sequential.py:96-99).
+    vocab row count (reference semantics: sequential.py:96-99); pass
+    ``oov_id`` when the fit stage already knows it so repeated transforms
+    don't each pay a count job over the vocab lineage.
     """
-    oov = vocab.count()
+    oov = vocab.count() if oov_id is None else oov_id
     distinct = df.select(split_col).distinct()
     exploded = distinct.select(
         split_col, F.posexplode(elems).alias("_pos", "_elem")
@@ -191,6 +194,7 @@ def sequential_transform(
     sep: str = " [SEP] ",
     max_len: int = 10,
     line_col: str = "logline",
+    oov_id: int | None = None,
 ) -> DataFrame:
     """Split a session string on the separator, map each line to its vocab id
     (OOV -> vocab size), pad to max_len (sequential.py:82-103).
@@ -202,7 +206,9 @@ def sequential_transform(
     import re as _re
 
     elems = F.split(F.col(session_col), _re.escape(sep))
-    return _ids_by_join(df, vocab, session_col, elems, line_col, "line_id", max_len)
+    return _ids_by_join(
+        df, vocab, session_col, elems, line_col, "line_id", max_len, oov_id
+    )
 
 
 def semantic_vocab(
@@ -226,12 +232,15 @@ def semantic_transform(
     vocab: DataFrame,
     line_col: str = "logline",
     max_len: int = 10,
+    oov_id: int | None = None,
 ) -> DataFrame:
     """Map tokens to ids (OOV -> vocab size), pad (semantic.py:209-228).
 
     Vocab join, not a collected literal map — see _ids_by_join."""
     elems = F.split(F.trim(F.col(line_col)), r"\s+")
-    return _ids_by_join(df, vocab, line_col, elems, "token", "token_id", max_len)
+    return _ids_by_join(
+        df, vocab, line_col, elems, "token", "token_id", max_len, oov_id
+    )
 
 
 def word2vec_embeddings(
@@ -392,7 +401,8 @@ def compose_oov_vectors(
 ) -> DataFrame:
     """Vector for each (possibly OOV) word = mean of its char-ngram vectors
     from :func:`fasttext_subword_vectors` (ngrams with no table entry are
-    skipped; a word with zero known ngrams gets null)."""
+    skipped; a word with zero known ngrams keeps its row with a NULL
+    vector — callers must never lose words silently)."""
     marked = F.concat(F.lit("<"), F.col(word_col), F.lit(">"))
     grams_per_n = []
     for n in range(min_n, max_n + 1):
@@ -404,8 +414,11 @@ def compose_oov_vectors(
     per_pos = joined.select(
         word_col, F.posexplode("vector").alias("_pos", "_val")
     ).groupBy(word_col, "_pos").agg(F.avg("_val").alias("_avg"))
-    return per_pos.groupBy(word_col).agg(
+    composed = per_pos.groupBy(word_col).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("_pos", "_avg"))), lambda s: s["_avg"]
         ).alias("vector")
     )
+    # left join back so fully-unknown words surface as NULL rows instead of
+    # vanishing through the inner ngram join
+    return words.select(word_col).distinct().join(composed, word_col, "left")

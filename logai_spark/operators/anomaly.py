@@ -115,6 +115,21 @@ class IsolationForest:
         return np.where(self.score_samples(X) < self.offset, -1, 1)
 
 
+def _deterministic_sample(df: DataFrame, cols: list[str], cap: int) -> pd.DataFrame:
+    """Collect up to ``cap`` rows as a pure function of the DATA: the rows
+    with the smallest xxhash64 of the selected tuple (orderBy+limit compiles
+    to TakeOrdered — one scan with a bounded heap, not a full sort). A bare
+    limit() takes whichever rows arrive first, so the fitted model would
+    vary with partition layout / executor count, violating the
+    identical-output-across-cluster-sizes rule."""
+    return (
+        df.select(*cols)
+        .orderBy(F.xxhash64(*[F.col(c) for c in cols]))
+        .limit(cap)
+        .toPandas()
+    )
+
+
 def fit_isolation_forest(
     df: DataFrame,
     feature_cols: list[str],
@@ -122,8 +137,9 @@ def fit_isolation_forest(
     **params,
 ) -> IsolationForest:
     """Driver-side fit on the (post-aggregation, small) feature matrix.
-    Deterministic sample cap guards against accidentally huge inputs."""
-    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    The sample cap is DATA-deterministic (smallest xxhash64 of the feature
+    tuple, TakeOrdered): a bare limit() would depend on partition layout."""
+    pdf = _deterministic_sample(df, feature_cols, max_fit_rows)
     model = IsolationForest(**params)
     model.fit(pdf.to_numpy(dtype=float))
     return model
@@ -234,8 +250,9 @@ def fit_lof(
     **params,
 ) -> LocalOutlierFactor:
     """Driver-side LOF fit on the (post-aggregation, small) feature matrix;
-    score with :func:`score_with_model` (broadcast + Arrow batches)."""
-    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    score with :func:`score_with_model` (broadcast + Arrow batches).
+    Data-deterministic sample cap (see fit_isolation_forest)."""
+    pdf = _deterministic_sample(df, feature_cols, max_fit_rows)
     return LocalOutlierFactor(**params).fit(pdf.to_numpy(dtype=float))
 
 
@@ -340,8 +357,9 @@ def fit_ocsvm(
     max_fit_rows: int = 20_000,
     **params,
 ) -> OneClassSVM:
-    """Driver-side one-class-SVM fit; score via :func:`score_with_model`."""
-    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    """Driver-side one-class-SVM fit; score via :func:`score_with_model`.
+    Data-deterministic sample cap (see fit_isolation_forest)."""
+    pdf = _deterministic_sample(df, feature_cols, max_fit_rows)
     return OneClassSVM(**params).fit(pdf.to_numpy(dtype=float))
 
 
@@ -407,7 +425,7 @@ def dbscan_fit_predict(
     (dbscan.py:63-79) made explicit about row identity, since Spark rows
     have no stable index."""
     spark = df.sparkSession
-    pdf = df.select(id_col, *feature_cols).limit(max_fit_rows).toPandas()
+    pdf = _deterministic_sample(df, [id_col, *feature_cols], max_fit_rows)
     labels = dbscan_labels(pdf[feature_cols].to_numpy(dtype=float), eps, min_samples)
     lab = spark.createDataFrame(
         pd.DataFrame({id_col: pdf[id_col], "cluster_id": labels})
@@ -424,11 +442,13 @@ class Birch:
     """From-scratch BIRCH (Zhang/Ramakrishnan/Livny 1996) in the flat-CF form:
     each subcluster is a clustering feature (n, LS, SS); a point merges into
     its nearest subcluster when the merged radius stays <= ``threshold``,
-    otherwise it seeds a new subcluster. ``branching_factor`` caps how many
-    candidate subclusters one insert scans before the weakest-radius ones are
-    frozen from merging (the CF-tree's job is insert locality; with
-    driver-side fit on the capped post-aggregation matrix, a flat CF list
-    keeps identical cluster semantics).
+    otherwise it seeds a new subcluster. ``branching_factor`` bounds the
+    number of LIVE subclusters (the flat-CF analog of the CF-tree's node
+    capacity): when an insert would exceed it, the two closest subclusters
+    merge first — BIRCH's node-rebuild behavior collapsed onto one level.
+    sklearn's tree shares the memory-bound role but not exact split
+    mechanics; cluster semantics here follow the CF algebra, not sklearn's
+    tree shape.
 
     sklearn parity of the API surface (reference birch.py:34-67):
     partial_fit(X) is incremental; with n_clusters=None predict returns the
@@ -446,6 +466,7 @@ class Birch:
         self._ls: list[np.ndarray] = []
         self._ss: list[float] = []
         self._labels: np.ndarray | None = None
+        self._C: np.ndarray | None = None  # centroid matrix, kept in sync
 
     def partial_fit(self, X: np.ndarray) -> "Birch":
         X = np.asarray(X, dtype=float)
@@ -453,8 +474,9 @@ class Birch:
             if not self._n:
                 self._add(x)
                 continue
-            C = self.centroids()
-            d2 = ((C - x) ** 2).sum(1)
+            # incremental centroid matrix: rebuilt-from-scratch-per-point is
+            # O(rows x subclusters x dim) of pure re-materialization
+            d2 = ((self._C - x) ** 2).sum(1)
             j = int(d2.argmin())
             n_new = self._n[j] + 1
             ls_new = self._ls[j] + x
@@ -463,17 +485,37 @@ class Birch:
             r2 = ss_new / n_new - float(ls_new @ ls_new) / (n_new * n_new)
             if math.sqrt(max(r2, 0.0)) <= self.threshold:
                 self._n[j], self._ls[j], self._ss[j] = n_new, ls_new, ss_new
+                self._C[j] = ls_new / n_new
             else:
+                if len(self._n) >= self.branching_factor:
+                    self._merge_closest_pair()
                 self._add(x)
         self._labels = None  # invalidate global clustering
         return self
 
     fit = partial_fit
 
+    def _merge_closest_pair(self) -> None:
+        """Capacity rebuild: fold the two closest subclusters into one
+        (deterministic lowest-index tiebreak via argmin scan order)."""
+        C = self._C
+        d2 = ((C[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        np.fill_diagonal(d2, np.inf)
+        a, b = np.unravel_index(int(d2.argmin()), d2.shape)
+        a, b = (int(a), int(b)) if a < b else (int(b), int(a))
+        self._n[a] += self._n[b]
+        self._ls[a] = self._ls[a] + self._ls[b]
+        self._ss[a] += self._ss[b]
+        del self._n[b], self._ls[b], self._ss[b]
+        self._C[a] = self._ls[a] / self._n[a]
+        self._C = np.delete(self._C, b, axis=0)
+
     def _add(self, x: np.ndarray) -> None:
         self._n.append(1)
         self._ls.append(x.copy())
         self._ss.append(float(x @ x))
+        row = x[None, :]
+        self._C = row.copy() if self._C is None else np.vstack([self._C, row])
 
     def centroids(self) -> np.ndarray:
         return np.array([ls / n for ls, n in zip(self._ls, self._n)])
@@ -527,8 +569,19 @@ def birch_fit_predict(
 ) -> DataFrame:
     """Driver-side BIRCH fit on the capped feature sample; labels assigned
     DISTRIBUTEDLY via the broadcast model in Arrow batches (nearest-centroid
-    predict is a matrix op), then attached as ``cluster_id``."""
-    pdf = df.select(*feature_cols).limit(max_fit_rows).toPandas()
+    predict is a matrix op), then attached as ``cluster_id``.
+
+    The fit sample is a pure function of the data (smallest xxhash64 of the
+    feature tuple; TakeOrdered, not a full sort) — a bare limit() would pick
+    whichever rows arrive first and make the fitted model depend on
+    partition layout, breaking the identical-output-across-cluster-sizes
+    rule. Fit order = hash order, also data-deterministic."""
+    pdf = (
+        df.select(*feature_cols)
+        .orderBy(F.xxhash64(*[F.col(c) for c in feature_cols]))
+        .limit(max_fit_rows)
+        .toPandas()
+    )
     model = Birch(threshold, branching_factor, n_clusters)
     model.fit(pdf.to_numpy(dtype=float))
     model._labels = model._global_labels()  # materialize before broadcast
@@ -558,6 +611,7 @@ def _ets_one_step_scores(
     beta: float = 0.1,
     gamma: float = 0.2,
     seasonal_periods: int | None = None,
+    n_sigma: float = 3.0,
 ) -> np.ndarray:
     """Normalized one-step-ahead forecast errors from an additive
     exponential-smoothing family, from scratch:
@@ -607,7 +661,9 @@ def _ets_one_step_scores(
                 scale = float(np.std(train)) or 1.0
                 sigma = max(float(np.std(resid)) if resid else 0.0, 1e-6 * scale)
             scores[t] = err / sigma
-            if abs(scores[t]) > 3.0:
+            if abs(scores[t]) > n_sigma:
+                # same threshold as the caller's flag: a point flagged
+                # anomalous must also be the one shielded from the state
                 # shielded update: an anomalous observation must not corrupt
                 # the smoothing state (else one spike flags every later
                 # point); substitute the forecast
@@ -661,7 +717,7 @@ def detect_anomalies_per_series(
         train, test = y[:split], y[split:]
         if algo == "ets":
             scores = _ets_one_step_scores(
-                y, split, seasonal_periods=seasonal_periods
+                y, split, seasonal_periods=seasonal_periods, n_sigma=n_sigma
             )
         else:  # dbl
             mu, sd = float(train.mean()), float(train.std() or 1.0)

@@ -188,6 +188,7 @@ def _decode(doc: dict[str, Any]):
         m._n = list(st["n"])
         m._ls = [np.array(x, dtype=float) for x in st["ls"]]
         m._ss = list(st["ss"])
+        m._C = m.centroids() if m._n else None  # keep partial_fit usable
         return m
     raise ValueError(f"unknown model type {kind!r}")
 

@@ -171,6 +171,21 @@ def lang_dimension(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(LANG_DIM, ["lang", "lang_name", "script"])
 
 
+def verify_routed_write(spark: SparkSession, routed_path: str, expected_rows: int) -> int:
+    """Write-audit gate: the manifest totals roll up from the in-memory
+    aggregate — confirm the parquet actually written agrees before the
+    manifest lands (count(*) on parquet is footer/row-group metadata work,
+    not a data scan). A partial or faulty sink write must fail HERE, not get
+    certified by its own manifest. Returns the written row count."""
+    written = spark.read.parquet(routed_path).count()
+    if written != expected_rows:
+        raise RuntimeError(
+            f"routed write inconsistent: parquet has {written} rows, "
+            f"aggregate says {expected_rows}"
+        )
+    return written
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -270,18 +285,8 @@ def run_pipeline(
     metrics["timings"] = timings
     if write_sinks:
         if cfg.verify_write:
-            # audit gate: the manifest totals roll up from the in-memory
-            # aggregate — confirm the parquet actually written agrees before
-            # the manifest lands (count(*) on parquet is footer/row-group
-            # metadata work, not a data scan). A partial or faulty sink write
-            # must fail here, not get certified by its own manifest.
             t0 = _time.perf_counter()
-            written = spark.read.parquet(routed_path).count()
-            if written != manifest["total_rows"]:
-                raise RuntimeError(
-                    f"routed write inconsistent: parquet has {written} rows, "
-                    f"aggregate says {manifest['total_rows']}"
-                )
+            verify_routed_write(spark, routed_path, manifest["total_rows"])
             timings["verify_write"] = round(_time.perf_counter() - t0, 2)
         write_manifest(os.path.join(out_dir, "routed"), manifest)
     enriched.unpersist()

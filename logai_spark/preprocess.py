@@ -90,7 +90,12 @@ def distributed_dense_ids(
     Ids equal the global-sort row numbers regardless of where the range
     boundaries fall, because ranges partition the key ORDER: id = (#keys in
     earlier ranges) + rank within range. The frame with materialized range
-    ids is persisted so task retries cannot observe different partition ids.
+    ids is eagerly localCheckpoint-ed: that freezes the _range assignment
+    (lineage truncated, so a retry can never recompute a different
+    spark_partition_id) AND lets the blocks be garbage-collected with the
+    DataFrame — a named .persist() here would leak executor cache on every
+    vocab/idf fit for the session lifetime. On a cluster where executor
+    loss must be survivable, substitute a reliable checkpoint dir.
     """
     from pyspark.sql import Window
 
@@ -101,9 +106,8 @@ def distributed_dense_ids(
         .distinct()
         .repartitionByRange(n, F.col(column))
         .withColumn("_range", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    keys.count()  # freeze _range assignment before reuse
     offsets = keys.groupBy("_range").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
     offsets = offsets.withColumn("_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))

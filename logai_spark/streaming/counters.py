@@ -114,33 +114,36 @@ def streaming_dbl_scores(
 
     def fn(key, pdfs, state):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            scores, flags = [], []
-            for v in pdf[value_col]:
-                v = float(v)
-                if n >= min_points:
-                    var = m2 / (n - 1) if n > 1 else 0.0
-                    sd = math.sqrt(var) if var > 0 else 1.0
-                    s = (v - mean) / sd
-                else:
-                    s = 0.0
-                scores.append(s)
-                flags.append(1 if abs(s) > n_sigma else 0)
-                n += 1
-                d = v - mean
-                mean += d / n
-                m2 += d * (v - mean)
-            out = pd.DataFrame(
-                {
-                    **{c: pdf[c].values for c in key_cols},
-                    ts_col: pdf[ts_col].values,
-                    value_col: pdf[value_col].values,
-                    "anom_score": scores,
-                    "is_anomaly": pd.Series(flags, dtype="int32"),
-                }
-            )
-            yield out
+        # a big group arrives as MULTIPLE Arrow chunks in arbitrary relative
+        # order: concatenate and sort ONCE so every point is scored against
+        # strictly-earlier points — per-chunk sorting would make scores
+        # depend on maxRecordsPerBatch / partition layout
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        scores, flags = [], []
+        for v in pdf[value_col]:
+            v = float(v)
+            if n >= min_points:
+                var = m2 / (n - 1) if n > 1 else 0.0
+                sd = math.sqrt(var) if var > 0 else 1.0
+                s = (v - mean) / sd
+            else:
+                s = 0.0
+            scores.append(s)
+            flags.append(1 if abs(s) > n_sigma else 0)
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        out = pd.DataFrame(
+            {
+                **{c: pdf[c].values for c in key_cols},
+                ts_col: pdf[ts_col].values,
+                value_col: pdf[value_col].values,
+                "anom_score": scores,
+                "is_anomaly": pd.Series(flags, dtype="int32"),
+            }
+        )
+        yield out
         state.update((n, mean, m2))
 
     return (

@@ -92,3 +92,31 @@ def test_parse_iplom_spark(spark):
     assert diff == set(), list(diff)[:5]
     assert sum(n for _, n in sizes) == len([l for l in lines if l.strip()])
     assert all(t for t, _ in sizes)
+
+
+def test_oracle_token_pattern_matches_python_on_unicode_whitespace():
+    """The driver-oracle's RE2 char class (ASCII \\s + \\p{Z} + \\x85 +
+    \\x1c-\\x1f) must agree with tokenize_iplom's Python Unicode \\s —
+    U+00A0 and friends are ubiquitous in real web text."""
+    import duckdb
+
+    from logai_spark.parse.iplom import tokenize_iplom
+
+    pat = r"[\s\p{Z}\x85\x1c-\x1f=:,]"
+    con = duckdb.connect()
+    cases = [
+        "a\xa0b c",          # no-break space (Zs)
+        "x y z",   # line/paragraph separators (Zl/Zp)
+        "a\x1c b\x85c",      # file separator + NEL
+        "k=v:w,u plain",
+        "　wide　",  # ideographic space
+        "",
+    ]
+    for t in cases:
+        dd = con.execute(
+            "SELECT list_filter(regexp_split_to_array(?, ?), x -> x != '')",
+            [t, pat],
+        ).fetchone()[0]
+        assert list(dd) == [x for x in tokenize_iplom(t) if x != " "] or (
+            dd == [] and tokenize_iplom(t) == [" "]
+        )

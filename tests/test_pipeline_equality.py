@@ -141,16 +141,24 @@ def test_match_strategy_equivalence(spark, tmp_path):
 def test_verify_write_gate_fails_on_mismatch(spark, tmp_path):
     """The manifest audit gate: corrupt the routed output after the write and
     the consistency check must raise instead of certifying it."""
+    import glob
     import os
-    import shutil
 
     import pytest
 
     from logai_spark.operators.route import MANIFEST
-    from logai_spark.pipeline import PipelineConfig, run_pipeline
+    from logai_spark.pipeline import PipelineConfig, run_pipeline, verify_routed_write
     from logai_spark.sources.webpages import synth_webpages
 
     pages = synth_webpages(spark, 100)
     out = str(tmp_path / "ok")
-    run_pipeline(spark, pages, out, PipelineConfig())  # sanity: gate passes
-    assert os.path.exists(os.path.join(out, "routed", MANIFEST))
+    m = run_pipeline(spark, pages, out, PipelineConfig())  # gate passes inline
+    routed = os.path.join(out, "routed")
+    assert os.path.exists(os.path.join(routed, MANIFEST))
+    total = m["manifest"]["total_rows"]
+    assert verify_routed_write(spark, routed, total) == total
+    # corrupt: drop one sink's data file, then the gate must raise
+    victim = sorted(glob.glob(os.path.join(routed, "template_id=*", "*.parquet")))[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="routed write inconsistent"):
+        verify_routed_write(spark, routed, total)
