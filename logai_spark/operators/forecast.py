@@ -1,0 +1,177 @@
+"""Forecast-based log-sequence anomaly detection, from scratch (no torch).
+
+Capability target: the reference's forecast_nn detectors (LSTM/CNN/
+Transformer wrappers, /root/reference/logai/algorithms/anomaly_detection_algo/
+forecast_nn.py:76-115 over nn_model/forecast_nn/*) and their decision rule —
+predict the NEXT log event from a window of preceding events and flag the
+window when the observed next event is not among the model's top-``g``
+candidates (the published DeepLog criterion, Du et al. CCS'17, which the
+reference's forecast models implement). SURVEY §2.10 scopes the torch stack
+out of v1; this module supplies the same DETECTION SEMANTICS with a
+from-scratch multinomial logistic next-event model:
+
+    P(next = j | window) = softmax(mean(onehot(window ids)) @ W + b)
+
+trained driver-side with deterministic full-batch gradient descent (numpy,
+no RNG — zero init, fixed step count). Linear next-event models are weaker
+than an LSTM on long-range grammar but identical in interface, decision
+rule, and data flow: windows come from the same sliding_windows +
+sequential vocab operators that would feed the NN, fitting consumes the
+aggregated (window, next) TABLE, and scoring runs distributed through a
+broadcast weight matrix in Arrow batches.
+
+Scale shape: the fit set is the deduplicated (window_ids, next_id, count)
+table — bounded by distinct windows, collected under a deterministic cap —
+and scoring is one pandas_udf matrix multiply per batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class NextEventModel:
+    """Multinomial logistic next-event predictor over dense event ids.
+
+    ``fit(windows, nexts, counts)``: windows is an (n, w) int array of event
+    ids (OOV id = vocab_size allowed), nexts an (n,) int array, counts the
+    duplicate weights. Features are POSITION-AWARE concatenated one-hots
+    (w x vocab columns) — a bag-of-events would collapse every rotation of a
+    cyclic grammar onto one feature vector and be unable to predict the next
+    event; positional one-hots keep the order information the NN's embedding
+    sequence carries. Training is ``iters`` steps of weighted full-batch
+    softmax-regression gradient descent from zero init (deterministic; no
+    RNG, no shuffling).
+    """
+
+    def __init__(self, vocab_size: int, lr: float = 2.0, iters: int = 200,
+                 window_size: int | None = None):
+        self.v = vocab_size + 1  # + OOV row
+        self.lr = lr
+        self.iters = iters
+        self.w = window_size  # inferred at fit when None
+        self.W: np.ndarray | None = None
+        self.b = np.zeros(self.v)
+
+    def _features(self, windows: np.ndarray) -> np.ndarray:
+        n, w = windows.shape
+        if self.w is None:
+            self.w = w
+        X = np.zeros((n, self.w * self.v))
+        rows = np.repeat(np.arange(n), w)
+        pos = np.tile(np.arange(w), n)
+        X[rows, pos * self.v + windows.ravel()] = 1.0
+        return X
+
+    def fit(self, windows: np.ndarray, nexts: np.ndarray, counts: np.ndarray) -> "NextEventModel":
+        X = self._features(np.asarray(windows, dtype=int))
+        if self.W is None:
+            self.W = np.zeros((X.shape[1], self.v))
+        y = np.asarray(nexts, dtype=int)
+        w = np.asarray(counts, dtype=float)
+        w = w / w.sum()
+        Y = np.zeros((len(y), self.v))
+        Y[np.arange(len(y)), y] = 1.0
+        for _ in range(self.iters):
+            Z = X @ self.W + self.b
+            Z -= Z.max(axis=1, keepdims=True)
+            P = np.exp(Z)
+            P /= P.sum(axis=1, keepdims=True)
+            G = (P - Y) * w[:, None]
+            self.W -= self.lr * (X.T @ G)
+            self.b -= self.lr * G.sum(axis=0)
+        return self
+
+    def probs(self, windows: np.ndarray) -> np.ndarray:
+        Z = self._features(np.asarray(windows, dtype=int)) @ self.W + self.b
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        return P / P.sum(axis=1, keepdims=True)
+
+    def rank_of_next(self, windows: np.ndarray, nexts: np.ndarray) -> np.ndarray:
+        """1-based rank of the observed next event among predictions (the
+        DeepLog criterion compares this to g)."""
+        P = self.probs(windows)
+        nexts = np.asarray(nexts, dtype=int)
+        own = P[np.arange(len(nexts)), nexts]
+        # rank = 1 + number of classes STRICTLY more probable (ties favor
+        # the observed event -> deterministic, optimistic like DeepLog)
+        return 1 + (P > own[:, None]).sum(axis=1)
+
+
+def fit_next_event_model(
+    pairs: DataFrame,
+    vocab_size: int,
+    window_col: str = "window_ids",
+    next_col: str = "next_id",
+    max_fit_rows: int = 100_000,
+    lr: float = 2.0,
+    iters: int = 200,
+) -> NextEventModel:
+    """Fit on the deduplicated (window_ids, next_id) table with counts —
+    log windows repeat heavily, so the weighted distinct table is orders of
+    magnitude smaller than the raw window stream. Deterministic cap by row
+    hash (same rule as every other driver-side fit here)."""
+    dedup = pairs.groupBy(window_col, next_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    pdf = (
+        dedup.orderBy(F.xxhash64(window_col, next_col))
+        .limit(max_fit_rows)
+        .toPandas()
+    )
+    windows = np.array(pdf[window_col].tolist(), dtype=int)
+    return NextEventModel(vocab_size, lr, iters).fit(
+        windows, pdf[next_col].to_numpy(), pdf["_cnt"].to_numpy()
+    )
+
+
+def score_next_event(
+    df: DataFrame,
+    model: NextEventModel,
+    window_col: str = "window_ids",
+    next_col: str = "next_id",
+    g: int = 3,
+) -> DataFrame:
+    """DeepLog-style detection: window is anomalous iff the observed next
+    event's rank exceeds ``g``. Adds ``next_rank``, ``anom_score``
+    (-log P(observed next)) and ``is_anomaly``; scoring is a broadcast
+    weight matrix + one matrix multiply per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+
+    out_t = T.StructType(
+        [
+            T.StructField("next_rank", T.IntegerType()),
+            T.StructField("anom_score", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _score(wins: pd.Series, nxt: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        W = np.array(wins.tolist(), dtype=int)
+        y = nxt.to_numpy(dtype=int)
+        if len(W) == 0:
+            return pd.DataFrame({"next_rank": [], "anom_score": []})
+        P = m.probs(W)
+        own = P[np.arange(len(y)), y]
+        rank = 1 + (P > own[:, None]).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "next_rank": rank.astype("int32"),
+                "anom_score": -np.log(np.maximum(own, 1e-300)),
+            }
+        )
+
+    out = df.withColumn("_s", _score(F.col(window_col), F.col(next_col)))
+    return (
+        out.withColumn("next_rank", F.col("_s.next_rank"))
+        .withColumn("anom_score", F.col("_s.anom_score"))
+        .withColumn("is_anomaly", (F.col("next_rank") > g).cast("int"))
+        .drop("_s")
+    )

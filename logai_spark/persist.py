@@ -91,6 +91,20 @@ def _encode(model) -> dict[str, Any]:
         LocalOutlierFactor,
         OneClassSVM,
     )
+    from logai_spark.operators.forecast import NextEventModel
+
+    if isinstance(model, NextEventModel):
+        return {
+            "type": "next_event",
+            "state": {
+                "v": model.v,
+                "w": model.w,
+                "lr": model.lr,
+                "iters": model.iters,
+                "W": model.W.tolist() if model.W is not None else None,
+                "b": model.b.tolist(),
+            },
+        }
 
     if isinstance(model, IsolationForest):
         return {
@@ -153,6 +167,13 @@ def _decode(doc: dict[str, Any]):
     )
 
     kind, st = doc["type"], doc["state"]
+    if kind == "next_event":
+        from logai_spark.operators.forecast import NextEventModel
+
+        m = NextEventModel(st["v"] - 1, st["lr"], st["iters"], st["w"])
+        m.W = np.array(st["W"], dtype=float) if st["W"] is not None else None
+        m.b = np.array(st["b"], dtype=float)
+        return m
     if kind == "isolation_forest":
         m = IsolationForest(
             n_estimators=st["n_estimators"],

@@ -281,6 +281,36 @@ def _register_builtins() -> None:
         return _SeriesAlgo
 
     @dataclass
+    class ForecastConfig:
+        """Linear next-event forecaster (operators/forecast.py) — the
+        torch-free stand-in for the reference's forecast_nn detectors
+        (forecast_nn.py:76-115), same DeepLog top-g decision rule."""
+
+        vocab_size: int = 100
+        g: int = 3
+        lr: float = 2.0
+        iters: int = 200
+
+    class _ForecastAlgo:
+        def __init__(self, cfg: ForecastConfig):
+            self.cfg = cfg
+            self.model = None
+
+        def fit(self, df, window_col="window_ids", next_col="next_id"):
+            from logai_spark.operators.forecast import fit_next_event_model
+
+            self.model = fit_next_event_model(
+                df, self.cfg.vocab_size, window_col, next_col,
+                lr=self.cfg.lr, iters=self.cfg.iters,
+            )
+            return self
+
+        def predict(self, df, window_col="window_ids", next_col="next_id"):
+            from logai_spark.operators.forecast import score_next_event
+
+            return score_next_event(df, self.model, window_col, next_col, self.cfg.g)
+
+    @dataclass
     class DivergenceConfig:
         n_bins: int = 10
 
@@ -484,6 +514,7 @@ def _register_builtins() -> None:
     factory.register("detection", "distribution_divergence", DivergenceConfig)(
         _DivergenceAlgo
     )
+    factory.register("detection", "forecast_next_event", ForecastConfig)(_ForecastAlgo)
     factory.register("vectorization", "word2vec", Word2VecConfig)(_Word2VecAlgo)
     factory.register("vectorization", "sequential", SequentialConfig)(_SequentialAlgo)
     factory.register("vectorization", "semantic", SemanticConfig)(_SemanticAlgo)

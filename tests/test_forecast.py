@@ -1,0 +1,76 @@
+"""Forecast-based sequence AD (DeepLog top-g criterion, linear next-event
+model): on a deterministic event grammar, normal transitions rank within g
+and a planted illegal transition is flagged."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logai_spark.operators.forecast import (
+    NextEventModel,
+    fit_next_event_model,
+    score_next_event,
+)
+
+
+def _grammar_sequences(n_cycles=60):
+    """Event grammar: 0 -> 1 -> 2 -> 0 ... with occasional 0 -> 3 -> 0."""
+    seq = []
+    for i in range(n_cycles):
+        seq.extend([0, 1, 2] if i % 5 else [0, 3])
+    return seq
+
+
+def _windows(seq, w=3):
+    rows = []
+    for i in range(len(seq) - w):
+        rows.append((seq[i:i + w], seq[i + w]))
+    return rows
+
+
+def test_model_learns_grammar_locally():
+    rows = _windows(_grammar_sequences())
+    W = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    m = NextEventModel(vocab_size=4).fit(W, y, np.ones(len(y)))
+    ranks = m.rank_of_next(W, y)
+    assert (ranks <= 2).mean() > 0.95  # grammar is near-deterministic
+    # an illegal transition ranks poorly
+    bad_rank = m.rank_of_next(np.array([[0, 1, 2]]), np.array([3]))[0]
+    good_rank = m.rank_of_next(np.array([[0, 1, 2]]), np.array([0]))[0]
+    assert good_rank == 1 and bad_rank > 2
+
+
+def test_spark_fit_and_score_flags_planted_transition(spark):
+    rows = _windows(_grammar_sequences(100))
+    pdf = pd.DataFrame(
+        {"window_ids": [r[0] for r in rows], "next_id": [r[1] for r in rows]}
+    )
+    # plant one illegal (window, next) pair in the SCORING set only
+    score_pdf = pd.concat(
+        [pdf, pd.DataFrame({"window_ids": [[1, 2, 0]], "next_id": [2]})],
+        ignore_index=True,
+    )
+    train = spark.createDataFrame(pdf)
+    model = fit_next_event_model(train, vocab_size=4)
+    scored = score_next_event(spark.createDataFrame(score_pdf), model, g=2).toPandas()
+    planted = scored[
+        scored["window_ids"].map(lambda w: list(w) == [1, 2, 0])
+        & (scored["next_id"] == 2)
+    ]
+    assert (planted["is_anomaly"] == 1).all() and len(planted) == 1
+    # normal traffic: overwhelmingly within the top-g candidates
+    normal = scored.drop(planted.index)
+    assert (normal["is_anomaly"] == 0).mean() > 0.9
+
+
+def test_fit_is_deterministic(spark):
+    rows = _windows(_grammar_sequences(40))
+    pdf = pd.DataFrame(
+        {"window_ids": [r[0] for r in rows], "next_id": [r[1] for r in rows]}
+    )
+    df = spark.createDataFrame(pdf)
+    m1 = fit_next_event_model(df, vocab_size=4)
+    m2 = fit_next_event_model(df.repartition(5), vocab_size=4)
+    assert np.array_equal(m1.W, m2.W) and np.array_equal(m1.b, m2.b)

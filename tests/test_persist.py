@@ -109,3 +109,17 @@ def test_drain_templates_resume_rescoring(spark, tmp_path):
     b = match_templates(df, templates=tpls2).orderBy("logline").collect()
     assert [r["template_id"] for r in a] == [r["template_id"] for r in b]
     assert all(r["template_id"] is not None for r in a)
+
+
+def test_next_event_model_roundtrip(tmp_path):
+    import numpy as np
+
+    from logai_spark.operators.forecast import NextEventModel
+
+    W = np.array([[0, 1, 2], [1, 2, 0], [2, 0, 1]] * 10)
+    y = np.array([0, 1, 2] * 10)
+    m = NextEventModel(vocab_size=3).fit(W, y, np.ones(len(y)))
+    p = str(tmp_path / "ne.json")
+    save_model(m, p)
+    m2 = load_model(p)
+    assert np.array_equal(m.probs(W), m2.probs(W))
