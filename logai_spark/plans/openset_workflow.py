@@ -8,9 +8,15 @@ vectorize -> detector. The reference checkpoints every stage to CSV and
 resumes (:260-321); here each stage can checkpoint to parquet+manifest via
 operators.route.checkpoint (idempotent resume, north_rule).
 
-The deep-learning detectors are out of v1 scope (SURVEY §2.10); the detector
-stage here is the isolation forest over per-window count features — the same
-contract (windows in, window_anomalies out).
+The torch detectors are out of v1 scope (SURVEY §2.10); the detector stage
+offers (a) the isolation forest over per-window count features and (b) the
+torch-free forecast path (``detector="forecast_next_event"``): sequential
+vocab over the TRAIN lines, (window_ids, next_id) pairs via the vocab join,
+DeepLog top-g next-event detection (operators/forecast.py — the reference's
+forecast_nn decision rule, anomaly_detection_algo/forecast_nn.py:76-115),
+session verdict = OR of window verdicts, plus precision/recall/F1 vs the
+span labels (utils/evaluate.py:12-27 parity). Same contract either way:
+windows in, window_anomalies out.
 """
 
 from __future__ import annotations
@@ -43,6 +49,8 @@ class OpenSetADConfig:
     window_size: int = 10
     training_type: str = "unsupervised"
     checkpoint_dir: str | None = None
+    detector: str = "isolation_forest"  # | "forecast_next_event"
+    forecast_g: int = 3
 
 
 def run_openset_ad(spark: SparkSession, config: OpenSetADConfig) -> dict[str, DataFrame]:
@@ -114,7 +122,15 @@ def run_openset_ad(spark: SparkSession, config: OpenSetADConfig) -> dict[str, Da
     dev = split_df.filter(F.col("split") == "dev")
     test = split_df.filter(F.col("split") == "test")
 
-    # 6. vectorize + detect: per-window count features -> isolation forest
+    # 6. vectorize + detect
+    if cfg.detector == "forecast_next_event":
+        scored, metrics = _forecast_detect(split_df, cfg)
+        return {
+            "windows": windows, "train": train, "dev": dev, "test": test,
+            "scored": scored, "metrics": metrics,
+        }
+
+    # per-window count features -> isolation forest
     feats = train.select(
         F.col("counts").cast("double").alias("f_count"),
         F.length("window_text").cast("double").alias("f_len"),
@@ -128,3 +144,53 @@ def run_openset_ad(spark: SparkSession, config: OpenSetADConfig) -> dict[str, Da
         ["f_count", "f_len"],
     )
     return {"windows": windows, "train": train, "dev": dev, "test": test, "scored": scored}
+
+
+_US = "\x1f"  # unit separator: never occurs in log lines or templates
+
+
+def _forecast_detect(split_df: DataFrame, cfg: OpenSetADConfig):
+    """DeepLog-style sequence AD over the split windows table.
+
+    Vocab is fit on TRAIN lines only (unsupervised split = normal grammar);
+    window/next lines map to dense ids through DataFrame joins (never a
+    collected literal map); the model fits on the deduplicated train
+    (window_ids, next_id) table and scores test windows via a broadcast
+    weight matrix. Session verdict = OR of its window verdicts — the
+    deep-loglizer evaluation protocol the reference's forecast_nn models
+    are scored under."""
+    from logai_spark.functions.vectorizers import _ids_by_join, sequential_vocab
+    from logai_spark.operators.evaluate import binary_metrics
+    from logai_spark.operators.forecast import fit_next_event_model, score_next_event
+
+    train_w = split_df.filter(F.col("split") == "train")
+    vocab = sequential_vocab(
+        train_w.select(F.explode("window_lines").alias("_line")), "_line"
+    )
+    oov = vocab.count()
+
+    def to_ids(wdf: DataFrame) -> DataFrame:
+        keyed = wdf.filter(F.col("next_logline").isNotNull()).withColumn(
+            "_wkey", F.array_join("window_lines", _US)
+        )
+        mapped = _ids_by_join(
+            keyed, vocab, "_wkey", F.split(F.col("_wkey"), _US),
+            "_line", "line_id", cfg.window_size, oov,
+        ).withColumnRenamed("token_ids", "window_ids")
+        nxt = vocab.select(
+            F.col("_line").alias("next_logline"), F.col("line_id").alias("_nid")
+        )
+        return (
+            mapped.join(nxt, "next_logline", "left")
+            .withColumn("next_id", F.coalesce("_nid", F.lit(oov)))
+            .drop("_nid", "_wkey")
+        )
+
+    model = fit_next_event_model(to_ids(train_w), vocab_size=oov)
+    scored = score_next_event(
+        to_ids(split_df.filter(F.col("split") == "test")), model, g=cfg.forecast_g
+    )
+    span_verdicts = scored.groupBy("span_id").agg(
+        F.max("is_anomaly").alias("pred"), F.max("window_label").alias("label")
+    )
+    return scored, binary_metrics(span_verdicts, "pred", "label")

@@ -137,15 +137,20 @@ def load_openset(spark: SparkSession, dataset: str, filepath: str) -> DataFrame:
     /root/reference/logai/dataloader/openset_data_loader.py:17-53): the
     per-dataset JSON configs under ``sources/openset_configs/`` carry the
     dimension mapping, grok format, and datetime grammar (translated to
-    Spark's to_timestamp patterns)."""
-    import json
-    import os
+    Spark's to_timestamp patterns).
 
-    cfg_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "openset_configs", f"{dataset.lower()}.json"
+    Configs are read through ``importlib.resources`` so the loader works
+    when the package ships as a ``--py-files`` zip (the spark-submit ship
+    surface), where ``__file__``-relative ``open()`` would fail."""
+    import importlib.resources
+    import json
+
+    res = (
+        importlib.resources.files("logai_spark.sources")
+        / "openset_configs"
+        / f"{dataset.lower()}.json"
     )
-    with open(cfg_path) as f:
-        raw = json.load(f)
+    raw = json.loads(res.read_text())
     cfg = DataLoaderConfig(
         filepath=filepath,
         log_type=raw["log_type"],

@@ -83,3 +83,64 @@ def test_openset_ad_workflow_hdfs(spark, tmp_path, hdfs_label_file):
     import os
 
     assert os.path.exists(str(tmp_path / "ckpt" / "windows" / "_lineage_manifest.json"))
+
+
+def test_forecast_detect_flags_grammar_breaking_span(spark):
+    """Synthetic grammar: train spans cycle a->b->c; one test span contains
+    an illegal transition and must be flagged; a clean test span must not."""
+    from logai_spark.plans.openset_workflow import OpenSetADConfig, _forecast_detect
+
+    def span_rows(span, seq, split, label):
+        rows = []
+        for i in range(len(seq) - 3):
+            rows.append(
+                {
+                    "span_id": span,
+                    "split": split,
+                    "window_lines": seq[i : i + 3],
+                    "next_logline": seq[i + 3],
+                    "window_label": label if seq[i + 3] == "X" else 0,
+                }
+            )
+        return rows
+
+    cycle = ["a", "b", "c"] * 12
+    rows = []
+    for s in range(8):
+        rows.append(span_rows(f"tr{s}", cycle, "train", 0))
+    rows.append(span_rows("te_clean", cycle, "test", 0))
+    bad = ["a", "b", "c"] * 4 + ["a", "X"] + ["a", "b", "c"] * 4
+    rows.append(span_rows("te_bad", bad, "test", 1))
+    import itertools
+
+    pdf = pd.DataFrame(list(itertools.chain.from_iterable(rows)))
+    split_df = spark.createDataFrame(pdf)
+    cfg = OpenSetADConfig(window_size=3, forecast_g=1, detector="forecast_next_event")
+    scored, metrics = _forecast_detect(split_df, cfg)
+    verdicts = {
+        r["span_id"]: r["p"]
+        for r in scored.groupBy("span_id").agg(F.max("is_anomaly").alias("p")).collect()
+    }
+    assert verdicts["te_bad"] == 1 and verdicts["te_clean"] == 0
+    m = metrics.collect()[0]
+    assert m["tp"] == 1 and m["fp"] == 0 and m["f1"] == 1.0
+
+
+def test_openset_ad_workflow_hdfs_forecast(spark, tmp_path, hdfs_label_file):
+    cfg = OpenSetADConfig(
+        dataset="hdfs",
+        filepath="/root/reference/tests/logai/test_data/HDFS_5000.log",
+        label_filepath=hdfs_label_file,
+        window_size=5,
+        detector="forecast_next_event",
+        forecast_g=3,
+    )
+    out = run_openset_ad(spark, cfg)
+    scored = out["scored"]
+    assert {"window_ids", "next_id", "next_rank", "anom_score", "is_anomaly"} <= set(
+        scored.columns
+    )
+    assert scored.count() > 0
+    m = out["metrics"].collect()[0]
+    assert m["tp"] + m["fp"] + m["fn"] + m["tn"] > 0
+    assert 0.0 <= m["f1"] <= 1.0

@@ -18,7 +18,9 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .json: package data (openset dataset configs) read via
+                # importlib.resources at runtime — must ship in the zip
+                if f.endswith((".py", ".json")):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, ROOT))
     print(out)
