@@ -175,3 +175,136 @@ def score_next_event(
         .withColumn("is_anomaly", (F.col("next_rank") > g).cast("int"))
         .drop("_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# Masked-event detection (LogBERT-capability, torch-free)
+# ---------------------------------------------------------------------------
+
+def masked_event_pairs(
+    df: DataFrame,
+    seq_col: str = "session_ids",
+    radius: int = 2,
+    oov_id: int = 0,
+) -> DataFrame:
+    """(context, target) pairs for masked-event modeling: every position of
+    every session sequence becomes a row whose context is the +-``radius``
+    neighborhood with the center REMOVED — the masked-LM factorization the
+    reference's LogBERT inference applies per token (nn_model/logbert/
+    predict.py:63-104 masks each non-special position and scores the
+    masked-LM loss there). Out-of-bounds context slots take ``oov_id``
+    (BERT's [PAD]). Built entirely JVM-side: posexplode + guarded
+    element_at — no Python in the pair-generation path."""
+    offsets = [o for o in range(-radius, radius + 1) if o != 0]
+    seq = F.col(seq_col)
+    idx = lambda o: F.col("_pos") + 1 + o  # element_at is 1-based
+    ctx = F.array(
+        *[
+            F.when(
+                (idx(o) >= 1) & (idx(o) <= F.size(seq)), F.element_at(seq, idx(o))
+            ).otherwise(F.lit(oov_id))
+            for o in offsets
+        ]
+    )
+    return df.select(
+        "*", F.posexplode(seq).alias("_pos", "target")
+    ).withColumn("context", ctx)
+
+
+def fit_masked_event_model(
+    sessions: DataFrame,
+    vocab_size: int,
+    seq_col: str = "session_ids",
+    radius: int = 2,
+    max_fit_rows: int = 100_000,
+    lr: float = 2.0,
+    iters: int = 200,
+) -> NextEventModel:
+    """Train the masked-event model: same softmax-regression machinery as the
+    next-event forecaster, features = positional one-hots of the 2*radius
+    context slots. Fits on the deduplicated weighted (context, target) table
+    (training-capability analog of nn_model/logbert/train.py's MLM fit)."""
+    pairs = masked_event_pairs(sessions, seq_col, radius, oov_id=vocab_size)
+    return fit_next_event_model(
+        pairs, vocab_size, "context", "target",
+        max_fit_rows=max_fit_rows, lr=lr, iters=iters,
+    )
+
+
+def score_masked_sessions(
+    df: DataFrame,
+    model: NextEventModel,
+    seq_col: str = "session_ids",
+    id_col: str = "session_id",
+    radius: int = 2,
+    top_k: int = 6,
+) -> DataFrame:
+    """Per-session masked-LM anomaly aggregates with the reference's exact
+    output columns (nn_model/logbert/predict.py:179-187): ``max_loss,
+    sum_loss, num_loss, top6_loss`` (mean loss over the ``top_k`` worst
+    masked positions), ``top6_max_prob, top6_min_logprob, top6_max_entropy``.
+    Per-position losses come from one broadcast-matrix Arrow batch multiply;
+    the top-k aggregates are pure built-ins (sort_array + slice over
+    collected per-position structs — sessions are bounded-length, so the
+    collect_list is bounded)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(model)
+
+    out_t = T.StructType(
+        [
+            T.StructField("loss", T.DoubleType()),
+            T.StructField("prob", T.DoubleType()),
+            T.StructField("entropy", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _mlm_score(ctx: pd.Series, tgt: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        if len(ctx) == 0:
+            return pd.DataFrame({"loss": [], "prob": [], "entropy": []})
+        C = np.array(ctx.tolist(), dtype=int)
+        y = tgt.to_numpy(dtype=int)
+        P = m.probs(C)
+        own = np.maximum(P[np.arange(len(y)), y], 1e-300)
+        ent = -(P * np.log(np.maximum(P, 1e-300))).sum(axis=1)
+        return pd.DataFrame({"loss": -np.log(own), "prob": own, "entropy": ent})
+
+    pairs = masked_event_pairs(df, seq_col, radius, oov_id=model.v - 1)
+    scored = pairs.withColumn("_s", _mlm_score("context", "target"))
+    per_pos = scored.select(
+        id_col,
+        F.col("_s.loss").alias("loss"),
+        F.col("_s.prob").alias("prob"),
+        F.col("_s.entropy").alias("entropy"),
+    )
+    top = F.slice(
+        F.sort_array(F.collect_list(F.struct("loss", "prob", "entropy")), False),
+        1,
+        top_k,
+    )
+    agg = per_pos.groupBy(id_col).agg(
+        F.max("loss").alias("max_loss"),
+        F.sum("loss").alias("sum_loss"),
+        F.count(F.lit(1)).alias("num_loss"),
+        top.alias("_top"),
+    )
+    tl = F.transform(F.col("_top"), lambda s: s["loss"])
+    return agg.select(
+        id_col,
+        "max_loss",
+        "sum_loss",
+        "num_loss",
+        (F.aggregate(tl, F.lit(0.0), lambda a, x: a + x) / F.size(tl)).alias(
+            "top6_loss"
+        ),
+        F.array_max(F.transform(F.col("_top"), lambda s: s["prob"])).alias(
+            "top6_max_prob"
+        ),
+        F.log(
+            F.array_min(F.transform(F.col("_top"), lambda s: s["prob"]))
+        ).alias("top6_min_logprob"),
+        F.array_max(F.transform(F.col("_top"), lambda s: s["entropy"])).alias(
+            "top6_max_entropy"
+        ),
+    )

@@ -311,6 +311,42 @@ def _register_builtins() -> None:
             return score_next_event(df, self.model, window_col, next_col, self.cfg.g)
 
     @dataclass
+    class MaskedEventConfig:
+        """Masked-event detector (operators/forecast.py) — the torch-free
+        stand-in for the reference's LogBERT AD (logbert.py:17-41 +
+        nn_model/logbert/predict.py): per-position masked-LM loss with the
+        same per-instance aggregates (max/sum/num loss, top6_*).
+        ``mask_ngram`` analog: positions are masked singly (reference
+        default mask_ngram=1, configs.py:45)."""
+
+        vocab_size: int = 100
+        radius: int = 2
+        top_k: int = 6
+        lr: float = 2.0
+        iters: int = 200
+
+    class _MaskedEventAlgo:
+        def __init__(self, cfg: MaskedEventConfig):
+            self.cfg = cfg
+            self.model = None
+
+        def fit(self, df, seq_col="session_ids"):
+            from logai_spark.operators.forecast import fit_masked_event_model
+
+            self.model = fit_masked_event_model(
+                df, self.cfg.vocab_size, seq_col, self.cfg.radius,
+                lr=self.cfg.lr, iters=self.cfg.iters,
+            )
+            return self
+
+        def predict(self, df, seq_col="session_ids", id_col="session_id"):
+            from logai_spark.operators.forecast import score_masked_sessions
+
+            return score_masked_sessions(
+                df, self.model, seq_col, id_col, self.cfg.radius, self.cfg.top_k
+            )
+
+    @dataclass
     class DivergenceConfig:
         n_bins: int = 10
 
@@ -408,6 +444,91 @@ def _register_builtins() -> None:
             from logai_spark.functions.vectorizers import semantic_transform
 
             return semantic_transform(df, self.matrix, line_col, self.cfg.max_len)
+
+    @dataclass
+    class LogBERTVectorizerConfig:
+        """LogBERT vectorizer capability (vectorization_algo/logbert.py:
+        24-49): frequency-built vocab capped at ``max_vocab_size``, OOV
+        mapping, truncation/padding to ``max_token_len``. The WordPiece
+        subword merge itself is HF-tokenizers-specific; subword capability
+        lives in the fasttext vectorizer's char-ngram path."""
+
+        max_token_len: int = 384
+        max_vocab_size: int = 5000
+        min_count: int = 1
+
+    class _LogBERTVecAlgo:
+        def __init__(self, cfg: LogBERTVectorizerConfig):
+            self.cfg = cfg
+            self.vocab = None
+
+        def fit(self, df, line_col="logline"):
+            from pyspark.sql import functions as F
+
+            from logai_spark.functions.vectorizers import semantic_vocab
+
+            self.vocab = semantic_vocab(df, line_col, self.cfg.min_count).filter(
+                F.col("token_id") < self.cfg.max_vocab_size
+            )
+            return self
+
+        def transform(self, df, line_col="logline"):
+            from logai_spark.functions.vectorizers import semantic_transform
+
+            return semantic_transform(
+                df, self.vocab, line_col, self.cfg.max_token_len,
+                oov_id=self.cfg.max_vocab_size,
+            )
+
+    @dataclass
+    class ForecastNNVectorizerConfig:
+        """ForecastNN vectorizer (vectorization_algo/forecast_nn.py:24-218):
+        sequential line ids per window plus the {session_idx, features,
+        window_anomalies, window_labels} record the NN trainers consume —
+        assembled as a struct column with those exact field names."""
+
+        max_len: int = 10
+        sep: str = " [SEP] "
+
+    class _ForecastNNVecAlgo:
+        def __init__(self, cfg: ForecastNNVectorizerConfig):
+            self.cfg = cfg
+            self.vocab = None
+            self.oov = None
+
+        def fit(self, df, line_col="logline"):
+            from logai_spark.functions.vectorizers import sequential_vocab
+
+            self.vocab = sequential_vocab(df, line_col)
+            self.oov = self.vocab.count()
+            return self
+
+        def transform(
+            self,
+            windows,
+            session_col="window_text",
+            idx_col="span_id",
+            anomaly_col=None,
+            label_col="window_label",
+        ):
+            from pyspark.sql import functions as F
+
+            from logai_spark.functions.vectorizers import sequential_transform
+
+            out = sequential_transform(
+                windows, self.vocab, session_col, self.cfg.sep,
+                self.cfg.max_len, oov_id=self.oov,
+            )
+            anom = F.col(anomaly_col) if anomaly_col else F.lit(None).cast("int")
+            return out.withColumn(
+                "forecast_nn_record",
+                F.struct(
+                    F.col(idx_col).alias("session_idx"),
+                    F.col("token_ids").alias("features"),
+                    anom.alias("window_anomalies"),
+                    F.col(label_col).alias("window_labels"),
+                ),
+            )
 
     @dataclass
     class FastTextConfig:
@@ -515,10 +636,17 @@ def _register_builtins() -> None:
         _DivergenceAlgo
     )
     factory.register("detection", "forecast_next_event", ForecastConfig)(_ForecastAlgo)
+    factory.register("detection", "logbert", MaskedEventConfig)(_MaskedEventAlgo)
     factory.register("vectorization", "word2vec", Word2VecConfig)(_Word2VecAlgo)
     factory.register("vectorization", "sequential", SequentialConfig)(_SequentialAlgo)
     factory.register("vectorization", "semantic", SemanticConfig)(_SemanticAlgo)
     factory.register("vectorization", "fasttext", FastTextConfig)(_FastTextAlgo)
+    factory.register("vectorization", "logbert", LogBERTVectorizerConfig)(
+        _LogBERTVecAlgo
+    )
+    factory.register("vectorization", "forecast_nn", ForecastNNVectorizerConfig)(
+        _ForecastNNVecAlgo
+    )
 
 
 _register_builtins()

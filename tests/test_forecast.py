@@ -74,3 +74,55 @@ def test_fit_is_deterministic(spark):
     m1 = fit_next_event_model(df, vocab_size=4)
     m2 = fit_next_event_model(df.repartition(5), vocab_size=4)
     assert np.array_equal(m1.W, m2.W) and np.array_equal(m1.b, m2.b)
+
+
+def test_masked_event_detector_flags_grammar_break(spark):
+    """LogBERT-capability path: train masked-event model on clean cyclic
+    sessions; a session with an illegal event scores a much higher
+    top6_loss/max_loss than every clean session."""
+    from logai_spark.operators.forecast import (
+        fit_masked_event_model,
+        score_masked_sessions,
+    )
+
+    clean = [0, 1, 2] * 8
+    sessions = [(f"s{i}", clean) for i in range(10)]
+    train = spark.createDataFrame(
+        pd.DataFrame(sessions, columns=["session_id", "session_ids"])
+    )
+    model = fit_masked_event_model(train, vocab_size=4, radius=2)
+
+    bad = clean[:10] + [3] + clean[10:]
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            [("clean", clean), ("bad", bad)], columns=["session_id", "session_ids"]
+        )
+    )
+    out = score_masked_sessions(test, model, radius=2).toPandas().set_index("session_id")
+    assert set(out.columns) == {
+        "max_loss", "sum_loss", "num_loss", "top6_loss",
+        "top6_max_prob", "top6_min_logprob", "top6_max_entropy",
+    }
+    assert out.loc["bad", "top6_loss"] > 2 * out.loc["clean", "top6_loss"]
+    assert out.loc["bad", "max_loss"] > out.loc["clean", "max_loss"] + 1.0
+    assert out.loc["clean", "num_loss"] == len(clean)
+    assert out.loc["bad", "num_loss"] == len(bad)
+
+
+def test_masked_event_pairs_contexts(spark):
+    from logai_spark.operators.forecast import masked_event_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("a", [10, 11, 12])], columns=["session_id", "session_ids"])
+    )
+    rows = (
+        masked_event_pairs(df, radius=1, oov_id=99)
+        .orderBy("_pos")
+        .select("context", "target")
+        .collect()
+    )
+    assert [(list(r["context"]), r["target"]) for r in rows] == [
+        ([99, 11], 10),
+        ([10, 12], 11),
+        ([11, 99], 12),
+    ]

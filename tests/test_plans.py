@@ -84,3 +84,72 @@ def test_routed_sink_partition_pruning(spark, tmp_path):
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_logbert_detector_via_factory(spark):
+    """Registry parity: detection/logbert is the masked-event stand-in."""
+    import pandas as pd
+
+    from logai_spark.plans.factory import factory
+
+    clean = [0, 1, 2] * 8
+    train = spark.createDataFrame(
+        pd.DataFrame([(f"s{i}", clean) for i in range(6)],
+                     columns=["session_id", "session_ids"])
+    )
+    cfg = factory.get_config("detection", "logbert", {"vocab_size": 4, "radius": 2})
+    algo = factory.get_algorithm("detection", "logbert", cfg)
+    algo.fit(train)
+    bad = clean[:6] + [3] + clean[6:]
+    test = spark.createDataFrame(
+        pd.DataFrame([("clean", clean), ("bad", bad)],
+                     columns=["session_id", "session_ids"])
+    )
+    out = algo.predict(test).toPandas().set_index("session_id")
+    assert out.loc["bad", "top6_loss"] > out.loc["clean", "top6_loss"]
+
+
+def test_logbert_vectorizer_via_factory(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from logai_spark.plans.factory import factory
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"logline": ["open file x", "close file x", "open file y"]})
+    )
+    cfg = factory.get_config(
+        "vectorization", "logbert", {"max_token_len": 4, "max_vocab_size": 3}
+    )
+    algo = factory.get_algorithm("vectorization", "logbert", cfg).fit(df)
+    out = algo.transform(df).select("logline", "token_ids").collect()
+    ids = {r["logline"]: list(r["token_ids"]) for r in out}
+    # every sequence padded/truncated to max_token_len; OOV id == max_vocab_size
+    assert all(len(v) == 4 for v in ids.values())
+    flat = {i for v in ids.values() for i in v}
+    assert flat <= set(range(3 + 1))  # 3 vocab ids + oov/pad id 3
+
+
+def test_forecast_nn_vectorizer_record(spark):
+    import pandas as pd
+
+    from logai_spark.plans.factory import factory
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"logline": ["a x", "b y", "c z"]})
+    )
+    windows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "span_id": ["s1"],
+                "window_text": ["a x [SEP] b y"],
+                "window_label": [0],
+            }
+        )
+    )
+    cfg = factory.get_config("vectorization", "forecast_nn", {"max_len": 3})
+    algo = factory.get_algorithm("vectorization", "forecast_nn", cfg).fit(lines)
+    rec = algo.transform(windows).select("forecast_nn_record").collect()[0][0]
+    assert rec["session_idx"] == "s1"
+    assert len(rec["features"]) == 3
+    assert rec["window_labels"] == 0
