@@ -398,6 +398,47 @@ def _q_sequential_ids(spark, sf_dir):
     return out.select("user_id", ids.alias("token_ids"))
 
 
+def _q_masked_pairs(spark, sf_dir):
+    """Masked-event (context, target) pair generation — the masked-LM
+    factorization of the LogBERT-capability detector (reference
+    nn_model/logbert/predict.py:63-104 masks each position and scores it
+    from its neighborhood): per-user event sequences in (ts, event_id)
+    order, event types densely id'd, every position exploded with its
+    +-2 context (out-of-bounds slots = OOV id). Pure JVM plan: broadcast
+    dim join + sort_array/collect_list + posexplode + guarded element_at."""
+    from pyspark.sql import Window
+
+    from logai_spark.operators.forecast import masked_event_pairs
+
+    full = _t(spark, sf_dir, "events")
+    typ_ids = (
+        full.select("event_type")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("event_type")) - 1)
+    )
+    oov = typ_ids.count()
+    sess = (
+        full.filter(F.col("user_id") % 10 == 0)
+        .join(F.broadcast(typ_ids), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "tid"))),
+                lambda s: s["tid"],
+            ).alias("session_ids")
+        )
+    )
+    pairs = masked_event_pairs(sess, "session_ids", radius=2, oov_id=oov)
+    return pairs.select(
+        "user_id",
+        F.col("_pos").cast("long").alias("pos"),
+        F.col("target").cast("long").alias("target_id"),
+        F.array_join(
+            F.transform("context", lambda x: x.cast("string")), ","
+        ).alias("ctx"),
+    )
+
+
 def _q_lsh_dup_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate duplicate pairs (SURVEY §2 dedup
     family): docs agreeing on ALL rows of any band pair via an equi-join on
@@ -718,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_span": _q_split_by_span,
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
+        "masked_pairs": _q_masked_pairs,
     }
 
 
@@ -1294,6 +1336,31 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(
                        list_resize(ids, 8, (SELECT oov FROM nv)), ',') AS token_ids
             FROM agg
+        """,
+        "masked_pairs": """
+            WITH tids AS (
+                SELECT event_type,
+                       (dense_rank() OVER (ORDER BY event_type)) - 1 AS tid
+                FROM (SELECT DISTINCT event_type FROM events)),
+            oovt AS (SELECT count(*) AS v FROM tids),
+            sess AS (
+                SELECT e.user_id, list(t.tid ORDER BY e.ts, e.event_id) AS s
+                FROM events e JOIN tids t USING (event_type)
+                WHERE e.user_id % 10 = 0
+                GROUP BY e.user_id)
+            SELECT user_id,
+                   (i - 1)::BIGINT AS pos,
+                   s[i]::BIGINT AS target_id,
+                   concat_ws(',',
+                     (CASE WHEN i - 2 >= 1 THEN s[i - 2]
+                           ELSE (SELECT v FROM oovt) END)::varchar,
+                     (CASE WHEN i - 1 >= 1 THEN s[i - 1]
+                           ELSE (SELECT v FROM oovt) END)::varchar,
+                     (CASE WHEN i + 1 <= len(s) THEN s[i + 1]
+                           ELSE (SELECT v FROM oovt) END)::varchar,
+                     (CASE WHEN i + 2 <= len(s) THEN s[i + 2]
+                           ELSE (SELECT v FROM oovt) END)::varchar) AS ctx
+            FROM sess, unnest(generate_series(1, len(s))) AS u(i)
         """,
         "label_spans": """
             WITH ev AS (
