@@ -930,9 +930,16 @@ def _lsh_buckets_sql(dim: int = 64, n_planes: int = 4) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from logai_spark.functions.textops import STOPWORDS_EN
+    from logai_spark.functions.textops import LANG_STOPWORDS, STOPWORDS_EN
 
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    # one VALUES row per language, same dict the Spark classifier compiles
+    lang_rows = ", ".join(
+        "('{}', {}, [{}])".format(
+            lang, -i, ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        )
+        for i, lang in enumerate(sorted(LANG_STOPWORDS))
+    )
     simhash_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(16)
@@ -1035,11 +1042,20 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
         "lang_id": f"""
-            WITH l AS (
-                SELECT CASE WHEN len(list_intersect({_DD_TOKS}, [{stop_list}])) >= 2
-                            THEN 'en' ELSE 'unknown' END AS lang_pred
-                FROM documents)
-            SELECT lang_pred, count(*) AS n_docs FROM l GROUP BY 1
+            WITH t AS (
+                SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
+            l(lang, r, words) AS (VALUES {lang_rows}),
+            s AS (
+                SELECT t.doc_id, l.lang, l.r,
+                       len(list_intersect(t.toks, l.words)) AS h
+                FROM t CROSS JOIN l),
+            best AS (
+                SELECT doc_id,
+                       CASE WHEN max(h) >= 2
+                            THEN (array_agg(lang ORDER BY h DESC, r DESC))[1]
+                            ELSE 'unknown' END AS lang_pred
+                FROM s GROUP BY doc_id)
+            SELECT lang_pred, count(*) AS n_docs FROM best GROUP BY 1
         """,
         "fingerprint": f"""
             WITH t AS (

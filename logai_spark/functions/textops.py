@@ -34,6 +34,32 @@ STOPWORDS_EN = [
     "with", "as", "at", "by", "from", "that", "this", "be", "are", "was",
 ]
 
+# Per-language function-word profiles for lang_id (ASCII-only on purpose —
+# byte-stable across engines/locales). Common words overlap across languages
+# ("de", "que", "en"); the classifier scores ALL lists and takes the argmax,
+# so overlaps just contribute evidence to several candidates.
+LANG_STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "den",
+           "dem", "ein", "eine", "zu", "auf", "im", "sich", "als", "auch",
+           "werden", "bei"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "it", "with",
+           "was", "on", "are", "this", "be", "at", "by", "from", "not", "but"],
+    "es": ["el", "los", "las", "que", "en", "un", "una", "es", "por", "con",
+           "para", "del", "se", "no", "su", "al", "lo", "como", "pero", "de"],
+    "fr": ["le", "les", "des", "et", "est", "une", "du", "dans", "pour",
+           "que", "qui", "pas", "sur", "avec", "au", "ce", "ne", "se",
+           "plus", "de"],
+    "it": ["il", "lo", "la", "le", "di", "che", "un", "una", "per", "non",
+           "con", "del", "della", "sono", "come", "anche", "ma", "si",
+           "nel", "alla"],
+    "nl": ["de", "het", "een", "van", "en", "is", "dat", "op", "te", "met",
+           "voor", "niet", "zijn", "aan", "ook", "maar", "als", "bij",
+           "uit", "naar"],
+    "pt": ["os", "as", "de", "que", "em", "um", "uma", "para", "com", "por",
+           "do", "da", "dos", "das", "se", "mais", "como", "ao", "pelo",
+           "uns"],
+}
+
 
 def tokenize_expr(col: str | Column, lowercase: bool = True) -> Column:
     """Whitespace tokenizer (reference tokenize.py:26-36 splits on space)."""
@@ -112,15 +138,39 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality", score)
 
 
-def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Stopword-overlap language id (n-gram heuristic family). With only an
-    English stopword list baked in, emits en/unknown + the evidence count;
-    extend STOPWORDS per language for a real multilingual classifier."""
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    min_hits: int = 2,
+) -> DataFrame:
+    """Multilingual stopword-profile language id (n-gram heuristic family,
+    7 languages in LANG_STOPWORDS). Per language: count DISTINCT profile
+    words present (array_intersect); prediction = argmax, ties broken to
+    the alphabetically first code (deterministic), 'unknown' when even the
+    best language shows fewer than ``min_hits`` distinct function words.
+    Pure JVM column expressions — array_max over (hits, -rank, code)
+    structs, whole-stage codegen, no UDF."""
     toks = tokenize_expr(text_col)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    hits = F.size(F.array_intersect(toks, stop_arr))
-    return df.withColumn("stopword_hits", hits).withColumn(
-        out_col, F.when(hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+    langs = sorted(LANG_STOPWORDS)
+    candidates = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                    )
+                ).alias("h"),
+                F.lit(-i).alias("r"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(candidates)
+    return df.withColumn("stopword_hits", best["h"]).withColumn(
+        out_col,
+        F.when(best["h"] >= min_hits, best["lang"]).otherwise(F.lit("unknown")),
     )
 
 

@@ -89,3 +89,28 @@ def test_quality_score_bounds(spark, docs):
     # the stopword-rich sentence should outscore the 2-char doc
     byid = q.set_index("doc_id")["quality"]
     assert byid[0] > byid[5]
+
+
+def test_lang_id_multilingual(spark):
+    """Each profile language is recognized from a plain sentence; gibberish
+    stays unknown; ties break deterministically."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from logai_spark.functions.textops import lang_id
+
+    samples = {
+        "en": "the cat is on the mat and it was not there before",
+        "de": "der hund ist nicht mit der katze auf dem sofa",
+        "fr": "le chien est dans le jardin avec les enfants pour jouer",
+        "es": "el perro es grande y los gatos no quieren jugar con una pelota",
+        "it": "il cane che corre nel parco non vuole giocare con la palla",
+        "nl": "de hond is niet met de kat op de bank aan het spelen",
+        "pt": "os gatos de casa querem brincar com uma bola para se divertir",
+        "unknown": "zzz qqq xxyzzy blorp 12345",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"expected": list(samples), "text": list(samples.values())})
+    )
+    out = {r["expected"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert out == {k: k for k in samples}
