@@ -60,3 +60,11 @@ def test_cosine_topk_broadcasts_queries(spark, qs):
     set), never a shuffle."""
     p = _plan(qs["cosine_topk"](spark, SF))
     assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
+
+
+def test_masked_pairs_no_cartesian_and_broadcast_dim(spark, qs):
+    """Masked-pair generation: the event-type dim join must broadcast and
+    nothing may degrade to a cross product."""
+    p = _plan(qs["masked_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

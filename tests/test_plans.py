@@ -61,7 +61,8 @@ def test_relational_queries_stay_jvm_side(spark):
 
     qs = entrymod.queries()
     for name in ["counter_vector", "tpch_q1", "enrich_broadcast", "sliding_window",
-                 "minhash", "simhash", "quality_score", "cosine_topk"]:
+                 "minhash", "simhash", "quality_score", "cosine_topk",
+                 "lang_id", "masked_pairs"]:
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name  # no row-at-a-time python
         assert "ArrowEvalPython" not in plan, name  # not even vectorized UDFs
