@@ -194,7 +194,10 @@ def masked_event_pairs(
     predict.py:63-104 masks each non-special position and scores the
     masked-LM loss there). Out-of-bounds context slots take ``oov_id``
     (BERT's [PAD]). Built entirely JVM-side: posexplode + guarded
-    element_at — no Python in the pair-generation path."""
+    element_at — no Python in the pair-generation path. The session array
+    itself is DROPPED from the output: keeping it would ship the full
+    sequence on every exploded row (O(len^2) shuffle bytes per session at
+    web scale); downstream only needs the bounded 2*radius context."""
     offsets = [o for o in range(-radius, radius + 1) if o != 0]
     seq = F.col(seq_col)
     idx = lambda o: F.col("_pos") + 1 + o  # element_at is 1-based
@@ -206,9 +209,11 @@ def masked_event_pairs(
             for o in offsets
         ]
     )
-    return df.select(
-        "*", F.posexplode(seq).alias("_pos", "target")
-    ).withColumn("context", ctx)
+    return (
+        df.select("*", F.posexplode(seq).alias("_pos", "target"))
+        .withColumn("context", ctx)
+        .drop(seq_col)
+    )
 
 
 def fit_masked_event_model(
@@ -243,10 +248,13 @@ def score_masked_sessions(
     output columns (nn_model/logbert/predict.py:179-187): ``max_loss,
     sum_loss, num_loss, top6_loss`` (mean loss over the ``top_k`` worst
     masked positions), ``top6_max_prob, top6_min_logprob, top6_max_entropy``.
-    Per-position losses come from one broadcast-matrix Arrow batch multiply;
-    the top-k aggregates are pure built-ins (sort_array + slice over
-    collected per-position structs — sessions are bounded-length, so the
-    collect_list is bounded)."""
+    Per-position losses come from one broadcast-matrix Arrow batch multiply.
+    Aggregation shape for scale: max/sum/count are one partial-aggregatable
+    (map-side-combining) hash aggregate; the top-k leg is a per-session
+    window rank (shuffle on the session key + in-partition sort) filtered
+    to ``top_k`` rows BEFORE its aggregate — no collect_list of all
+    positions, so a 10^5-event session never materializes as one array in
+    an aggregation buffer. Ties rank deterministically by position."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(model)
 
@@ -270,41 +278,39 @@ def score_masked_sessions(
         ent = -(P * np.log(np.maximum(P, 1e-300))).sum(axis=1)
         return pd.DataFrame({"loss": -np.log(own), "prob": own, "entropy": ent})
 
+    from pyspark.sql import Window
+
     pairs = masked_event_pairs(df, seq_col, radius, oov_id=model.v - 1)
     scored = pairs.withColumn("_s", _mlm_score("context", "target"))
     per_pos = scored.select(
         id_col,
+        "_pos",
         F.col("_s.loss").alias("loss"),
         F.col("_s.prob").alias("prob"),
         F.col("_s.entropy").alias("entropy"),
     )
-    top = F.slice(
-        F.sort_array(F.collect_list(F.struct("loss", "prob", "entropy")), False),
-        1,
-        top_k,
-    )
-    agg = per_pos.groupBy(id_col).agg(
+    totals = per_pos.groupBy(id_col).agg(
         F.max("loss").alias("max_loss"),
         F.sum("loss").alias("sum_loss"),
         F.count(F.lit(1)).alias("num_loss"),
-        top.alias("_top"),
     )
-    tl = F.transform(F.col("_top"), lambda s: s["loss"])
-    return agg.select(
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("loss"), F.asc("_pos"))
+    )
+    topk = per_pos.withColumn("_rk", rank).filter(F.col("_rk") <= top_k)
+    top_agg = topk.groupBy(id_col).agg(
+        F.avg("loss").alias("top6_loss"),
+        F.max("prob").alias("top6_max_prob"),
+        F.log(F.min("prob")).alias("top6_min_logprob"),
+        F.max("entropy").alias("top6_max_entropy"),
+    )
+    return totals.join(top_agg, id_col).select(
         id_col,
         "max_loss",
         "sum_loss",
         "num_loss",
-        (F.aggregate(tl, F.lit(0.0), lambda a, x: a + x) / F.size(tl)).alias(
-            "top6_loss"
-        ),
-        F.array_max(F.transform(F.col("_top"), lambda s: s["prob"])).alias(
-            "top6_max_prob"
-        ),
-        F.log(
-            F.array_min(F.transform(F.col("_top"), lambda s: s["prob"]))
-        ).alias("top6_min_logprob"),
-        F.array_max(F.transform(F.col("_top"), lambda s: s["entropy"])).alias(
-            "top6_max_entropy"
-        ),
+        "top6_loss",
+        "top6_max_prob",
+        "top6_min_logprob",
+        "top6_max_entropy",
     )
