@@ -50,6 +50,12 @@ class NextEventModel:
     RNG, no shuffling).
     """
 
+    #: hard cap on weight-matrix size (w * (v+1)^2 float64 entries). The
+    #: positional-one-hot parameterization is quadratic in vocab — right for
+    #: log-TEMPLATE vocabs (tens to low thousands of events); a raw-token
+    #: vocab must be capped (top-K + OOV) before it reaches this model.
+    MAX_PARAMS = 200_000_000  # ~1.6 GB of float64
+
     def __init__(self, vocab_size: int, lr: float = 2.0, iters: int = 200,
                  window_size: int | None = None):
         self.v = vocab_size + 1  # + OOV row
@@ -59,50 +65,99 @@ class NextEventModel:
         self.W: np.ndarray | None = None
         self.b = np.zeros(self.v)
 
-    def _features(self, windows: np.ndarray) -> np.ndarray:
+    # feature row i = w one-hot blocks of width v; stored sparsely as the w
+    # set-bit indices (pos * v + id). Never materializes the dense (n, w*v)
+    # matrix the naive formulation needs.
+    _CHUNK_CELLS = 50_000_000  # gather-buffer budget: chunk * w * v cells
+
+    def _check_ids(self, arr: np.ndarray, what: str) -> None:
+        if arr.size and (arr.min() < 0 or arr.max() >= self.v):
+            raise ValueError(
+                f"{what} id out of range [0, {self.v - 1}] (vocab_size + OOV): "
+                f"min={arr.min()}, max={arr.max()}. Ids must come from the "
+                "same vocab this model was sized for (OOV id = vocab_size)."
+            )
+
+    def _indices(self, windows) -> np.ndarray:
+        windows = np.asarray(windows, dtype=int)
+        if windows.ndim != 2 or windows.shape[0] == 0:
+            raise ValueError(
+                "windows must be a non-empty (n, window_size) id array; got "
+                f"shape {windows.shape}. (Did the train split produce any "
+                "(window, next) pairs? Spans of length <= window_size yield "
+                "none.)"
+            )
         n, w = windows.shape
         if self.w is None:
             self.w = w
-        X = np.zeros((n, self.w * self.v))
-        rows = np.repeat(np.arange(n), w)
-        pos = np.tile(np.arange(w), n)
-        X[rows, pos * self.v + windows.ravel()] = 1.0
-        return X
+            if self.w * self.v * self.v > self.MAX_PARAMS:
+                raise ValueError(
+                    f"window={self.w} x vocab={self.v - 1} needs "
+                    f"{self.w * self.v * self.v:,} weights (> MAX_PARAMS="
+                    f"{self.MAX_PARAMS:,}); cap the event vocab (top-K + OOV) "
+                    "before fitting — this model is meant for template/event "
+                    "vocabs, not raw tokens."
+                )
+        elif w != self.w:
+            raise ValueError(f"window width {w} != fitted width {self.w}")
+        self._check_ids(windows, "window event")
+        return np.arange(w) * self.v + windows  # (n, w) weight-row indices
+
+    def _chunk(self, w: int) -> int:
+        return max(1, self._CHUNK_CELLS // max(1, w * self.v))
+
+    def _logits(self, idx: np.ndarray) -> np.ndarray:
+        out = np.empty((idx.shape[0], self.v))
+        step = self._chunk(idx.shape[1])
+        for s in range(0, idx.shape[0], step):
+            out[s:s + step] = self.W[idx[s:s + step]].sum(axis=1)
+        return out + self.b
 
     def fit(self, windows: np.ndarray, nexts: np.ndarray, counts: np.ndarray) -> "NextEventModel":
-        X = self._features(np.asarray(windows, dtype=int))
+        idx = self._indices(windows)
+        n, w = idx.shape
         if self.W is None:
-            self.W = np.zeros((X.shape[1], self.v))
+            self.W = np.zeros((w * self.v, self.v))
         y = np.asarray(nexts, dtype=int)
-        w = np.asarray(counts, dtype=float)
-        w = w / w.sum()
-        Y = np.zeros((len(y), self.v))
-        Y[np.arange(len(y)), y] = 1.0
+        self._check_ids(y, "next event")
+        wts = np.asarray(counts, dtype=float)
+        wts = wts / wts.sum()
+        step = self._chunk(w)
         for _ in range(self.iters):
-            Z = X @ self.W + self.b
-            Z -= Z.max(axis=1, keepdims=True)
-            P = np.exp(Z)
-            P /= P.sum(axis=1, keepdims=True)
-            G = (P - Y) * w[:, None]
-            self.W -= self.lr * (X.T @ G)
-            self.b -= self.lr * G.sum(axis=0)
+            gW = np.zeros_like(self.W)
+            gb = np.zeros(self.v)
+            for s in range(0, n, step):
+                i = idx[s:s + step]
+                Z = self.W[i].sum(axis=1) + self.b
+                Z -= Z.max(axis=1, keepdims=True)
+                P = np.exp(Z)
+                P /= P.sum(axis=1, keepdims=True)
+                yc = y[s:s + step]
+                P[np.arange(len(yc)), yc] -= 1.0  # P - Y, in place
+                G = P * wts[s:s + step, None]
+                np.add.at(gW, i.ravel(), np.repeat(G, w, axis=0))
+                gb += G.sum(axis=0)
+            self.W -= self.lr * gW
+            self.b -= self.lr * gb
         return self
 
     def probs(self, windows: np.ndarray) -> np.ndarray:
-        Z = self._features(np.asarray(windows, dtype=int)) @ self.W + self.b
+        Z = self._logits(self._indices(windows))
         Z -= Z.max(axis=1, keepdims=True)
         P = np.exp(Z)
         return P / P.sum(axis=1, keepdims=True)
 
+    @staticmethod
+    def _rank_from_probs(P: np.ndarray, nexts: np.ndarray) -> np.ndarray:
+        # rank = 1 + number of classes STRICTLY more probable (ties favor
+        # the observed event -> deterministic, optimistic like DeepLog)
+        own = P[np.arange(len(nexts)), nexts]
+        return 1 + (P > own[:, None]).sum(axis=1)
+
     def rank_of_next(self, windows: np.ndarray, nexts: np.ndarray) -> np.ndarray:
         """1-based rank of the observed next event among predictions (the
         DeepLog criterion compares this to g)."""
-        P = self.probs(windows)
-        nexts = np.asarray(nexts, dtype=int)
-        own = P[np.arange(len(nexts)), nexts]
-        # rank = 1 + number of classes STRICTLY more probable (ties favor
-        # the observed event -> deterministic, optimistic like DeepLog)
-        return 1 + (P > own[:, None]).sum(axis=1)
+        return self._rank_from_probs(self.probs(windows), np.asarray(nexts, dtype=int))
 
 
 def fit_next_event_model(
@@ -160,7 +215,7 @@ def score_next_event(
             return pd.DataFrame({"next_rank": [], "anom_score": []})
         P = m.probs(W)
         own = P[np.arange(len(y)), y]
-        rank = 1 + (P > own[:, None]).sum(axis=1)
+        rank = NextEventModel._rank_from_probs(P, y)
         return pd.DataFrame(
             {
                 "next_rank": rank.astype("int32"),
@@ -185,7 +240,8 @@ def masked_event_pairs(
     df: DataFrame,
     seq_col: str = "session_ids",
     radius: int = 2,
-    oov_id: int = 0,
+    *,
+    oov_id: int,
 ) -> DataFrame:
     """(context, target) pairs for masked-event modeling: every position of
     every session sequence becomes a row whose context is the +-``radius``
@@ -193,7 +249,9 @@ def masked_event_pairs(
     reference's LogBERT inference applies per token (nn_model/logbert/
     predict.py:63-104 masks each non-special position and scores the
     masked-LM loss there). Out-of-bounds context slots take ``oov_id``
-    (BERT's [PAD]). Built entirely JVM-side: posexplode + guarded
+    (BERT's [PAD]; keyword-only and REQUIRED — a defaulted 0 would collide
+    with valid dense event id 0; every id scheme in this repo reserves
+    OOV = vocab_size). Built entirely JVM-side: posexplode + guarded
     element_at — no Python in the pair-generation path. The session array
     itself is DROPPED from the output: keeping it would ship the full
     sequence on every exploded row (O(len^2) shuffle bytes per session at
@@ -248,13 +306,13 @@ def score_masked_sessions(
     output columns (nn_model/logbert/predict.py:179-187): ``max_loss,
     sum_loss, num_loss, top6_loss`` (mean loss over the ``top_k`` worst
     masked positions), ``top6_max_prob, top6_min_logprob, top6_max_entropy``.
-    Per-position losses come from one broadcast-matrix Arrow batch multiply.
-    Aggregation shape for scale: max/sum/count are one partial-aggregatable
-    (map-side-combining) hash aggregate; the top-k leg is a per-session
-    window rank (shuffle on the session key + in-partition sort) filtered
-    to ``top_k`` rows BEFORE its aggregate — no collect_list of all
-    positions, so a 10^5-event session never materializes as one array in
-    an aggregation buffer. Ties rank deterministically by position."""
+    Per-position losses come from one broadcast-matrix Arrow batch multiply,
+    and that UDF subtree executes ONCE: totals (max/sum/count) ride the same
+    per-session window partitioning as the top-k rank, so the plan is one
+    exchange on the session key feeding both. The top-k leg filters to
+    ``top_k`` rows before its aggregate — no collect_list of all positions,
+    so a 10^5-event session never materializes as one array in an
+    aggregation buffer. Ties rank deterministically by position."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(model)
 
@@ -289,28 +347,29 @@ def score_masked_sessions(
         F.col("_s.prob").alias("prob"),
         F.col("_s.entropy").alias("entropy"),
     )
-    totals = per_pos.groupBy(id_col).agg(
-        F.max("loss").alias("max_loss"),
-        F.sum("loss").alias("sum_loss"),
-        F.count(F.lit(1)).alias("num_loss"),
-    )
-    rank = F.row_number().over(
-        Window.partitionBy(id_col).orderBy(F.desc("loss"), F.asc("_pos"))
-    )
-    topk = per_pos.withColumn("_rk", rank).filter(F.col("_rk") <= top_k)
-    top_agg = topk.groupBy(id_col).agg(
-        F.avg("loss").alias("top6_loss"),
-        F.max("prob").alias("top6_max_prob"),
-        F.log(F.min("prob")).alias("top6_min_logprob"),
-        F.max("entropy").alias("top6_max_entropy"),
-    )
-    return totals.join(top_agg, id_col).select(
+    part = Window.partitionBy(id_col)
+    ranked = per_pos.select(
         id_col,
-        "max_loss",
-        "sum_loss",
-        "num_loss",
-        "top6_loss",
-        "top6_max_prob",
-        "top6_min_logprob",
-        "top6_max_entropy",
+        "loss",
+        "prob",
+        "entropy",
+        F.max("loss").over(part).alias("max_loss"),
+        F.sum("loss").over(part).alias("sum_loss"),
+        F.count(F.lit(1)).over(part).alias("num_loss"),
+        F.row_number()
+        .over(part.orderBy(F.desc("loss"), F.asc("_pos")))
+        .alias("_rk"),
+    )
+    return (
+        ranked.filter(F.col("_rk") <= top_k)
+        .groupBy(id_col)
+        .agg(
+            F.max("max_loss").alias("max_loss"),
+            F.max("sum_loss").alias("sum_loss"),
+            F.max("num_loss").alias("num_loss"),
+            F.avg("loss").alias("top6_loss"),
+            F.max("prob").alias("top6_max_prob"),
+            F.log(F.min("prob")).alias("top6_min_logprob"),
+            F.max("entropy").alias("top6_max_entropy"),
+        )
     )

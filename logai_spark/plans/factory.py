@@ -461,6 +461,7 @@ def _register_builtins() -> None:
         def __init__(self, cfg: LogBERTVectorizerConfig):
             self.cfg = cfg
             self.vocab = None
+            self.oov = None
 
         def fit(self, df, line_col="logline"):
             from pyspark.sql import functions as F
@@ -470,6 +471,11 @@ def _register_builtins() -> None:
             self.vocab = semantic_vocab(df, line_col, self.cfg.min_count).filter(
                 F.col("token_id") < self.cfg.max_vocab_size
             )
+            # OOV/pad id = ACTUAL vocab row count (repo-wide contract,
+            # sequential.py:96-99 semantics) — not max_vocab_size, which
+            # would leave downstream one-hot consumers sized 5001 for a
+            # 121-token corpus.
+            self.oov = self.vocab.count()
             return self
 
         def transform(self, df, line_col="logline"):
@@ -477,7 +483,7 @@ def _register_builtins() -> None:
 
             return semantic_transform(
                 df, self.vocab, line_col, self.cfg.max_token_len,
-                oov_id=self.cfg.max_vocab_size,
+                oov_id=self.oov,
             )
 
     @dataclass

@@ -187,10 +187,17 @@ def _forecast_detect(split_df: DataFrame, cfg: OpenSetADConfig):
         )
 
     model = fit_next_event_model(to_ids(train_w), vocab_size=oov)
-    scored = score_next_event(
-        to_ids(split_df.filter(F.col("split") == "test")), model, g=cfg.forecast_g
+    test_w = split_df.filter(F.col("split") == "test")
+    scored = score_next_event(to_ids(test_w), model, g=cfg.forecast_g)
+    # Ground-truth span labels come from ALL test windows — the scoring set
+    # drops each span's final window (no next line), so aggregating labels
+    # from `scored` would mislabel a span whose only anomalous line is its
+    # last, and 1-line spans would vanish from the metrics denominator.
+    span_labels = test_w.groupBy("span_id").agg(
+        F.max("window_label").alias("label")
     )
-    span_verdicts = scored.groupBy("span_id").agg(
-        F.max("is_anomaly").alias("pred"), F.max("window_label").alias("label")
+    span_preds = scored.groupBy("span_id").agg(F.max("is_anomaly").alias("pred"))
+    span_verdicts = span_labels.join(span_preds, "span_id", "left").withColumn(
+        "pred", F.coalesce("pred", F.lit(0))
     )
     return scored, binary_metrics(span_verdicts, "pred", "label")

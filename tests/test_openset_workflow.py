@@ -144,3 +144,52 @@ def test_openset_ad_workflow_hdfs_forecast(spark, tmp_path, hdfs_label_file):
     m = out["metrics"].collect()[0]
     assert m["tp"] + m["fp"] + m["fn"] + m["tn"] > 0
     assert 0.0 <= m["f1"] <= 1.0
+
+
+def test_forecast_metrics_count_spans_with_only_final_window_labeled(spark):
+    """A test span whose ONLY anomalous window is its last (next_logline is
+    null there, so it can't be scored) must still enter the metrics as a
+    positive (fn), not be silently counted as a true negative."""
+    from logai_spark.plans.openset_workflow import OpenSetADConfig, _forecast_detect
+
+    cycle = ["a", "b", "c"] * 10
+    rows = []
+    for s in range(6):
+        for i in range(len(cycle) - 3):
+            rows.append(
+                {
+                    "span_id": f"tr{s}",
+                    "split": "train",
+                    "window_lines": cycle[i : i + 3],
+                    "next_logline": cycle[i + 3],
+                    "window_label": 0,
+                }
+            )
+    # test span: all scoreable windows normal; final (unscoreable) window
+    # carries the anomaly label
+    for i in range(len(cycle) - 3):
+        rows.append(
+            {
+                "span_id": "te_last",
+                "split": "test",
+                "window_lines": cycle[i : i + 3],
+                "next_logline": cycle[i + 3],
+                "window_label": 0,
+            }
+        )
+    rows.append(
+        {
+            "span_id": "te_last",
+            "split": "test",
+            "window_lines": cycle[-3:],
+            "next_logline": None,
+            "window_label": 1,
+        }
+    )
+    split_df = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = OpenSetADConfig(window_size=3, forecast_g=1, detector="forecast_next_event")
+    _scored, metrics = _forecast_detect(split_df, cfg)
+    m = metrics.collect()[0]
+    # the span is anomalous ground truth; model can't see the final window,
+    # so it must land in fn (missed positive) — never tn
+    assert m["fn"] == 1 and m["tn"] == 0 and m["tp"] == 0
