@@ -151,3 +151,40 @@ def test_catalog_format_detection_and_fallback(spark, tmp_path):
     assert fmt == "parquet"
     back = read_table(spark, target)
     assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_record_csv_roundtrip_with_sidecar(spark, tmp_path):
+    """CSV sink + metadata sidecar (reference data_model.py:111-132): field
+    map persists, round trip restores values and sidecar-ordered layout,
+    invalid fields/columns fail fast."""
+    import pandas as pd
+    import pytest
+
+    from logai_spark.sources.record_io import (
+        load_record_csv,
+        record_fields,
+        save_record_csv,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "logline": ["a b", "c d"],
+                "ts": ["2024-01-01 00:00:00", "2024-01-01 00:00:01"],
+                "level": ["INFO", "WARN"],
+            }
+        )
+    )
+    meta = {"body": ["logline"], "timestamp": ["ts"], "attributes": ["level"]}
+    p = str(tmp_path / "rec")
+    save_record_csv(df, p, meta)
+    back, meta2 = load_record_csv(spark, p)
+    assert meta2 == meta
+    assert back.columns == ["ts", "level", "logline"]  # RECORD_FIELDS order
+    assert sorted(r["logline"] for r in back.collect()) == ["a b", "c d"]
+    assert record_fields(back, meta2, "body").columns == ["logline"]
+
+    with pytest.raises(KeyError):
+        save_record_csv(df, p, {"not_a_field": ["logline"]})
+    with pytest.raises(KeyError):
+        save_record_csv(df, p, {"body": ["missing_col"]})
