@@ -51,3 +51,59 @@ def test_forecast_detector_on_real_hdfs_labels(spark):
     assert m["tp"] == 10 and m["fn"] == 0  # every anomalous span caught
     assert m["fp"] <= 2 and m["tn"] >= 14
     assert m["f1"] > 0.9
+
+
+def test_masked_event_detector_ranks_real_anomalies_first(spark):
+    """Masked-event (LogBERT-capability) detector on the same real labeled
+    fixture: ranking test spans by top6_loss separates the 10 labeled
+    anomalous spans PERFECTLY from the 16 normal ones (measured margin:
+    min anomalous 2.814 vs max normal 2.115) — AUC 1.0, pinned."""
+    from logai_spark.functions.vectorizers import sequential_vocab
+    from logai_spark.operators.forecast import (
+        fit_masked_event_model,
+        score_masked_sessions,
+    )
+
+    df, _ = load_record_csv(spark, FIXTURE)
+    lines = df.select(
+        "logline",
+        "span_id",
+        F.col("labels").cast("int").alias("labels"),
+        F.col("_c0").cast("long").alias("seq"),
+    )
+    split = split_by_span(
+        lines, "span_id", "labels", order_col="seq", training_type="unsupervised"
+    )
+    train_lines = split.filter(F.col("split") == "train")
+    vocab = sequential_vocab(
+        train_lines.select(F.col("logline").alias("_line")), "_line"
+    )
+    oov = vocab.count()
+
+    def sessions(part):
+        mapped = part.join(
+            vocab.select(F.col("_line").alias("logline"), "line_id"),
+            "logline",
+            "left",
+        ).withColumn("line_id", F.coalesce("line_id", F.lit(oov)))
+        return mapped.groupBy("span_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seq", "line_id"))),
+                lambda s: s["line_id"],
+            ).alias("session_ids"),
+            F.max("labels").alias("label"),
+        )
+
+    model = fit_masked_event_model(
+        sessions(train_lines), vocab_size=oov, seq_col="session_ids", radius=2
+    )
+    test_sess = sessions(split.filter(F.col("split") == "test"))
+    out = score_masked_sessions(
+        test_sess, model, seq_col="session_ids", id_col="span_id", radius=2
+    ).join(test_sess.select("span_id", "label"), "span_id")
+    rows = out.orderBy(F.desc("top6_loss")).select("label", "top6_loss").collect()
+    assert sum(r["label"] for r in rows) == 10
+    assert [r["label"] for r in rows[:10]] == [1] * 10  # perfect separation
+    anom_min = min(r["top6_loss"] for r in rows if r["label"] == 1)
+    norm_max = max(r["top6_loss"] for r in rows if r["label"] == 0)
+    assert anom_min > norm_max  # strict margin
