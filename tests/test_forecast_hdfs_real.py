@@ -107,3 +107,23 @@ def test_masked_event_detector_ranks_real_anomalies_first(spark):
     anom_min = min(r["top6_loss"] for r in rows if r["label"] == 1)
     norm_max = max(r["top6_loss"] for r in rows if r["label"] == 0)
     assert anom_min > norm_max  # strict margin
+
+
+def test_forecast_detector_no_false_alarms_on_all_normal_bgl(spark):
+    """BGL_5000 fixture contains zero labeled-anomalous lines (every line
+    starts with '-'): the end-to-end workflow must report NO false alarms
+    on all-normal data (the degenerate case a production detector must not
+    flood)."""
+    from logai_spark.plans.openset_workflow import OpenSetADConfig, run_openset_ad
+
+    cfg = OpenSetADConfig(
+        dataset="bgl",
+        filepath="/root/reference/tests/logai/test_data/BGL_5000.log",
+        window_size=5,
+        detector="forecast_next_event",
+        forecast_g=3,
+    )
+    out = run_openset_ad(spark, cfg)
+    m = out["metrics"].collect()[0]
+    assert m["tp"] + m["fn"] == 0  # no positives exist in the fixture
+    assert m["fp"] == 0 and m["tn"] > 0  # and none are invented
