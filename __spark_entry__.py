@@ -439,6 +439,24 @@ def _q_masked_pairs(spark, sf_dir):
     )
 
 
+def _q_auc(spark, sf_dir):
+    """ROC-AUC aggregate (reference eval_metric_utils.py:174-231 reports
+    roc_auc_score over per-instance anomaly scores): exact Mann-Whitney
+    with midrank ties, computed from the per-distinct-score aggregate —
+    the fact table compresses to (score, npos, nneg) before the only
+    non-partial (cumulative) step."""
+    from logai_spark.operators.evaluate import auc_score
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("user_id") % 3 == 0).cast("int").alias("label"),
+    )
+    out = auc_score(ev)
+    return out.select(
+        F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
+    )
+
+
 def _q_lsh_dup_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate duplicate pairs (SURVEY §2 dedup
     family): docs agreeing on ALL rows of any band pair via an equi-join on
@@ -760,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
+        "auc": _q_auc,
     }
 
 
@@ -1352,6 +1371,25 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(
                        list_resize(ids, 8, (SELECT oov FROM nv)), ',') AS token_ids
             FROM agg
+        """,
+        "auc": """
+            WITH base AS (
+                SELECT value AS s, (user_id % 3 = 0)::int AS y FROM events),
+            per AS (
+                SELECT s, sum(y) AS pos, sum(1 - y) AS neg
+                FROM base GROUP BY s),
+            c AS (
+                SELECT pos, neg,
+                       coalesce(sum(neg) OVER (
+                           ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS cumneg
+                FROM per)
+            SELECT round(sum(pos * (cumneg + neg / 2.0))
+                         / (sum(pos) * sum(neg)), 6) AS auc,
+                   sum(pos)::BIGINT AS n_pos,
+                   sum(neg)::BIGINT AS n_neg
+            FROM c
         """,
         "masked_pairs": """
             WITH tids AS (

@@ -50,3 +50,53 @@ def binary_metrics(
         rec.alias("recall"),
         _safe_div(2 * prec * rec, prec + rec).alias("f1"),
     )
+
+
+def auc_score(
+    df: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """ROC-AUC as a one-row DataFrame — the metric the reference's LogBERT
+    evaluation reports per instance-score (eval_metric_utils.py:174-231
+    computes sklearn roc_auc_score over top6_loss etc.).
+
+    Exact Mann-Whitney formulation with midrank tie handling:
+        AUC = sum_s  npos(s) * (cumneg_below(s) + nneg(s)/2) / (NPos*NNeg)
+    over DISTINCT score values s. Distributed shape: one groupBy(score)
+    hash aggregate compresses the fact table to per-score (npos, nneg)
+    counts; the cumulative pass runs over that aggregate — typically
+    orders of magnitude smaller than the input (scores here are ranks,
+    losses rounded by round4-style operators, or histogram bins). For a
+    truly continuous score at web scale, quantile-bin first; the window
+    over distinct scores is the only non-partial step.
+
+    Returns columns ``auc, n_pos, n_neg``; AUC is null when either class
+    is absent (undefined, mirroring sklearn's ValueError — null instead of
+    a throw so it composes in SQL)."""
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    y = F.col(label_col).cast("int")
+    per_score = df.groupBy(s.alias("_s")).agg(
+        F.sum(y).alias("_pos"), F.sum(1 - y).alias("_neg")
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    contrib = per_score.withColumn(
+        "_cumneg", F.coalesce(F.sum("_neg").over(w), F.lit(0))
+    ).select(
+        (F.col("_pos") * (F.col("_cumneg") + F.col("_neg") / 2.0)).alias("_u"),
+        "_pos",
+        "_neg",
+    )
+    agg = contrib.agg(
+        F.sum("_u").alias("_usum"),
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("_usum") / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )
