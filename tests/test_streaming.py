@@ -146,3 +146,44 @@ def test_streaming_dbl_state_carries_across_microbatches(spark, tmp_path):
     # the spike is in batch 2: catching it proves the batch-1 baseline
     # survived in the state store
     assert flagged["timestamp"].iloc[0] >= base + pd.Timedelta(seconds=100)
+
+
+def test_streaming_forecast_scoring(spark, tmp_path):
+    """The forecast scorer is stateless (broadcast weights + pandas_udf), so
+    it is stream-valid as-is: score a parquet stream of (window_ids,
+    next_id) rows to a memory sink and check the DeepLog verdicts match the
+    batch path row for row."""
+    import numpy as np
+
+    from logai_spark.operators.forecast import (
+        fit_next_event_model,
+        score_next_event,
+    )
+
+    seq = []
+    for i in range(60):
+        seq.extend([0, 1, 2] if i % 5 else [0, 3])
+    rows = [(seq[i : i + 3], seq[i + 3]) for i in range(len(seq) - 3)]
+    pdf = pd.DataFrame(
+        {"window_ids": [r[0] for r in rows], "next_id": [r[1] for r in rows]}
+    )
+    batch = spark.createDataFrame(pdf)
+    model = fit_next_event_model(batch, vocab_size=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("window_ids", T.ArrayType(T.LongType())),
+            T.StructField("next_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "win_stream")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    _run_to_memory(score_next_event(stream, model, g=2), "forecast_out")
+    got = spark.sql("select * from forecast_out").toPandas()
+    want = score_next_event(batch, model, g=2).toPandas()
+    assert len(got) == len(want)
+    key = lambda d: d.assign(k=d["window_ids"].map(tuple)).sort_values(
+        ["k", "next_id", "next_rank"]
+    )["is_anomaly"].tolist()
+    assert key(got) == key(want)
