@@ -34,13 +34,17 @@ from logai_spark.operators.splits import split_by_span
 from logai_spark.parse.distributed import parse_df
 from logai_spark.parse.drain import DrainConfig
 from logai_spark.preprocess import PreprocessorConfig, clean_log_openset
-from logai_spark.preprocess_opensets import bgl_preprocess, hdfs_preprocess
+from logai_spark.preprocess_opensets import (
+    bgl_preprocess,
+    hdfs_preprocess,
+    thunderbird_preprocess,
+)
 from logai_spark.sources.readers import load_openset
 
 
 @dataclass
 class OpenSetADConfig:
-    dataset: str = "hdfs"  # hdfs | bgl
+    dataset: str = "hdfs"  # hdfs | bgl | thunderbird
     filepath: str = ""
     label_filepath: str | None = None
     preprocessor: PreprocessorConfig = field(default_factory=PreprocessorConfig)
@@ -76,6 +80,8 @@ def run_openset_ad(spark: SparkSession, config: OpenSetADConfig) -> dict[str, Da
     elif cfg.dataset == "bgl":
         df = df.withColumnRenamed("span_id", "Id").withColumnRenamed("labels", "Label")
         df = bgl_preprocess(df)
+    elif cfg.dataset == "thunderbird":
+        df = thunderbird_preprocess(df)
     df = df.filter(F.col("span_id").isNotNull())
     if cfg.preprocessor.custom_replace_list or cfg.preprocessor.custom_delimiters_regex:
         df = clean_log_openset(df, "logline", cfg.preprocessor)

@@ -54,3 +54,12 @@ def hdfs_preprocess(
     if labels is not None:
         out = label_spans(out, labels, "span_id", "BlockId", "Label")
     return out
+
+
+def thunderbird_preprocess(df: DataFrame, label_col: str = "labels") -> DataFrame:
+    """Thunderbird labels: int(raw alert tag != "-")
+    (thunderbird_preprocessor.py:30-36); span_id passes through unchanged —
+    the reference's _get_ids returns the configured span dimension (the
+    node name ``Admin`` in sources/openset_configs/thunderbird.json, the
+    grouping deep-loglizer uses for this dataset)."""
+    return df.withColumn(label_col, (F.col(label_col) != "-").cast("int"))
