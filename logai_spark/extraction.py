@@ -88,17 +88,26 @@ class CategoricalEncoder:
 @dataclass
 class FeatureExtractorConfig:
     group_by_category: list[str] = field(default_factory=list)
-    group_by_time: str = "5 minutes"  # Spark window duration string
+    # Spark window duration string; None/"" = no time bucketing (reference
+    # _get_group skips pd.Grouper when group_by_time is falsy)
+    group_by_time: str | None = "5 minutes"
+    # <= 0 = whole group as ONE sequence (reference feature_extractor.py:
+    # 215-219 else-branch); > 0 = count-based sliding windows
     sliding_window: int = 0
     steps: int = 1
 
 
 class FeatureExtractor:
     """Grouped feature extraction (feature_extractor.py:59-214): counter
-    vectors per (categories, time bucket) and sliding sequences."""
+    vectors per (categories [, time bucket]) and sliding/whole-group
+    sequences, with the reference's edge semantics: groups SHORTER than the
+    window still emit one whole-group row (:195-197), sliding_window <= 0
+    collapses each group to one sequence, steps must be positive (:190)."""
 
     def __init__(self, config: FeatureExtractorConfig | None = None):
         self.config = config or FeatureExtractorConfig()
+        if self.config.steps <= 0:
+            raise RuntimeError("Step should be greater than zero.")
 
     def convert_to_counter_vector(
         self, df: DataFrame, ts_col: str = "timestamp"
@@ -108,20 +117,50 @@ class FeatureExtractor:
         return counter_vector(
             df,
             group_by_cats=self.config.group_by_category or None,
-            ts_col=ts_col,
-            freq=self.config.group_by_time,
+            ts_col=ts_col if self.config.group_by_time else None,
+            freq=self.config.group_by_time or "5 minutes",
         )
 
     def convert_to_sequence(
         self, df: DataFrame, line_col: str = "logline", order_by: str = "seq"
     ) -> DataFrame:
-        from logai_spark.operators.features import sliding_windows
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
 
-        return sliding_windows(
-            df,
-            window_size=max(self.config.sliding_window, 1),
-            partition_by=self.config.group_by_category or None,
-            order_by=order_by,
-            line_col=line_col,
-            step=self.config.steps,
+        from logai_spark.operators.features import session_windows, sliding_windows
+
+        parts = self.config.group_by_category or None
+        if self.config.sliding_window <= 0:
+            if not parts:
+                raise ValueError(
+                    "sliding_window <= 0 (whole-group sequences) requires "
+                    "group_by_category"
+                )
+            return session_windows(
+                df, span_col=parts[0], line_col=line_col, order_col=order_by
+            )
+        w = self.config.sliding_window
+        grp = Window.partitionBy(*(parts or []))
+        sized = df.withColumn("_grp_n", F.count(F.lit(1)).over(grp))
+        full = sliding_windows(
+            sized.filter(F.col("_grp_n") >= w).drop("_grp_n"),
+            window_size=w, partition_by=parts, order_by=order_by,
+            line_col=line_col, step=self.config.steps,
         )
+        # groups shorter than the window emit ONE whole-group sequence
+        # (reference :195-197) — built directly, so the stride filter never
+        # sees (and never drops) them
+        shorts = (
+            sized.filter(F.col("_grp_n") < w)
+            .groupBy(*(parts or []))
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col(order_by), F.col(line_col)))
+                    ),
+                    lambda s: s[line_col],
+                ).alias("window_lines")
+            )
+            .withColumn("window_text", F.array_join("window_lines", " "))
+        )
+        return full.unionByName(shorts, allowMissingColumns=True)

@@ -92,10 +92,13 @@ def auc_score(
         F.sum("_pos").alias("n_pos"),
         F.sum("_neg").alias("n_neg"),
     )
+    # double denominator: a long*long product overflows (silently, non-ANSI)
+    # past ~3e9 rows per class
+    denom = F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
     return agg.select(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.col("_usum") / (F.col("n_pos") * F.col("n_neg")),
+            F.col("_usum") / denom,
         ).alias("auc"),
         "n_pos",
         "n_neg",

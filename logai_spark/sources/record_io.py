@@ -30,6 +30,17 @@ RECORD_FIELDS = (
 
 
 def _sidecar_path(path: str) -> str:
+    # The sidecar is written/read with builtin open(): LOCAL (or shared
+    # POSIX) filesystems only. Fail before the expensive CSV write rather
+    # than after it — an object-store sink would succeed and then strand a
+    # CSV with no sidecar. Remote interchange belongs to the parquet
+    # checkpoint path (operators/route.checkpoint).
+    if "://" in path:
+        raise ValueError(
+            f"record_io supports local filesystem paths only (got {path!r}); "
+            "the metadata sidecar uses builtin open(). Use the parquet "
+            "checkpoint sink for object stores."
+        )
     # single-file .csv: reference naming — suffix replaced by _metadata.json
     # (data_model.py:117-118), so reference-written records load unchanged;
     # directory sinks: sidecar sits next to the directory.
@@ -48,6 +59,7 @@ def save_record_csv(
     columns absent from ``df`` fail fast, mirroring the reference's
     KeyError on invalid fields (data_model.py:100-107).
     """
+    sidecar = _sidecar_path(path)  # validates the path scheme BEFORE the write
     cols = set(df.columns)
     for field, mapped in meta_data.items():
         if field not in RECORD_FIELDS:
@@ -58,7 +70,7 @@ def save_record_csv(
         if missing:
             raise KeyError(f"columns {missing} for field {field} not in DataFrame")
     df.write.mode("overwrite").option("header", True).csv(path)
-    with open(_sidecar_path(path), "w") as fp:
+    with open(sidecar, "w") as fp:
         json.dump(meta_data, fp)
 
 

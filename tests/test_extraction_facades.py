@@ -58,3 +58,51 @@ def test_feature_extractor_facade_counter_and_sequence(spark):
     assert counters["counts"].sum() == 40
     seqs = fx.convert_to_sequence(df)
     assert "window_text" in seqs.columns and seqs.count() > 0
+
+
+def test_feature_extractor_whole_group_and_short_groups(spark):
+    rows = [
+        {"logline": f"m{i}", "app": "a", "seq": i} for i in range(6)
+    ] + [{"logline": f"s{i}", "app": "b", "seq": i} for i in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    # sliding_window <= 0: one whole-group sequence per group
+    fx0 = FeatureExtractor(
+        FeatureExtractorConfig(group_by_category=["app"], sliding_window=0)
+    )
+    whole = fx0.convert_to_sequence(df).toPandas()
+    assert len(whole) == 2  # one row per group
+
+    # short groups (len < window) still emit one whole-group row
+    fx4 = FeatureExtractor(
+        FeatureExtractorConfig(group_by_category=["app"], sliding_window=4)
+    )
+    out = fx4.convert_to_sequence(df).toPandas()
+    b_rows = out[out["window_text"].str.startswith("s")]
+    assert len(b_rows) == 1 and b_rows.iloc[0]["window_text"] == "s0 s1"
+    a_rows = out[out["window_text"].str.startswith("m")]
+    assert all(len(t.split()) == 4 for t in a_rows["window_text"])
+
+
+def test_feature_extractor_category_only_counters(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"app": ["a", "a", "b"]})  # no timestamp column at all
+    )
+    fx = FeatureExtractor(
+        FeatureExtractorConfig(group_by_category=["app"], group_by_time=None)
+    )
+    out = fx.convert_to_counter_vector(df).toPandas()
+    assert dict(zip(out["app"], out["counts"])) == {"a": 2, "b": 1}
+
+
+def test_feature_extractor_nonpositive_step_raises(spark):
+    with pytest.raises(RuntimeError):
+        FeatureExtractor(FeatureExtractorConfig(sliding_window=4, steps=0))
+
+
+def test_record_io_rejects_remote_schemes(spark):
+    from logai_spark.sources.record_io import save_record_csv
+
+    df = spark.createDataFrame(pd.DataFrame({"logline": ["x"]}))
+    with pytest.raises(ValueError):
+        save_record_csv(df, "s3a://bucket/rec", {"body": ["logline"]})

@@ -42,8 +42,10 @@ def test_thunderbird_load_and_labels(spark, tbird_log):
         .groupBy("span_id").agg(F.count("*").alias("n")).collect()
     }
     assert per_node == {"dn3": 9}  # ceil(60/7) tagged lines, only on dn3
-    # timestamp parsed from the date grammar
+    # timestamp parsed at SECOND granularity (Date + Time, reference
+    # config semantics '%Y.%m.%d %H:%M:%S') so intra-day order survives
     assert df.filter(F.col("timestamp").isNull()).count() == 0
+    assert df.select("timestamp").distinct().count() == 60  # one per second
 
 
 def test_thunderbird_workflow_end_to_end(spark, tbird_log):
