@@ -276,6 +276,10 @@ def ngram_jaccard_pairs(
     explode distinct shingles, self-join on shingle, count shared shingles,
     |A ∪ B| = |A| + |B| - shared. Only docs sharing >=1 shingle ever pair.
 
+    Contract: ``id_col`` must be unique per row (it is the pair key); with
+    duplicate ids, dedup first — the inverted index is built without a
+    global distinct on the exploded pairs.
+
     ``max_shingle_df`` caps the document frequency of shingles admitted to
     the index (stop-shingle removal): a single ubiquitous shingle shared by
     10^6 docs would otherwise make the self-join quadratic (10^12 candidate
@@ -286,10 +290,13 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     work = df.withColumn("_toks", tokenize_expr(text_col))
+    # (id, shingle) pairs are already globally unique: array_distinct dedups
+    # within the row and doc ids are unique across rows — no .distinct()
+    # (it would add a full extra shuffle on the hottest table here)
     sh = work.select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(F.col("_toks"), shingle_n))).alias("_sh"),
-    ).distinct()
+    )
     if max_shingle_df is not None:
         # window count over the shingle key: one shuffle on _sh (which the
         # self-join below shuffles on anyway), no extra aggregate+join round
