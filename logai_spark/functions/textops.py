@@ -271,6 +271,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    validate_ids: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle inverted index:
     explode distinct shingles, self-join on shingle, count shared shingles,
@@ -278,7 +279,11 @@ def ngram_jaccard_pairs(
 
     Contract: ``id_col`` must be unique per row (it is the pair key); with
     duplicate ids, dedup first — the inverted index is built without a
-    global distinct on the exploded pairs.
+    global distinct on the exploded pairs, so duplicate ids would silently
+    inflate shared-shingle counts and sizes. ``validate_ids=True`` enforces
+    the contract in-plan (raise_error on the first duplicate id — one extra
+    row-level shuffle on ``id_col``, nothing at shingle granularity), so a
+    bad input fails loudly instead of reporting wrong similarities.
 
     ``max_shingle_df`` caps the document frequency of shingles admitted to
     the index (stop-shingle removal): a single ubiquitous shingle shared by
@@ -288,6 +293,23 @@ def ngram_jaccard_pairs(
     semantics (the common trick in production near-dup pipelines). Pass None
     for exact jaccard on bounded corpora."""
     from pyspark.sql import Window
+
+    if validate_ids:
+        # the guard REPLACES id_col (used by everything downstream) so the
+        # optimizer cannot prune it away as a dead column
+        dup_guard = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        df = df.withColumn(
+            id_col,
+            F.when(
+                dup_guard > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"ngram_jaccard_pairs: duplicate {id_col}="),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast(df.schema[id_col].dataType),
+            ).otherwise(F.col(id_col)),
+        )
 
     work = df.withColumn("_toks", tokenize_expr(text_col))
     # (id, shingle) pairs are already globally unique: array_distinct dedups

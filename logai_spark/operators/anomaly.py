@@ -558,18 +558,15 @@ class Birch:
         return self._labels[d2.argmin(1)]
 
 
-def birch_fit_predict(
+def birch_fit(
     df: DataFrame,
     feature_cols: list[str],
-    id_col: str,
     threshold: float = 1.5,
     branching_factor: int = 50,
     n_clusters: int | None = None,
     max_fit_rows: int = 50_000,
-) -> DataFrame:
-    """Driver-side BIRCH fit on the capped feature sample; labels assigned
-    DISTRIBUTEDLY via the broadcast model in Arrow batches (nearest-centroid
-    predict is a matrix op), then attached as ``cluster_id``.
+) -> Birch:
+    """Driver-side BIRCH fit on a capped, data-deterministic sample.
 
     The fit sample is a pure function of the data (smallest xxhash64 of the
     feature tuple; TakeOrdered, not a full sort) — a bare limit() would pick
@@ -585,7 +582,14 @@ def birch_fit_predict(
     model = Birch(threshold, branching_factor, n_clusters)
     model.fit(pdf.to_numpy(dtype=float))
     model._labels = model._global_labels()  # materialize before broadcast
+    return model
 
+
+def birch_assign(
+    df: DataFrame, model: Birch, feature_cols: list[str]
+) -> DataFrame:
+    """Attach ``cluster_id`` DISTRIBUTEDLY via the broadcast fitted model in
+    Arrow batches (nearest-centroid predict is a matrix op)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(model)
 
@@ -595,6 +599,22 @@ def birch_fit_predict(
         return pd.Series(bc.value.predict(X).astype("int32"))
 
     return df.withColumn("cluster_id", _predict(*[F.col(c) for c in feature_cols]))
+
+
+def birch_fit_predict(
+    df: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    threshold: float = 1.5,
+    branching_factor: int = 50,
+    n_clusters: int | None = None,
+    max_fit_rows: int = 50_000,
+) -> DataFrame:
+    """birch_fit on ``df``'s own sample, then birch_assign on all of ``df``."""
+    model = birch_fit(
+        df, feature_cols, threshold, branching_factor, n_clusters, max_fit_rows
+    )
+    return birch_assign(df, model, feature_cols)
 
 
 # ---------------------------------------------------------------------------

@@ -62,8 +62,20 @@ class NextEventModel:
         self.lr = lr
         self.iters = iters
         self.w = window_size  # inferred at fit when None
+        if self.w is not None:
+            self._check_params()  # fail at construction, before any data pass
         self.W: np.ndarray | None = None
         self.b = np.zeros(self.v)
+
+    def _check_params(self) -> None:
+        if self.w * self.v * self.v > self.MAX_PARAMS:
+            raise ValueError(
+                f"window={self.w} x vocab={self.v - 1} needs "
+                f"{self.w * self.v * self.v:,} weights (> MAX_PARAMS="
+                f"{self.MAX_PARAMS:,}); cap the event vocab (top-K + OOV) "
+                "before fitting — this model is meant for template/event "
+                "vocabs, not raw tokens."
+            )
 
     # feature row i = w one-hot blocks of width v; stored sparsely as the w
     # set-bit indices (pos * v + id). Never materializes the dense (n, w*v)
@@ -90,14 +102,7 @@ class NextEventModel:
         n, w = windows.shape
         if self.w is None:
             self.w = w
-            if self.w * self.v * self.v > self.MAX_PARAMS:
-                raise ValueError(
-                    f"window={self.w} x vocab={self.v - 1} needs "
-                    f"{self.w * self.v * self.v:,} weights (> MAX_PARAMS="
-                    f"{self.MAX_PARAMS:,}); cap the event vocab (top-K + OOV) "
-                    "before fitting — this model is meant for template/event "
-                    "vocabs, not raw tokens."
-                )
+            self._check_params()
         elif w != self.w:
             raise ValueError(f"window width {w} != fitted width {self.w}")
         self._check_ids(windows, "window event")

@@ -190,7 +190,13 @@ class LogClustering:
         # so vectorization runs once per distinct content and the final join
         # fans the cluster id back out to every duplicate row.
         key_cols = ["logline", "template"] + list(cfg.attributes or [])
-        parsed = parsed.withColumn("row_id", F.xxhash64(*key_cols))
+        # 128-bit content key: at the 10^9+-row scale this targets, a 64-bit
+        # hash has birthday collisions (~0.3% at 10^9 keys) that would fan out
+        # the final join and assign the partner's cluster; md5 over the
+        # null-safe JSON encoding makes that probability negligible.
+        parsed = parsed.withColumn(
+            "row_id", F.md5(F.to_json(F.struct(*key_cols)))
+        )
         distinct_rows = parsed.select("row_id", "template", *(cfg.attributes or [])).distinct()
 
         # idf is fit on the FULL table (duplicates count toward document

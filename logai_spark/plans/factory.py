@@ -182,6 +182,17 @@ def _register_builtins() -> None:
                 df, feature_cols, id_col, eps=self.cfg.eps, min_samples=self.cfg.min_samples
             )
 
+        # Reference Clustering is fit-then-predict (analysis/clustering.py:48-63);
+        # its DbScanAlgo.predict re-runs fit_predict on the given data
+        # (clustering_algo/dbscan.py:63-80), so fit is train-and-discard.
+        def fit(self, df, feature_cols, id_col):
+            self._fit_args = (feature_cols, id_col)
+            return self
+
+        def predict(self, df, feature_cols=None, id_col=None):
+            fc, ic = getattr(self, "_fit_args", (feature_cols, id_col))
+            return self.fit_predict(df, feature_cols or fc, id_col or ic)
+
     @dataclass
     class BirchConfig:
         threshold: float = 1.5
@@ -191,6 +202,7 @@ def _register_builtins() -> None:
     class _BirchAlgo:
         def __init__(self, cfg: BirchConfig):
             self.cfg = cfg
+            self.model = None
 
         def fit_predict(self, df, feature_cols, id_col):
             from logai_spark.operators.anomaly import birch_fit_predict
@@ -201,6 +213,27 @@ def _register_builtins() -> None:
                 branching_factor=self.cfg.branching_factor,
                 n_clusters=self.cfg.n_clusters,
             )
+
+        # Reference Birch is genuinely fit-then-predict (partial_fit on train,
+        # nearest-subcluster predict on test — clustering_algo/birch.py:47-66).
+        def fit(self, df, feature_cols, id_col=None):
+            from logai_spark.operators.anomaly import birch_fit
+
+            self.model = birch_fit(
+                df, feature_cols,
+                threshold=self.cfg.threshold,
+                branching_factor=self.cfg.branching_factor,
+                n_clusters=self.cfg.n_clusters,
+            )
+            self._feature_cols = list(feature_cols)
+            return self
+
+        def predict(self, df, feature_cols=None, id_col=None):
+            from logai_spark.operators.anomaly import birch_assign
+
+            if self.model is None:
+                raise RuntimeError("Birch predict before fit")
+            return birch_assign(df, self.model, feature_cols or self._feature_cols)
 
     @dataclass
     class IPLoMFactoryConfig:

@@ -70,8 +70,13 @@ def save_record_csv(
         if missing:
             raise KeyError(f"columns {missing} for field {field} not in DataFrame")
     df.write.mode("overwrite").option("header", True).csv(path)
+    # Dtype fidelity across the CSV round trip: the reference relies on pandas
+    # inference (data_model.py:126-132); CSV-without-schema would read every
+    # column back as string. The exact Spark schema rides in the sidecar under
+    # a reserved key (ignored by reference tooling, which only reads its own
+    # field names) and is re-applied on load.
     with open(sidecar, "w") as fp:
-        json.dump(meta_data, fp)
+        json.dump({**meta_data, "_spark_schema": json.loads(df.schema.json())}, fp)
 
 
 def load_record_csv(
@@ -84,7 +89,16 @@ def load_record_csv(
     """
     with open(_sidecar_path(path)) as fp:
         meta_data = json.load(fp)
-    df = spark.read.option("header", True).csv(path)
+    schema_json = meta_data.pop("_spark_schema", None)
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(schema_json)
+        df = spark.read.option("header", True).schema(schema).csv(path)
+    else:
+        # reference-written sidecar (no schema key): mirror the reference's
+        # pandas dtype inference with Spark's inferSchema
+        df = spark.read.option("header", True).option("inferSchema", True).csv(path)
     ordered: list[str] = []
     for field in RECORD_FIELDS:
         for c in meta_data.get(field, []):

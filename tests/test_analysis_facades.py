@@ -60,3 +60,38 @@ def test_clustering_facade_dbscan(spark):
 def test_facade_unknown_algo_raises(spark):
     with pytest.raises(KeyError):
         AnomalyDetector(AnomalyDetectionConfig(algo_name="nope"))
+
+
+def test_clustering_facade_fit_then_predict_dbscan(spark):
+    """Reference call pattern (analysis/clustering.py:48-63): fit on train,
+    predict on test — DbScanAlgo.predict re-clusters the given data."""
+    pdf = pd.DataFrame(
+        {"id": range(30),
+         "x": [0.0] * 15 + [10.0] * 15,
+         "y": [0.0] * 15 + [10.0] * 15}
+    )
+    df = spark.createDataFrame(pdf)
+    cl = Clustering(ClusteringConfig(algo_name="dbscan",
+                                     algo_params={"eps": 1.0, "min_samples": 3}))
+    cl.fit(df, ["x", "y"], "id")
+    out = cl.predict(df).toPandas()
+    assert out["cluster_id"].nunique() == 2
+
+
+def test_clustering_facade_fit_then_predict_birch(spark):
+    """Birch is genuinely fit-then-predict: the model fitted on train assigns
+    test rows by nearest subcluster (clustering_algo/birch.py:47-66)."""
+    train = spark.createDataFrame(pd.DataFrame(
+        {"id": range(40),
+         "x": [0.0] * 20 + [10.0] * 20,
+         "y": [0.0] * 20 + [10.0] * 20}
+    ))
+    test = spark.createDataFrame(pd.DataFrame(
+        {"id": [100, 101], "x": [0.2, 9.8], "y": [0.1, 10.1]}
+    ))
+    cl = Clustering(ClusteringConfig(algo_name="birch",
+                                     algo_params={"threshold": 2.0, "n_clusters": 2}))
+    cl.fit(train, ["x", "y"])
+    out = cl.predict(test).toPandas().sort_values("id")
+    assert len(out) == 2
+    assert out["cluster_id"].iloc[0] != out["cluster_id"].iloc[1]

@@ -106,3 +106,26 @@ def test_record_io_rejects_remote_schemes(spark):
     df = spark.createDataFrame(pd.DataFrame({"logline": ["x"]}))
     with pytest.raises(ValueError):
         save_record_csv(df, "s3a://bucket/rec", {"body": ["logline"]})
+
+
+def test_record_io_dtype_round_trip(spark, tmp_path):
+    """Schema rides in the sidecar: numeric/timestamp columns keep their
+    types across save/load (reference load_from_csv uses pandas inference,
+    data_model.py:126-132; plain CSV would string-ify everything)."""
+    import datetime
+
+    from logai_spark.sources.record_io import load_record_csv, save_record_csv
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1, 12, 0), "a", 3, 1.5)],
+        "ts timestamp, logline string, sev int, score double",
+    )
+    path = str(tmp_path / "rec")
+    save_record_csv(df, path, {"timestamp": ["ts"], "body": ["logline"],
+                               "severity_number": ["sev"]})
+    back, meta = load_record_csv(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert meta["body"] == ["logline"]
+    assert "_spark_schema" not in meta
+    row = back.collect()[0]
+    assert row["sev"] == 3 and abs(row["score"] - 1.5) < 1e-9

@@ -126,3 +126,15 @@ def test_masked_event_pairs_contexts(spark):
         ([10, 12], 11),
         ([11, 99], 12),
     ]
+
+
+def test_max_params_guard_at_construction():
+    """MAX_PARAMS must trip in __init__ when window_size is explicit — not
+    only in the infer-at-fit branch (a large vocab would otherwise attempt a
+    multi-GB W allocation unguarded)."""
+    import pytest
+
+    from logai_spark.operators.forecast import NextEventModel
+
+    with pytest.raises(ValueError, match="MAX_PARAMS"):
+        NextEventModel(vocab_size=200_000, window_size=10)

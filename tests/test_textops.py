@@ -114,3 +114,20 @@ def test_lang_id_multilingual(spark):
     )
     out = {r["expected"]: r["lang_pred"] for r in lang_id(df).collect()}
     assert out == {k: k for k in samples}
+
+
+def test_ngram_jaccard_validate_ids_fails_loudly(spark, docs):
+    import pandas as pd
+    import pytest
+
+    dup = docs.union(docs.limit(1))  # duplicate id 0
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        ngram_jaccard_pairs(dup, threshold=0.5, validate_ids=True).collect()
+    # unique ids pass through the guard unchanged
+    clean = ngram_jaccard_pairs(docs, threshold=0.5, validate_ids=True).toPandas()
+    base = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    key = ["id_a", "id_b"]
+    assert (
+        clean.sort_values(key).reset_index(drop=True).equals(
+            base.sort_values(key).reset_index(drop=True))
+    )
