@@ -215,7 +215,13 @@ def semantic_vocab(
     df: DataFrame, line_col: str = "logline", min_count: int = 1
 ) -> DataFrame:
     """Token -> dense id over whitespace tokens (semantic.py:83-113),
-    frequency-filtered, deterministic order (count desc, token)."""
+    frequency-filtered, deterministic order (count desc, token).
+
+    Ranked via distributed_order_ids, NOT a global ``Window.orderBy`` — a
+    web-scale token vocabulary (10^6-10^7 rows even after min_count) must not
+    funnel through a single window task."""
+    from logai_spark.preprocess import distributed_order_ids
+
     toks = F.split(F.trim(F.col(line_col)), r"\s+")
     counts = (
         df.select(F.explode(toks).alias("token"))
@@ -223,8 +229,9 @@ def semantic_vocab(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
-    w = Window.orderBy(F.desc("cnt"), "token")
-    return counts.withColumn("token_id", F.row_number().over(w) - 1)
+    return distributed_order_ids(
+        counts, [F.desc("cnt"), F.asc("token")], "token_id"
+    )
 
 
 def semantic_transform(

@@ -264,23 +264,30 @@ def run_pipeline(
         manifest = {"stage": "route", "path": None}
 
     # windowed aggregate from the persisted line table; per-sink manifest
-    # counts roll up from the (tiny) aggregate instead of a second full scan.
-    # Two actions total: the parquet write, and ONE collect of the small
-    # aggregate from which sink counts and row count both derive (each action
-    # is a full driver round trip — they are the non-scaling part of the job)
+    # counts roll up from the aggregate instead of a second full scan.
+    # Two actions total: the parquet write, and ONE collect — of the
+    # per-TEMPLATE rollup (one row per sink), NOT the full windowed
+    # aggregate: windows x templates grows unboundedly with time range
+    # (10^7+ rows at fine windows over a long corpus) while #sinks is the
+    # bounded routing fan-out. The rollup is executor-side partial-agg over
+    # the persisted agg blocks; the driver only ever sees #sinks rows.
     t0 = _time.perf_counter()
     agg = counter_vector(agg_src, ["template_id", "lang"], "warc_ts", cfg.window).persist()
     agg.write.mode("overwrite").parquet(os.path.join(out_dir, "agg"))
-    agg_rows = agg.select("template_id", "counts").collect()
+    per_sink = (
+        agg.groupBy("template_id")
+        .agg(
+            F.sum("counts").alias("_rows"),
+            F.count(F.lit(1)).alias("_agg_rows"),
+        )
+        .collect()
+    )
     agg.unpersist()
-    sink_counts: dict[str, int] = {}
-    for r in agg_rows:
-        k = str(r["template_id"])
-        sink_counts[k] = sink_counts.get(k, 0) + int(r["counts"])
+    sink_counts = {str(r["template_id"]): int(r["_rows"]) for r in per_sink}
     manifest["sinks"] = sink_counts
     manifest["total_rows"] = int(sum(sink_counts.values()))
     manifest["n_sinks"] = len(sink_counts)
-    metrics["agg_rows"] = len(agg_rows)
+    metrics["agg_rows"] = int(sum(r["_agg_rows"] for r in per_sink))
     timings["aggregate"] = round(_time.perf_counter() - t0, 2)
     metrics["timings"] = timings
     if write_sinks:

@@ -97,24 +97,42 @@ def distributed_dense_ids(
     vocab/idf fit for the session lifetime. On a cluster where executor
     loss must be survivable, substitute a reliable checkpoint dir.
     """
+    keys = df.select(column).distinct()
+    out = distributed_order_ids(keys, [F.asc(column)], out_col, buckets)
+    return out.select(column, out_col)
+
+
+def distributed_order_ids(
+    df: DataFrame, order_exprs: list, out_col: str, buckets: int | None = None
+) -> DataFrame:
+    """Rank the rows of ``df`` in the given (total) order, fully distributed.
+
+    Generalization of :func:`distributed_dense_ids` to arbitrary sort
+    expressions (e.g. ``[F.desc("cnt"), F.asc("token")]`` for a
+    frequency-ordered vocabulary): range-repartition on the sort expressions,
+    rank within each sorted range, add broadcast per-range offsets. The
+    ordering must be TOTAL (ties fully broken) or ids are nondeterministic.
+    Same localCheckpoint rationale as distributed_dense_ids: freeze the
+    range assignment against retries, let blocks be GC'd with the frame.
+    """
     from pyspark.sql import Window
 
     spark = df.sparkSession
     n = buckets or spark.sparkContext.defaultParallelism * 4
     keys = (
-        df.select(column)
-        .distinct()
-        .repartitionByRange(n, F.col(column))
+        df.repartitionByRange(n, *order_exprs)
         .withColumn("_range", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     offsets = keys.groupBy("_range").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
     offsets = offsets.withColumn("_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
-    w_in = Window.partitionBy("_range").orderBy(column)
+    w_in = Window.partitionBy("_range").orderBy(*order_exprs)
     ranked = keys.withColumn("_rank", F.row_number().over(w_in) - 1)
     out = ranked.join(F.broadcast(offsets.select("_range", "_offset")), "_range")
-    return out.select(column, (F.col("_rank") + F.col("_offset")).alias(out_col))
+    return out.select(
+        *df.columns, (F.col("_rank") + F.col("_offset")).alias(out_col)
+    )
 
 
 def dense_ids(df: DataFrame, column: str, out_col: str) -> DataFrame:

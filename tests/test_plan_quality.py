@@ -68,3 +68,24 @@ def test_masked_pairs_no_cartesian_and_broadcast_dim(spark, qs):
     p = _plan(qs["masked_pairs"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_semantic_vocab_ranks_without_global_window(spark):
+    """semantic_vocab must rank the token vocabulary via the range-partitioned
+    distributed_order_ids path: every window over the counts table has to be
+    partitioned by the materialized _range id — an unpartitioned
+    row_number() over (cnt desc, token) funnels a web-scale vocab (10^6+
+    tokens) through ONE task."""
+    from logai_spark.functions.vectorizers import semantic_vocab
+
+    df = spark.range(200).selectExpr(
+        "concat('tok', id % 7, ' tok', id % 3, ' x', id % 11) as logline"
+    )
+    p = _plan(semantic_vocab(df))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, "expected a ranking window in the vocab plan"
+    for s in specs:
+        if "cnt" in s:  # the window that orders by frequency
+            assert s.strip().startswith("_range"), (
+                f"vocab ranking window is not partitioned by _range: {s}"
+            )
