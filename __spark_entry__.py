@@ -949,15 +949,33 @@ def _lsh_buckets_sql(dim: int = 64, n_planes: int = 4) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from logai_spark.functions.textops import LANG_STOPWORDS, STOPWORDS_EN
+    from logai_spark.functions.textops import (
+        LANG_SCRIPTS,
+        LANG_STOPWORDS,
+        STOPWORDS_EN,
+        script_char_class,
+    )
 
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
-    # one VALUES row per language, same dict the Spark classifier compiles
+    # one VALUES row per language, same dicts the Spark classifier compiles;
+    # ranks span the MERGED sorted language list (stopword + script profiles)
+    # so argmax tie-breaks agree with the Spark side
+    all_langs = sorted(set(LANG_STOPWORDS) | set(LANG_SCRIPTS))
     lang_rows = ", ".join(
         "('{}', {}, [{}])".format(
-            lang, -i, ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+            lang, -all_langs.index(lang),
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]),
         )
-        for i, lang in enumerate(sorted(LANG_STOPWORDS))
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    # script profiles: same literal char-class pattern string the Spark side
+    # uses (valid in both Java regex and RE2)
+    script_rows = ", ".join(
+        "('{}', {}, '{}', {})".format(
+            lang, -all_langs.index(lang),
+            script_char_class(LANG_SCRIPTS[lang][0]), LANG_SCRIPTS[lang][1],
+        )
+        for lang in sorted(LANG_SCRIPTS)
     )
     simhash_sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
@@ -1064,10 +1082,16 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id, {_DD_TOKS} AS toks FROM documents),
             l(lang, r, words) AS (VALUES {lang_rows}),
+            sc(lang, r, pat, w) AS (VALUES {script_rows}),
             s AS (
                 SELECT t.doc_id, l.lang, l.r,
                        len(list_intersect(t.toks, l.words)) AS h
-                FROM t CROSS JOIN l),
+                FROM t CROSS JOIN l
+                UNION ALL
+                SELECT d.doc_id, sc.lang, sc.r,
+                       coalesce(length(regexp_replace(d.text, sc.pat, '', 'g')), 0)
+                           * sc.w AS h
+                FROM documents d CROSS JOIN sc),
             best AS (
                 SELECT doc_id,
                        CASE WHEN max(h) >= 2

@@ -61,6 +61,40 @@ LANG_STOPWORDS = {
 }
 
 
+#: Segmentation-free script profiles for languages the whitespace-tokenized
+#: stopword classifier can NEVER detect (CJK has no spaces; Cyrillic gets a
+#: script profile too, covering the whole script family under 'ru' as the
+#: dominant web language of that script — documented heuristic). Per lang:
+#: (codepoint ranges, weight). hits = weight x (#chars in ranges): directly
+#: comparable with distinct-stopword hits because any genuinely CJK/Cyrillic
+#: document has far more script chars than a Latin doc has distinct profile
+#: words (max 20). ja outranks zh via kana weight 4: running Japanese text is
+#: >=~25% kana so 4x kana >= total CJK chars >= han, while Chinese has ~zero
+#: kana; the alphabetic tie-break (ja before zh) resolves exact ties.
+LANG_SCRIPTS: dict[str, tuple[list[tuple[int, int]], int]] = {
+    "ja": ([(0x3040, 0x30FF)], 4),            # hiragana + katakana
+    "ko": ([(0xAC00, 0xD7AF), (0x1100, 0x11FF)], 1),  # hangul + jamo
+    "ru": ([(0x0400, 0x04FF)], 1),            # cyrillic
+    "zh": ([(0x4E00, 0x9FFF)], 1),            # CJK unified ideographs
+}
+
+
+def script_char_class(ranges: list[tuple[int, int]], negate: bool = True) -> str:
+    """Character-class regex for the codepoint ranges, as LITERAL characters —
+    valid in both Java regex (Spark) and RE2 (DuckDB oracle), so one pattern
+    string serves engine and oracle."""
+    body = "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in ranges)
+    return f"[{'^' if negate else ''}{body}]"
+
+
+def script_hits_expr(col: Column, lang: str) -> Column:
+    """weight x count of chars of ``lang``'s script (strip non-script chars,
+    take the remaining length). Pure JVM, codegen-friendly."""
+    ranges, weight = LANG_SCRIPTS[lang]
+    kept = F.regexp_replace(col, script_char_class(ranges), "")
+    return F.coalesce(F.length(kept), F.lit(0)) * weight
+
+
 def tokenize_expr(col: str | Column, lowercase: bool = True) -> Column:
     """Whitespace tokenizer (reference tokenize.py:26-36 splits on space)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -144,23 +178,32 @@ def lang_id(
     out_col: str = "lang_pred",
     min_hits: int = 2,
 ) -> DataFrame:
-    """Multilingual stopword-profile language id (n-gram heuristic family,
-    7 languages in LANG_STOPWORDS). Per language: count DISTINCT profile
-    words present (array_intersect); prediction = argmax, ties broken to
-    the alphabetically first code (deterministic), 'unknown' when even the
-    best language shows fewer than ``min_hits`` distinct function words.
-    Pure JVM column expressions — array_max over (hits, -rank, code)
-    structs, whole-stage codegen, no UDF."""
+    """Multilingual language id: stopword profiles for whitespace-tokenized
+    Latin-script languages (LANG_STOPWORDS) plus segmentation-free SCRIPT
+    profiles for zh/ja/ko/ru (LANG_SCRIPTS — whitespace tokenization can
+    never see a CJK function word). Per stopword language: count DISTINCT
+    profile words present (array_intersect); per script language: weighted
+    count of script characters. Prediction = argmax over all candidates,
+    ties broken to the alphabetically first code (deterministic), 'unknown'
+    when even the best candidate scores below ``min_hits``. Pure JVM column
+    expressions — array_max over (hits, -rank, code) structs, whole-stage
+    codegen, no UDF."""
     toks = tokenize_expr(text_col)
-    langs = sorted(LANG_STOPWORDS)
+    langs = sorted(set(LANG_STOPWORDS) | set(LANG_SCRIPTS))
+
+    def _hits(lang: str) -> Column:
+        if lang in LANG_STOPWORDS:
+            return F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                )
+            )
+        return script_hits_expr(F.col(text_col), lang)
+
     candidates = F.array(
         *[
             F.struct(
-                F.size(
-                    F.array_intersect(
-                        toks, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-                    )
-                ).alias("h"),
+                _hits(lang).alias("h"),
                 F.lit(-i).alias("r"),
                 F.lit(lang).alias("lang"),
             )

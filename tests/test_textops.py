@@ -107,6 +107,12 @@ def test_lang_id_multilingual(spark):
         "it": "il cane che corre nel parco non vuole giocare con la palla",
         "nl": "de hond is niet met de kat op de bank aan het spelen",
         "pt": "os gatos de casa querem brincar com uma bola para se divertir",
+        # segmentation-free script profiles (whitespace tokenization alone
+        # could never detect these)
+        "zh": "今天天气很好我们一起去公园散步吧然后吃晚饭",
+        "ja": "今日はとても良い天気ですから公園へ散歩に行きましょう",
+        "ko": "오늘은 날씨가 좋아서 공원에 산책하러 갑니다",
+        "ru": "сегодня хорошая погода и мы идем гулять в парк",
         "unknown": "zzz qqq xxyzzy blorp 12345",
     }
     df = spark.createDataFrame(
