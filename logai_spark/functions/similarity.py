@@ -97,6 +97,7 @@ def near_dup_pairs(
     rows_per_band: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed (no all-pairs join).
 
@@ -108,15 +109,30 @@ def near_dup_pairs(
     "pairs that LSH-collide AND have cosine >= threshold": collision recall
     vs brute force is tunable with bands/rows_per_band (P[collide] =
     1-(1-p^r)^b, p = 1 - angle/pi) and measured in tests/test_ivf.py.
+
+    ``method``: ``sql`` inlines the plane coefficients as literals (pure JVM,
+    oracle-expressible); ``arrow`` computes all band buckets in one
+    broadcast-matrix pandas_udf crossing; ``auto`` picks sql up to
+    ``_SQL_PLANE_BUDGET`` plane-coefficient literals — beyond that (real
+    embedding dims x 16 bands) the inlined expression hits the codegen
+    compile-size wall.
     """
-    band_buckets = F.array(
-        *[
-            hyperplane_signs(
-                F.col(vec_col), dim, rows_per_band, plane_offset=b * rows_per_band
-            )
-            for b in range(bands)
-        ]
+    if method not in ("auto", "sql", "arrow"):
+        raise ValueError("method must be auto|sql|arrow")
+    use_sql = method == "sql" or (
+        method == "auto" and bands * rows_per_band * dim <= _SQL_PLANE_BUDGET
     )
+    if use_sql:
+        band_buckets = F.array(
+            *[
+                hyperplane_signs(
+                    F.col(vec_col), dim, rows_per_band, plane_offset=b * rows_per_band
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_buckets = band_buckets_arrow(F.col(vec_col), dim, bands, rows_per_band)
     vb = vectors.select(
         F.col(id_col), F.posexplode(band_buckets).alias("_band", "_bucket")
     )
@@ -148,6 +164,52 @@ def _det_coeff(p: int, j: int) -> int:
     return (h % 2001) - 1000
 
 
+def _plane_matrix(n_planes: int, dim: int, plane_offset: int = 0):
+    """The same deterministic pseudo-plane coefficients hyperplane_signs
+    inlines as literals, materialized once as a numpy matrix."""
+    import numpy as np
+
+    return np.array(
+        [
+            [_det_coeff(plane_offset + p, j) / 1000.0 for j in range(dim)]
+            for p in range(n_planes)
+        ]
+    )
+
+
+#: expression-path budget: planes x dim literals beyond this and the inlined
+#: coefficient arrays hit the same codegen/compile-size wall _cell_expr had
+#: (real embedding dims 768-1536 x 16 planes ~ 10^4-10^5 literals) — switch
+#: to the broadcast-matrix Arrow path.
+_SQL_PLANE_BUDGET = 4096
+
+
+def band_buckets_arrow(
+    vec_col: Column, dim: int, bands: int, rows_per_band: int
+) -> Column:
+    """All ``bands`` hyperplane sign buckets in ONE Arrow crossing: the
+    (bands x rows_per_band, dim) plane matrix lives in the UDF closure
+    (broadcast with the serialized function, one copy per executor), each
+    batch is a single numpy sign-matrix multiply. Bit-for-bit the same
+    bucket ids as the literal-expression path."""
+    import numpy as np
+    import pandas as pd
+
+    P = _plane_matrix(bands * rows_per_band, dim)
+    pows = 2 ** np.arange(rows_per_band, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _buckets(s):
+        X = np.asarray(s.tolist(), dtype=float)
+        if X.ndim != 2:  # empty batch
+            return pd.Series([], dtype=object)
+        S = (X @ P.T) > 0  # (n, bands*rows)
+        B = (S.reshape(len(X), bands, rows_per_band) * pows[None, None, :]).sum(2)
+        return pd.Series([row.tolist() for row in B.astype("int64")])
+
+    return _buckets(vec_col.cast("array<double>"))
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -157,15 +219,31 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: only vectors in the query's hyperplane-sign bucket
     are scored. At scale the bucket column is a partition/cluster key, so a
-    query touches ~1/2^planes of the data."""
-    vb = vectors.withColumn("_bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
+    query touches ~1/2^planes of the data.
+
+    ``method`` as in :func:`near_dup_pairs`: sql literals vs one-band Arrow
+    matrix signs above the plane-literal budget."""
+    if method not in ("auto", "sql", "arrow"):
+        raise ValueError("method must be auto|sql|arrow")
+    use_sql = method == "sql" or (
+        method == "auto" and n_planes * dim <= _SQL_PLANE_BUDGET
+    )
+    if use_sql:
+        def _sig(c):
+            return hyperplane_signs(c, dim, n_planes)
+    else:
+        def _sig(c):
+            return F.element_at(band_buckets_arrow(c, dim, 1, n_planes), 1)
+
+    vb = vectors.withColumn("_bucket", _sig(F.col(vec_col)))
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-    ).withColumn("_bucket", hyperplane_signs(F.col("_qvec"), dim, n_planes))
+    ).withColumn("_bucket", _sig(F.col("_qvec")))
     scored = vb.join(F.broadcast(qb), "_bucket").select(
         query_id_col,
         id_col,

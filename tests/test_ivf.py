@@ -126,3 +126,68 @@ def test_near_dup_lsh_recall_vs_brute_force(spark):
     assert got_pairs <= true_pairs  # no false positives (exact cosine verify)
     recall = len(got_pairs) / max(len(true_pairs), 1)
     assert recall > 0.35  # 4 bands x 4 rows at cos>=0.3; raise bands for more
+
+
+def test_hyperplane_arrow_matches_sql_path(spark):
+    """The broadcast-matrix Arrow signs must produce bit-identical buckets
+    and identical near-dup pairs to the literal-expression path."""
+    import numpy as np
+    import pandas as pd
+
+    from logai_spark.functions.similarity import lsh_bucket_topk, near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    dim = 24
+    base = rng.randn(40, dim)
+    vecs = np.vstack([base, base[:10] + rng.randn(10, dim) * 0.01])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)),
+                      "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    key = ["id_a", "id_b"]
+    sql_pairs = (near_dup_pairs(df, dim, threshold=0.8, method="sql")
+                 .toPandas().sort_values(key).reset_index(drop=True))
+    arrow_pairs = (near_dup_pairs(df, dim, threshold=0.8, method="arrow")
+                   .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(sql_pairs) > 0
+    assert sql_pairs.equals(arrow_pairs)
+
+    q = df.limit(3).withColumnRenamed("vec_id", "query_id")
+    key = ["query_id", "rank"]
+    s = (lsh_bucket_topk(df, q, dim, method="sql")
+         .toPandas().sort_values(key).reset_index(drop=True))
+    a = (lsh_bucket_topk(df, q, dim, method="arrow")
+         .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(s) > 0 and s.equals(a)
+
+
+def test_near_dup_high_dim_uses_bounded_plan(spark):
+    """dim 768 x 16 planes exceeds the plane-literal budget: auto must take
+    the Arrow path and keep the plan compact (no 10^4-literal expression)."""
+    import contextlib
+    import io
+
+    import numpy as np
+    import pandas as pd
+
+    from logai_spark.functions.similarity import near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    dim = 768
+    base = rng.randn(20, dim)
+    vecs = np.vstack([base, base[:5] + rng.randn(5, dim) * 0.005])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)),
+                      "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    out = near_dup_pairs(df, dim, threshold=0.9, bands=4, rows_per_band=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(plan) < 60_000, f"plan blew up to {len(plan)} chars"
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+    pairs = out.toPandas()
+    truth = {(i, 768 // 768 * (20 + i)) for i in range(5)}  # (i, 20+i)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert {(i, 20 + i) for i in range(5)} <= got
