@@ -705,18 +705,30 @@ def detect_anomalies_per_series(
     n_sigma: float = 3.0,
     algo: str = "dbl",
     seasonal_periods: int | None = None,
+    trends: list[str] | None = None,
+    wind_sz_minutes: int = 60,
 ) -> DataFrame:
     """Per-key fit/predict via applyInPandas (anomaly_detector_het.py:72-98):
     series shorter than MIN_TS_LENGTH are skipped; the first ``train_frac``
     chronologically is train (log_anomaly_detection.py:144-149).
 
     algo='dbl': dynamic baseline — flag test points beyond mean ± n_sigma of
-    the train window (Merlion DynamicBaseline spirit, dbl.py:46-122).
+    the train window (Merlion DynamicBaseline contract, dbl.py:46-122).
+    Without ``trends`` the baseline is the global train mean/std; with
+    ``trends`` (any of 'daily'/'weekly', Merlion DynamicBaselineConfig) each
+    test point is scored against the SEASONAL baseline of its own bucket —
+    'daily' buckets time-of-day into ``wind_sz_minutes`` windows (Merlion's
+    wind_sz), 'weekly' adds day-of-week — which is what catches a 3 am spike
+    that a flat mean±nσ over a daily-cycled counter can never see. Buckets
+    with <2 train points fall back to the global baseline.
     algo='ets': additive exponential smoothing one-step forecasts — full
     Holt-Winters (level/trend/season) when ``seasonal_periods`` is given,
     honoring the Merlion-ETS (A,A,A) contract (ets.py:55-145); flags test
     points whose normalized residual exceeds n_sigma.
     """
+    for t in trends or []:
+        if t not in ("daily", "weekly"):
+            raise ValueError(f"unsupported trend {t!r}; use 'daily'/'weekly'")
     out_fields = [df.schema[c] for c in key_cols] + [
         df.schema[ts_col],
         df.schema[value_col],
@@ -740,10 +752,35 @@ def detect_anomalies_per_series(
                 y, split, seasonal_periods=seasonal_periods, n_sigma=n_sigma
             )
         else:  # dbl
-            mu, sd = float(train.mean()), float(train.std() or 1.0)
-            sd = sd if sd > 0 else 1.0
+            g_mu, g_sd = float(train.mean()), float(train.std() or 1.0)
+            g_sd = g_sd if g_sd > 0 else 1.0
             scores = np.zeros(n)
-            scores[split:] = (test - mu) / sd
+            if trends:
+                ts = pd.to_datetime(pdf[ts_col])
+                bucket = np.zeros(n, dtype=np.int64)
+                if "daily" in trends:
+                    minutes = (ts.dt.hour * 60 + ts.dt.minute).to_numpy()
+                    bucket = bucket * 10_000 + minutes // max(wind_sz_minutes, 1)
+                if "weekly" in trends:
+                    bucket = bucket * 10 + ts.dt.dayofweek.to_numpy()
+                stats = (
+                    pd.DataFrame({"k": bucket[:split], "y": train})
+                    .groupby("k")["y"]
+                    .agg(["mean", "std", "count"])
+                )
+                test_k = pd.Series(bucket[split:])
+                mu = test_k.map(stats["mean"]).to_numpy()
+                sd = test_k.map(stats["std"]).to_numpy()
+                cnt = test_k.map(stats["count"]).fillna(0).to_numpy()
+                thin = cnt < 2  # unseen or single-point bucket -> global
+                mu = np.where(thin, g_mu, mu)
+                # zero-variance bucket: the baseline is exact, so keep the
+                # same unit floor the flat branch uses — falling back to the
+                # (cycle-inflated) global σ would blind the seasonal detector
+                sd = np.where(thin, g_sd, np.where(sd > 0, sd, 1.0))
+                scores[split:] = (test - mu) / sd
+            else:
+                scores[split:] = (test - g_mu) / g_sd
         out = pdf[[*key_cols, ts_col, value_col]].copy()
         out["anom_score"] = scores
         out["is_anomaly"] = (np.abs(scores) > n_sigma).astype("int32")

@@ -296,6 +296,9 @@ def _register_builtins() -> None:
         train_frac: float = 0.7
         n_sigma: float = 3.0
         seasonal_periods: int | None = None
+        # DBL seasonal baselines (Merlion DynamicBaselineConfig trends/wind_sz)
+        trends: list | None = None
+        wind_sz_minutes: int = 60
 
     def _series_algo(algo_name: str):
         class _SeriesAlgo:
@@ -309,6 +312,8 @@ def _register_builtins() -> None:
                     df, key_cols, ts_col=ts_col, value_col=value_col,
                     train_frac=self.cfg.train_frac, n_sigma=self.cfg.n_sigma,
                     algo=algo_name, seasonal_periods=self.cfg.seasonal_periods,
+                    trends=self.cfg.trends,
+                    wind_sz_minutes=self.cfg.wind_sz_minutes,
                 )
 
         return _SeriesAlgo

@@ -207,3 +207,60 @@ def test_dbscan_spark_join_back(spark):
     assert len({got[i] for i in range(50)}) == 1
     assert len({got[i] for i in range(50, 100)}) == 1
     assert got[0] != got[99]
+
+
+def test_seasonal_dbl_catches_daily_cycle_anomaly(spark):
+    """A counter with a strong daily cycle (nights ~5, days ~100): a spike to
+    60 at 3 am is 12x the nightly baseline but well inside the FLAT
+    mean±3σ band (global mean ~52, σ ~47) — plain DBL must miss it, the
+    'daily'-trend seasonal baseline must flag it (Merlion DynamicBaseline
+    contract, reference dbl.py:46-122)."""
+    import pandas as pd
+
+    rows = []
+    for day in range(14):
+        for hour in range(24):
+            ts = pd.Timestamp("2024-03-01") + pd.Timedelta(days=day, hours=hour)
+            base = 100.0 if 8 <= hour < 20 else 5.0
+            val = base + (hour % 3)  # small deterministic jitter
+            rows.append(("s1", ts, val))
+    # test-window anomaly: day 12, 3 am spike (inside the last 30%)
+    rows = [
+        (k, ts, 60.0) if (ts.day == 13 and ts.hour == 3) else (k, ts, v)
+        for k, ts, v in rows
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "timestamp", "counts"]))
+
+    flat = detect_anomalies_per_series(
+        df, ["series"], algo="dbl", n_sigma=3.0
+    ).toPandas()
+    flat_hit = flat[(flat["timestamp"].dt.day == 13) & (flat["timestamp"].dt.hour == 3)]
+    assert int(flat_hit["is_anomaly"].iloc[0]) == 0  # flat baseline is blind
+
+    seasonal = detect_anomalies_per_series(
+        df, ["series"], algo="dbl", n_sigma=3.0, trends=["daily"]
+    ).toPandas()
+    hit = seasonal[(seasonal["timestamp"].dt.day == 13) & (seasonal["timestamp"].dt.hour == 3)]
+    assert int(hit["is_anomaly"].iloc[0]) == 1  # seasonal baseline catches it
+    # and the ordinary cycle is not flagged
+    normal = seasonal[~((seasonal["timestamp"].dt.day == 13) & (seasonal["timestamp"].dt.hour == 3))]
+    assert int(normal["is_anomaly"].sum()) == 0
+
+
+def test_seasonal_dbl_weekly_trend_and_bad_trend(spark):
+    import pandas as pd
+    import pytest
+
+    rows = []
+    for day in range(28):
+        ts = pd.Timestamp("2024-03-04") + pd.Timedelta(days=day)
+        val = 200.0 if ts.dayofweek >= 5 else 20.0  # weekend-heavy counter
+        rows.append(("s1", ts, val))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "timestamp", "counts"]))
+    out = detect_anomalies_per_series(
+        df, ["series"], algo="dbl", n_sigma=3.0, trends=["weekly"]
+    ).toPandas()
+    assert int(out["is_anomaly"].sum()) == 0  # the cycle itself is baseline
+
+    with pytest.raises(ValueError, match="unsupported trend"):
+        detect_anomalies_per_series(df, ["series"], trends=["monthly"])
