@@ -53,6 +53,18 @@ class IPLoMConfig:
     ct: float = 0.0  # cluster goodness threshold (step-3 gate)
     lower_bound: float = 0.25
     upper_bound: float = 0.9
+    #: parallelism/memory bound WITHIN a token-count group. The refinement
+    #: unit is one (token count) group of distinct lines; a web-scale corpus
+    #: with one dominant line length would put that whole group's distinct
+    #: lines in a single executor's pandas frame. shards_per_group > 1 splits
+    #: each group by a deterministic content hash (pmod(xxhash64(line))) —
+    #: cluster-size-invariant — refines each shard independently, and merges
+    #: templates by equality. Trade-off, documented: refinement decisions see
+    #: only the shard's distinct lines, so a position whose few values split
+    #: unluckily across shards can template differently than the unsharded
+    #: run (in practice identical when each position's value diversity >>
+    #: shard count). Default 1 = exact single-group semantics.
+    shards_per_group: int = 1
 
 
 def tokenize_iplom(line: str, rex: list[str] | None = None) -> list[str]:
@@ -322,6 +334,13 @@ def parse_iplom(df, column: str = "logline", config: IPLoMConfig | None = None):
     keyed = distinct.withColumn(
         "_n", F.when(F.size(toks) > 0, F.size(toks)).otherwise(F.lit(1))
     )
+    # skew bound: shard within the token-count group by content hash (see
+    # IPLoMConfig.shards_per_group) so one dominant line length cannot land
+    # an unbounded distinct-line set in a single task's pandas frame
+    n_shards = max(int(cfg.shards_per_group), 1)
+    keyed = keyed.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(column)), F.lit(n_shards))
+    )
 
     schema = T.StructType(
         [
@@ -334,7 +353,7 @@ def parse_iplom(df, column: str = "logline", config: IPLoMConfig | None = None):
         tpl = iplom_map_distinct(pdf[column], pdf["_cnt"], cfg)
         return pd.DataFrame({column: pdf[column], "template": tpl})
 
-    mapping = keyed.groupBy("_n").applyInPandas(_refine, schema)
+    mapping = keyed.groupBy("_n", "_shard").applyInPandas(_refine, schema)
     joined = df.join(mapping, column, "left")
     sizes = [
         (r["template"], int(r["n"]))

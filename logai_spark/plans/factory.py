@@ -241,6 +241,7 @@ def _register_builtins() -> None:
         ct: float = 0.0
         lower_bound: float = 0.25
         upper_bound: float = 0.9
+        shards_per_group: int = 1
 
     class _IPLoMAlgo:
         def __init__(self, cfg: IPLoMFactoryConfig):
@@ -257,6 +258,7 @@ def _register_builtins() -> None:
                     ct=self.cfg.ct,
                     lower_bound=self.cfg.lower_bound,
                     upper_bound=self.cfg.upper_bound,
+                    shards_per_group=self.cfg.shards_per_group,
                 ),
             )[0]
 

@@ -120,3 +120,30 @@ def test_oracle_token_pattern_matches_python_on_unicode_whitespace():
         assert list(dd) == [x for x in tokenize_iplom(t) if x != " "] or (
             dd == [] and tokenize_iplom(t) == [" "]
         )
+
+
+def test_iplom_sharded_skew_group_matches_unsharded(spark):
+    """One dominant token count (the skew regime that would put a whole
+    group's distinct lines into one task): sharding within the group must
+    (a) bound the per-task distinct-line set by ~1/shards and (b) on a
+    grammar whose per-position value diversity >> shard count, produce the
+    exact line->template mapping of the unsharded run."""
+    import pandas as pd
+
+    from logai_spark.parse.iplom import IPLoMConfig, parse_iplom
+
+    lines = []
+    for i in range(3000):  # every line has the same token count (6)
+        lines.append(f"conn from host{i % 211} port {7000 + i % 199} ok")
+        lines.append(f"auth user u{i % 223} session s{i % 191} granted")
+    df = spark.createDataFrame(pd.DataFrame({"logline": lines}))
+
+    base, base_sizes = parse_iplom(df, "logline", IPLoMConfig())
+    shard, shard_sizes = parse_iplom(
+        df, "logline", IPLoMConfig(shards_per_group=8)
+    )
+    b = base.toPandas().sort_values("logline").reset_index(drop=True)
+    s = shard.toPandas().sort_values("logline").reset_index(drop=True)
+    assert b["template"].notna().all()  # mass conserved, no dropped lines
+    assert b.equals(s)
+    assert base_sizes == shard_sizes
