@@ -38,12 +38,19 @@ _MINE_SCHEMA = T.StructType(
 
 
 def mine_templates(
-    df: DataFrame, column: str = "logline", config: DrainConfig | None = None
-) -> list[tuple[str, int]]:
+    df: DataFrame, column: str = "logline", config: DrainConfig | None = None,
+    return_stats: bool = False,
+) -> list[tuple[str, int]] | tuple[list[tuple[str, int]], dict]:
     """Pass 1+2: mine partition-local templates, merge into a global set.
 
     Returns [(template, total_size)] sorted by (-size, template); merge is
     deterministic and independent of partition count/order.
+
+    With ``return_stats=True`` also returns {"total_lines", "distinct_lines",
+    "duplication"} measured by the SAME pass (each shard emits its
+    distinct-line count as a null-template row — no extra action, no extra
+    scan). The duplication factor drives match-strategy auto-selection in
+    ``pipeline.run_pipeline``.
     """
     cfg = config or DrainConfig()
 
@@ -57,8 +64,12 @@ def mine_templates(
                 cluster = tree.add_line(line)
                 cluster.size += int(cnt) - 1
         tpls = tree.templates()
+        # in-band stats row (template NULL): this shard's distinct-line count
         return pd.DataFrame(
-            {"template": [t for t, _ in tpls], "size": [s for _, s in tpls]}
+            {
+                "template": [t for t, _ in tpls] + [None],
+                "size": [s for _, s in tpls] + [len(pdf)],
+            }
         )
 
     # JVM-side exact dedup first: the Python tree fits each DISTINCT line once
@@ -96,14 +107,26 @@ def mine_templates(
         .agg(F.sum("size").alias("size"))
         .collect()
     )
+    distinct_lines = sum(int(r["size"]) for r in partial if r["template"] is None)
     # deterministic merge order: big clusters first so they anchor the merge,
     # lexicographic tiebreak so the result is independent of partitioning
-    ordered = sorted(partial, key=lambda r: (-r["size"], r["template"]))
+    ordered = sorted(
+        (r for r in partial if r["template"] is not None),
+        key=lambda r: (-r["size"], r["template"]),
+    )
     merged = DrainTree(cfg)
     for row in ordered:
         merged.add_template(row["template"], int(row["size"]))
     out = [(t, s) for t, s in merged.templates()]
     out.sort(key=lambda ts: (-ts[1], ts[0]))
+    if return_stats:
+        total = sum(s for _, s in out)
+        stats = {
+            "total_lines": total,
+            "distinct_lines": distinct_lines,
+            "duplication": (total / distinct_lines) if distinct_lines else 1.0,
+        }
+        return out, stats
     return out
 
 

@@ -52,9 +52,18 @@ class PipelineConfig:
     # per-worker memo (fastest measured: one Python crossing, no join
     # shuffle); 'by_join' = extract, then global distinct-line match +
     # equi-join (total Python work is |distinct lines| regardless of worker
-    # count — the better shape when duplication is high and workers many).
-    # A/B numbers for both at sf0.1 are recorded in BASELINE.md §3.
+    # count — the better shape when duplication is high and workers many);
+    # 'auto' = pick per-run from the mining pass's measured duplication
+    # factor (total/distinct lines — free: same pass, in-band stats rows).
+    # A/B numbers for both at sf0.1, and the measured crossover behind
+    # auto_dup_threshold, are recorded in BASELINE.md §3.3.
     match_strategy: str = "fused"
+    # auto picks by_join when duplication >= this. From the measured sf0.1
+    # crossover sweep (BASELINE.md §3.3): fused wins at low duplication
+    # (its single Python crossing beats by_join's extract + two line-table
+    # shuffles), by_join wins once per-worker re-matching dominates, i.e.
+    # when each of W workers re-matches most of the distinct set.
+    auto_dup_threshold: float = 20.0
     # cross-check the routed parquet row count against the aggregate-derived
     # manifest totals before writing the manifest (fail loudly on mismatch)
     verify_write: bool = True
@@ -213,9 +222,22 @@ def run_pipeline(
             F.pmod(F.xxhash64("url"), 10000)
             < int(cfg.sample_fraction_for_mining * 10000)
         )
-    templates = mine_templates(pages_to_lines(mine_pages), "logline", cfg.drain)
+    templates, mine_stats = mine_templates(
+        pages_to_lines(mine_pages), "logline", cfg.drain, return_stats=True
+    )
     timings["mine"] = round(_time.perf_counter() - t0, 2)
-    if cfg.match_strategy == "by_join":
+    strategy = cfg.match_strategy
+    if strategy == "auto":
+        # duplication measured on the mining input (the sample, when
+        # sampling — an under-estimate of true duplication, so auto errs
+        # toward fused, the safe default). Crossover measured in
+        # BASELINE.md §3.3.
+        strategy = (
+            "by_join"
+            if mine_stats["duplication"] >= cfg.auto_dup_threshold
+            else "fused"
+        )
+    if strategy == "by_join":
         from logai_spark.parse.distributed import match_templates_by_join
 
         parsed = match_templates_by_join(
@@ -226,7 +248,12 @@ def run_pipeline(
 
     enriched = enrich(parsed, lang_dimension(spark), "lang", select=["lang_name", "script"])
 
-    metrics: dict = {"templates": len(templates), "templates_list": templates}
+    metrics: dict = {
+        "templates": len(templates),
+        "templates_list": templates,
+        "match_strategy": strategy,
+        "duplication": round(mine_stats["duplication"], 2),
+    }
     if write_sinks:
         # The parsed+enriched line table is consumed twice (routed write +
         # windowed aggregate). Persisting it means the expensive fused

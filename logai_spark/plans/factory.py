@@ -330,6 +330,15 @@ def _register_builtins() -> None:
         g: int = 3
         lr: float = 2.0
         iters: int = 200
+        hidden: int | None = None  # MLP width; None = linear
+
+    @dataclass
+    class MLPForecastConfig(ForecastConfig):
+        """The one-hidden-layer variant (operators/forecast.py
+        MLPNextEventModel): same DeepLog rule, extra capacity for
+        conjunction/long-range grammars a linear softmax cannot express."""
+
+        hidden: int | None = 64
 
     class _ForecastAlgo:
         def __init__(self, cfg: ForecastConfig):
@@ -341,7 +350,7 @@ def _register_builtins() -> None:
 
             self.model = fit_next_event_model(
                 df, self.cfg.vocab_size, window_col, next_col,
-                lr=self.cfg.lr, iters=self.cfg.iters,
+                lr=self.cfg.lr, iters=self.cfg.iters, hidden=self.cfg.hidden,
             )
             return self
 
@@ -682,6 +691,9 @@ def _register_builtins() -> None:
         _DivergenceAlgo
     )
     factory.register("detection", "forecast_next_event", ForecastConfig)(_ForecastAlgo)
+    factory.register("detection", "forecast_next_event_mlp", MLPForecastConfig)(
+        _ForecastAlgo
+    )
     factory.register("detection", "logbert", MaskedEventConfig)(_MaskedEventAlgo)
     factory.register("vectorization", "word2vec", Word2VecConfig)(_Word2VecAlgo)
     factory.register("vectorization", "sequential", SequentialConfig)(_SequentialAlgo)

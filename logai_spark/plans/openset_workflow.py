@@ -55,6 +55,7 @@ class OpenSetADConfig:
     checkpoint_dir: str | None = None
     detector: str = "isolation_forest"  # | "forecast_next_event"
     forecast_g: int = 3
+    forecast_hidden: int | None = None  # MLP width; None = linear forecaster
 
 
 def run_openset_ad(spark: SparkSession, config: OpenSetADConfig) -> dict[str, DataFrame]:
@@ -192,7 +193,9 @@ def _forecast_detect(split_df: DataFrame, cfg: OpenSetADConfig):
             .drop("_nid", "_wkey")
         )
 
-    model = fit_next_event_model(to_ids(train_w), vocab_size=oov)
+    model = fit_next_event_model(
+        to_ids(train_w), vocab_size=oov, hidden=cfg.forecast_hidden
+    )
     test_w = split_df.filter(F.col("split") == "test")
     scored = score_next_event(to_ids(test_w), model, g=cfg.forecast_g)
     # Ground-truth span labels come from ALL test windows — the scoring set

@@ -62,8 +62,13 @@ def _h(seed: int, key: str) -> int:
     )
 
 
-def _gen_line(seed: int, doc: int, i: int) -> str:
+def _gen_line(seed: int, doc: int, i: int, line_pool: int | None = None) -> str:
     r = _h(seed, f"line:{doc}:{i}")
+    if line_pool is not None:
+        # high-duplication regime: draw the line from a fixed pool of
+        # `line_pool` distinct lines (duplication factor ~= total/pool),
+        # for the fused-vs-by_join crossover bench (BASELINE.md §3.3)
+        r = _h(seed, f"pline:{r % line_pool}")
     # skew: ~35% of lines hit template 0, rest uniform
     t = 0 if r % 100 < 35 else 1 + (r >> 8) % (len(_LINE_TEMPLATES) - 1)
     tpl = _LINE_TEMPLATES[t]
@@ -81,7 +86,9 @@ def _gen_line(seed: int, doc: int, i: int) -> str:
     )
 
 
-def make_page(seed: int, doc_id: int) -> tuple[str, int, bytes, str]:
+def make_page(
+    seed: int, doc_id: int, line_pool: int | None = None
+) -> tuple[str, int, bytes, str]:
     """Deterministically build one page: (url, epoch_us, html, lang)."""
     r = _h(seed, f"doc:{doc_id}")
     domain = _DOMAINS[r % len(_DOMAINS)]
@@ -90,14 +97,23 @@ def make_page(seed: int, doc_id: int) -> tuple[str, int, bytes, str]:
     # warc_ts in 2024-01-01 .. +90d, microsecond precision, deterministic
     epoch_us = 1_704_067_200_000_000 + (r % (90 * 24 * 3600)) * 1_000_000 + (r >> 32) % 1_000_000
     n_lines = 5 + (r >> 16) % 28
-    lines = [_gen_line(seed, doc_id, i) for i in range(n_lines)]
+    lines = [_gen_line(seed, doc_id, i, line_pool) for i in range(n_lines)]
     body = "".join(f"<p>{_html.escape(ln)}</p>\n" for ln in lines)
+    # under line_pool the page chrome pools too (the displayed doc id cycles
+    # through the pool) — otherwise every page injects ~2 unique title/h1
+    # lines and corpus duplication saturates at ~lines_per_page/2 no matter
+    # how small the pool; near-duplicate web corpora duplicate their
+    # boilerplate along with their body
+    disp = doc_id if line_pool is None else _h(seed, f"pdoc:{doc_id}") % line_pool
+    # the footer year pools with disp too — it is the third chrome line that
+    # would otherwise stay unique-per-page and cap measurable duplication
+    yr = r if line_pool is None else _h(seed, f"pyear:{disp}")
     page = (
-        f"<html><head><title>doc {doc_id} &amp; logs</title>"
+        f"<html><head><title>doc {disp} &amp; logs</title>"
         f"<style>p {{color: #111}}</style>"
         f"<script>var x = {r % 997};</script></head>"
-        f"<body>\n<h1>Log capture {doc_id}</h1>\n{body}"
-        f"<div class=\"footer\">&copy; example {r % 2024}</div>\n</body></html>"
+        f"<body>\n<h1>Log capture {disp}</h1>\n{body}"
+        f"<div class=\"footer\">&copy; example {yr % 2024}</div>\n</body></html>"
     )
     return url, epoch_us, page.encode("utf-8"), lang
 
@@ -139,7 +155,11 @@ def extract_text_udf():
 
 
 def synth_webpages(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    line_pool: int | None = None,
 ) -> DataFrame:
     """Generate the pages table distributedly: spark.range -> mapInPandas.
 
@@ -151,7 +171,7 @@ def synth_webpages(
 
     def _gen(batches):
         for pdf in batches:
-            rows = [make_page(seed, int(i)) for i in pdf["id"]]
+            rows = [make_page(seed, int(i), line_pool) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "url": [r[0] for r in rows],

@@ -138,3 +138,39 @@ def test_max_params_guard_at_construction():
 
     with pytest.raises(ValueError, match="MAX_PARAMS"):
         NextEventModel(vocab_size=200_000, window_size=10)
+
+
+def test_mlp_capacity_beats_linear_on_xor_grammar():
+    """The one-hidden-layer model (VERDICT r2 #8) represents position
+    CONJUNCTIONS a linear softmax provably cannot: next = XOR of the two
+    window events. The linear model converges to uniform 0.5/0.5 on every
+    window; the MLP drives the correct next above 0.99. Both deterministic
+    (fixed-seed init) — re-fit is bit-identical."""
+    from logai_spark.operators.forecast import MLPNextEventModel
+
+    W = np.array([[0, 0], [0, 1], [1, 0], [1, 1]])
+    y = np.array([0, 1, 1, 0])  # xor
+    c = np.ones(4)
+    lin = NextEventModel(2, lr=2.0, iters=400).fit(W, y, c)
+    lin_own = lin.probs(W)[np.arange(4), y]
+    assert lin_own.max() < 0.6  # linear cannot separate xor
+    mlp = MLPNextEventModel(2, hidden=8, lr=0.5, iters=1500).fit(W, y, c)
+    mlp_own = mlp.probs(W)[np.arange(4), y]
+    assert mlp_own.min() > 0.95
+    assert (mlp.rank_of_next(W, y) == 1).all()
+    mlp2 = MLPNextEventModel(2, hidden=8, lr=0.5, iters=1500).fit(W, y, c)
+    assert np.array_equal(mlp.W1, mlp2.W1) and np.array_equal(mlp.W2, mlp2.W2)
+
+
+def test_mlp_spark_fit_learns_grammar(spark):
+    """fit_next_event_model(hidden=...) end-to-end through the Spark dedup
+    table + broadcast scoring path, on the cyclic grammar."""
+    rows = _windows(_grammar_sequences(100))
+    pdf = pd.DataFrame(
+        {"window_ids": [r[0] for r in rows], "next_id": [r[1] for r in rows]}
+    )
+    df = spark.createDataFrame(pdf)
+    m = fit_next_event_model(df, vocab_size=4, hidden=16)
+    scored = score_next_event(df, m, g=2)
+    frac_ok = scored.filter(F.col("is_anomaly") == 0).count() / df.count()
+    assert frac_ok > 0.95

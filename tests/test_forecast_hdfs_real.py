@@ -53,6 +53,44 @@ def test_forecast_detector_on_real_hdfs_labels(spark):
     assert m["f1"] > 0.9
 
 
+def test_mlp_forecast_detector_on_real_hdfs_labels(spark):
+    """The one-hidden-layer forecaster (VERDICT r2 #8) must hold the pinned
+    linear-model floor on the same real labeled fixture: measured tp=10
+    fp=1 fn=0 tn=15 -> F1 0.952, identical to the linear floor (the fixture
+    grammar is short-range; the capacity gain shows on conjunction grammars,
+    test_forecast.py::test_mlp_capacity_beats_linear_on_xor_grammar)."""
+    df, _ = load_record_csv(spark, FIXTURE)
+    lines = df.select(
+        F.col("logline"),
+        F.col("span_id"),
+        F.col("labels").cast("int").alias("labels"),
+        F.col("_c0").cast("long").alias("seq"),
+    )
+    windows = sliding_windows(
+        lines,
+        window_size=5,
+        partition_by=["span_id"],
+        order_by="seq",
+        line_col="logline",
+        exclude_smaller_windows=False,
+        with_next_line=True,
+        label_col="labels",
+    ).withColumn("_seq", F.col("seq"))
+    split_df = split_by_span(
+        windows, "span_id", "window_label", order_col="_seq",
+        training_type="unsupervised",
+    )
+    cfg = OpenSetADConfig(
+        window_size=5, forecast_g=3,
+        detector="forecast_next_event", forecast_hidden=64,
+    )
+    _scored, metrics = _forecast_detect(split_df, cfg)
+    m = metrics.collect()[0]
+    assert m["tp"] == 10 and m["fn"] == 0
+    assert m["fp"] <= 2 and m["tn"] >= 14
+    assert m["f1"] > 0.9  # >= the pinned linear floor
+
+
 def test_masked_event_detector_ranks_real_anomalies_first(spark):
     """Masked-event (LogBERT-capability) detector on the same real labeled
     fixture: ranking test spans by top6_loss separates the 10 labeled

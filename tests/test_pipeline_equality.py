@@ -138,6 +138,47 @@ def test_match_strategy_equivalence(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_match_strategy_auto_selection(spark, tmp_path):
+    """'auto' picks the strategy from the mining pass's measured duplication
+    factor: low-duplication corpus -> fused, high-duplication (small line
+    pool) corpus -> by_join; both report the measured factor in metrics."""
+    from logai_spark.pipeline import PipelineConfig, run_pipeline
+    from logai_spark.sources.webpages import synth_webpages
+
+    cfg = PipelineConfig(match_strategy="auto", auto_dup_threshold=20.0)
+    low = run_pipeline(
+        spark, synth_webpages(spark, 300), str(tmp_path / "low"), cfg
+    )
+    assert low["match_strategy"] == "fused"
+    assert low["duplication"] < 20.0
+    # ~6300 lines drawn from a 40-line pool -> duplication ~150
+    high = run_pipeline(
+        spark,
+        synth_webpages(spark, 300, line_pool=40),
+        str(tmp_path / "high"),
+        cfg,
+    )
+    assert high["match_strategy"] == "by_join"
+    assert high["duplication"] > 20.0
+    # the stats are exact, not sampled: totals agree with the routed output
+    assert high["lines"] > 0 and low["lines"] > 0
+
+
+def test_mine_stats_duplication(spark):
+    """return_stats measures total/distinct/duplication exactly, in-band."""
+    import pandas as pd
+
+    from logai_spark.parse.distributed import mine_templates
+
+    pdf = pd.DataFrame({"logline": ["alpha beta 1", "alpha beta 2"] * 50 + ["gamma delta 9"]})
+    tpls, stats = mine_templates(spark.createDataFrame(pdf), return_stats=True)
+    assert stats["total_lines"] == 101
+    assert stats["distinct_lines"] == 3
+    assert abs(stats["duplication"] - 101 / 3) < 1e-9
+    # stats rows must not leak into the template dictionary
+    assert all(t is not None for t, _ in tpls)
+
+
 def test_verify_write_gate_fails_on_mismatch(spark, tmp_path):
     """The manifest audit gate: corrupt the routed output after the write and
     the consistency check must raise instead of certifying it."""
