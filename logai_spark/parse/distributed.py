@@ -283,6 +283,62 @@ def parse_df(
     return match_templates(df, column, templates, config), templates
 
 
+def update_templates(
+    df: DataFrame,
+    templates: list[tuple[str, int]],
+    column: str = "logline",
+    config: DrainConfig | None = None,
+) -> tuple[list[tuple[str, int]], dict]:
+    """Incremental dictionary evolution: mine ONLY the dead-letter residue.
+
+    At 10^12 docs the corpus is never re-mined — the dictionary evolves as
+    new line shapes appear. Contract:
+
+    - existing templates are FROZEN: they appear byte-identical in the
+      result, so their template_ids — and therefore the routed sink layout
+      and any downstream joins on template_id — stay stable across updates;
+    - only lines the frozen dictionary cannot match (the dead-letter
+      residue) are mined, with the same deterministic shard/merge pass as
+      ``mine_templates``; the resulting new templates APPEND;
+    - a mined candidate the frozen matcher already accepts is dropped as
+      subsumed (every line of such a candidate provably matches the
+      accepting template, so nothing is lost — the guard exists for
+      defense, the count is reported in stats).
+
+    Returns (updated_templates, stats) with stats = {"residual_lines",
+    "residual_distinct", "new_templates", "subsumed"}; ordering matches
+    ``mine_templates`` (sorted by (-size, template)). Deterministic: same
+    inputs -> byte-identical output at any partitioning.
+
+    The reference has no incremental mode (drain.py fit re-reads the whole
+    corpus); this is the streaming/batch-incremental operator the scale
+    target requires (dead-letter sink -> periodic update -> refreshed
+    broadcast dictionary).
+    """
+    cfg = config or DrainConfig()
+    matched = match_templates(
+        df.select(column), column, templates, cfg, template_col=None, id_col="_tid"
+    )
+    residual = matched.filter(F.col("_tid").isNull()).select(column)
+    mined, mstats = mine_templates(residual, column, cfg, return_stats=True)
+    frozen = build_matcher(templates, cfg)
+    new, subsumed = [], 0
+    for t, s in mined:
+        if frozen.match_line(t) is None:
+            new.append((t, s))
+        else:
+            subsumed += 1
+    out = list(templates) + new
+    out.sort(key=lambda ts: (-ts[1], ts[0]))
+    stats = {
+        "residual_lines": mstats["total_lines"],
+        "residual_distinct": mstats["distinct_lines"],
+        "new_templates": len(new),
+        "subsumed": subsumed,
+    }
+    return out, stats
+
+
 def parameter_list_expr(line_col: str, template_col: str) -> "F.Column":
     """Positional parameter extraction as a SQL expression.
 

@@ -52,18 +52,27 @@ class PipelineConfig:
     # per-worker memo (fastest measured: one Python crossing, no join
     # shuffle); 'by_join' = extract, then global distinct-line match +
     # equi-join (total Python work is |distinct lines| regardless of worker
-    # count — the better shape when duplication is high and workers many);
-    # 'auto' = pick per-run from the mining pass's measured duplication
-    # factor (total/distinct lines — free: same pass, in-band stats rows).
-    # A/B numbers for both at sf0.1, and the measured crossover behind
-    # auto_dup_threshold, are recorded in BASELINE.md §3.3.
+    # count); 'auto' = pick per-run from the mining pass's measured
+    # duplication factor (total/distinct lines — free: same pass, in-band
+    # stats rows) AND the session's parallelism.
+    #
+    # The round-3 duplication sweep (BASELINE.md §3.3, tools/
+    # match_crossover_bench.py) REFUTED the round-2 prediction that high
+    # duplication favors by_join: fused won every measured cell (dup 1.8 ->
+    # 2778, end-to-end AND match-only), because the per-worker memo makes
+    # fused's match cost vanish exactly when duplication is high, while
+    # by_join always pays two fact-table shuffles. by_join's real regime
+    # needs the per-worker re-match term (workers x distinct misses) to
+    # outgrow those shuffles — a worker count this single-JVM host cannot
+    # express. 'auto' therefore requires BOTH floors below.
     match_strategy: str = "fused"
-    # auto picks by_join when duplication >= this. From the measured sf0.1
-    # crossover sweep (BASELINE.md §3.3): fused wins at low duplication
-    # (its single Python crossing beats by_join's extract + two line-table
-    # shuffles), by_join wins once per-worker re-matching dominates, i.e.
-    # when each of W workers re-matches most of the distinct set.
+    # auto picks by_join only when duplication >= auto_dup_threshold AND
+    # defaultParallelism >= auto_workers_floor. The workers floor is 4x the
+    # widest topology measured (32 workers: fused won at every duplication),
+    # i.e. by_join is only auto-selected on real multi-executor clusters
+    # where the measured evidence no longer bounds the re-match term.
     auto_dup_threshold: float = 20.0
+    auto_workers_floor: int = 128
     # cross-check the routed parquet row count against the aggregate-derived
     # manifest totals before writing the manifest (fail loudly on mismatch)
     verify_write: bool = True
@@ -230,11 +239,15 @@ def run_pipeline(
     if strategy == "auto":
         # duplication measured on the mining input (the sample, when
         # sampling — an under-estimate of true duplication, so auto errs
-        # toward fused, the safe default). Crossover measured in
-        # BASELINE.md §3.3.
+        # toward fused, the measured-everywhere winner; see the config
+        # comment and BASELINE.md §3.3 for the refuted-crossover evidence).
+        workers = spark.sparkContext.defaultParallelism
         strategy = (
             "by_join"
-            if mine_stats["duplication"] >= cfg.auto_dup_threshold
+            if (
+                mine_stats["duplication"] >= cfg.auto_dup_threshold
+                and workers >= cfg.auto_workers_floor
+            )
             else "fused"
         )
     if strategy == "by_join":

@@ -70,3 +70,45 @@ def test_single_node_is_special_case_of_distributed(spark):
     for t, s in sorted(local.templates(), key=lambda ts: (-ts[1], ts[0])):
         merged.add_template(t, s)
     assert dist == {t for t, _ in merged.templates()}
+
+
+def test_update_templates_appends_frozen(spark):
+    """Incremental dictionary evolution (update_templates): existing
+    templates stay byte-identical (sink/template_id stability), dead-letter
+    lines gain coverage, and the pass is deterministic across
+    partitionings."""
+    from logai_spark.parse.distributed import update_templates
+
+    old_lines = [f"connect from host {i}" for i in range(30)] + [
+        f"disconnect peer {i}" for i in range(30)
+    ]
+    base = mine_templates(
+        spark.createDataFrame(pd.DataFrame({"logline": old_lines}))
+    )
+    assert len(base) >= 2
+    new_lines = old_lines[:20] + [f"checksum mismatch block {i}" for i in range(25)]
+    ndf = spark.createDataFrame(pd.DataFrame({"logline": new_lines}))
+    updated, stats = update_templates(ndf, base)
+    # frozen: every old template appears byte-identical in the update
+    assert set(base).issubset(set(updated))
+    assert stats["new_templates"] >= 1
+    assert stats["residual_lines"] == 25
+    assert stats["subsumed"] == 0
+    # full coverage after the update
+    matched = match_templates(ndf, "logline", updated, template_col=None)
+    assert matched.filter(F.col("template_id").isNull()).count() == 0
+    # deterministic across partitioning
+    upd2, _ = update_templates(ndf.repartition(7), base)
+    assert updated == upd2
+
+
+def test_update_templates_no_residual_is_identity(spark):
+    from logai_spark.parse.distributed import update_templates
+
+    lines = [f"job {i} finished ok" for i in range(40)]
+    base = mine_templates(spark.createDataFrame(pd.DataFrame({"logline": lines})))
+    updated, stats = update_templates(
+        spark.createDataFrame(pd.DataFrame({"logline": lines})), base
+    )
+    assert [t for t, _ in updated] == [t for t, _ in base]
+    assert stats["new_templates"] == 0 and stats["residual_lines"] == 0

@@ -139,9 +139,11 @@ def test_match_strategy_equivalence(spark, tmp_path):
 
 
 def test_match_strategy_auto_selection(spark, tmp_path):
-    """'auto' picks the strategy from the mining pass's measured duplication
-    factor: low-duplication corpus -> fused, high-duplication (small line
-    pool) corpus -> by_join; both report the measured factor in metrics."""
+    """'auto' needs BOTH floors (measured duplication AND worker count —
+    the round-3 sweep showed fused winning at every duplication on narrow
+    topologies, BASELINE.md §3.3): at the default workers floor this host
+    always picks fused; with the floor lowered to this session's
+    parallelism, a high-duplication corpus flips to by_join."""
     from logai_spark.pipeline import PipelineConfig, run_pipeline
     from logai_spark.sources.webpages import synth_webpages
 
@@ -151,17 +153,22 @@ def test_match_strategy_auto_selection(spark, tmp_path):
     )
     assert low["match_strategy"] == "fused"
     assert low["duplication"] < 20.0
-    # ~6300 lines drawn from a 40-line pool -> duplication ~150
-    high = run_pipeline(
-        spark,
-        synth_webpages(spark, 300, line_pool=40),
-        str(tmp_path / "high"),
-        cfg,
-    )
-    assert high["match_strategy"] == "by_join"
+    # ~6300 lines drawn from a 40-line pool -> duplication far above the
+    # threshold, but the topology floor keeps fused on this host
+    high_pages = synth_webpages(spark, 300, line_pool=40)
+    high = run_pipeline(spark, high_pages, str(tmp_path / "high"), cfg)
+    assert high["match_strategy"] == "fused"
     assert high["duplication"] > 20.0
-    # the stats are exact, not sampled: totals agree with the routed output
-    assert high["lines"] > 0 and low["lines"] > 0
+    # cluster-topology regime (floor at this session's parallelism):
+    # high duplication now selects by_join
+    cfg_wide = PipelineConfig(
+        match_strategy="auto", auto_dup_threshold=20.0,
+        auto_workers_floor=spark.sparkContext.defaultParallelism,
+    )
+    wide = run_pipeline(spark, high_pages, str(tmp_path / "wide"), cfg_wide)
+    assert wide["match_strategy"] == "by_join"
+    # the stats are exact, not sampled: totals agree across strategies
+    assert wide["lines"] == high["lines"] > 0 and low["lines"] > 0
 
 
 def test_mine_stats_duplication(spark):
