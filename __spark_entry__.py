@@ -468,6 +468,28 @@ def _q_lsh_dup_pairs(spark, sf_dir):
     return lsh_duplicate_pairs(docs, bands=4, rows_per_band=3)
 
 
+def _q_dup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: LSH pairs -> distributed connected
+    components (hash-min label propagation + pointer jumping,
+    components.py) -> one row per doc with cluster_id = min doc id of its
+    component. The stage the reference lacks entirely — pair generation
+    without cluster resolution can't feed a keep-one-per-cluster dedup.
+    Oracle: the same banding CTE + a recursive min-label fixpoint."""
+    from logai_spark.functions.components import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_clusters(docs, bands=4, rows_per_band=3)
+
+
+def _q_dedup_canonical(spark, sf_dir):
+    """Keeper table from the cluster assignment: one row per cluster,
+    canonical doc id (= cluster id = min member) + member count."""
+    from logai_spark.functions.components import dedup_canonical, dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_canonical(dup_clusters(docs, bands=4, rows_per_band=3))
+
+
 def _q_regex_extract(spark, sf_dir):
     """Regex replace-with-capture preprocessing (reference
     preprocessor.py:36-71): every match is captured into a side column, then
@@ -772,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": _q_eval_metrics,
         "divergence": _q_divergence,
         "lsh_dup_pairs": _q_lsh_dup_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
         "regex_extract": _q_regex_extract,
         "collapse_runs": _q_collapse_runs,
         "split_by_span": _q_split_by_span,
@@ -927,6 +951,38 @@ def _dd_minhash_cte(k: int, shingle_n: int = 3) -> str:
         ),
         sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)
     """
+
+
+# 4-band x 3-row banding over the 12-sig minhash CTE (mirrors
+# textops.lsh_duplicate_pairs(bands=4, rows_per_band=3))
+_DD_LSH_BANDS = """
+            bands AS (
+                SELECT doc_id, concat_ws('_', 0, sig_0, sig_1, sig_2) AS key FROM sigs
+                UNION ALL
+                SELECT doc_id, concat_ws('_', 1, sig_3, sig_4, sig_5) FROM sigs
+                UNION ALL
+                SELECT doc_id, concat_ws('_', 2, sig_6, sig_7, sig_8) FROM sigs
+                UNION ALL
+                SELECT doc_id, concat_ws('_', 3, sig_9, sig_10, sig_11) FROM sigs)
+"""
+
+# min-label connected-components fixpoint over the LSH pair graph
+# (mirrors components.connected_components: comp = min doc id reachable).
+# Recursive UNION is set-distinct, so the iteration terminates at the
+# reachability closure; min(comp) per id is the component's min member.
+_DD_CC_FIXPOINT = """
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.key = b.key AND a.doc_id < b.doc_id),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+            cc AS (
+                SELECT doc_id AS id, doc_id AS comp FROM documents
+                UNION
+                SELECT e.d, c.comp FROM cc c JOIN edges e ON e.s = c.id)
+"""
 
 
 def _lsh_buckets_sql(dim: int = 64, n_planes: int = 4) -> str:
@@ -1245,17 +1301,25 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(),
         "lsh_dup_pairs": f"""
             WITH {_dd_minhash_cte(12)},
-            bands AS (
-                SELECT doc_id, concat_ws('_', 0, sig_0, sig_1, sig_2) AS key FROM sigs
-                UNION ALL
-                SELECT doc_id, concat_ws('_', 1, sig_3, sig_4, sig_5) FROM sigs
-                UNION ALL
-                SELECT doc_id, concat_ws('_', 2, sig_6, sig_7, sig_8) FROM sigs
-                UNION ALL
-                SELECT doc_id, concat_ws('_', 3, sig_9, sig_10, sig_11) FROM sigs)
+            {_DD_LSH_BANDS}
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_dd_minhash_cte(12)},
+            {_DD_LSH_BANDS},
+            {_DD_CC_FIXPOINT}
+            SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id
+        """,
+        "dedup_canonical": f"""
+            WITH RECURSIVE {_dd_minhash_cte(12)},
+            {_DD_LSH_BANDS},
+            {_DD_CC_FIXPOINT},
+            clusters AS (
+                SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id)
+            SELECT cluster_id AS doc_id, count(*) AS n_members
+            FROM clusters GROUP BY 1
         """,
         "divergence": """
             WITH bins AS (SELECT unnest(range(10))::int AS b),

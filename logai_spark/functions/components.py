@@ -1,0 +1,134 @@
+"""Distributed connected components + duplicate-cluster resolution.
+
+The dedup family (exact_dedup / lsh_duplicate_pairs / ngram_jaccard_pairs /
+near_dup_pairs in textops.py + similarity.py) produces PAIRS; a real
+training-data dedup pass must resolve pairs into CLUSTERS (a~b, b~c => one
+cluster {a,b,c}) and keep one canonical document per cluster. The reference
+(salesforce/logai) has no dedup stage at all — this module is part of the
+large-scale-pipeline surface the scale target requires.
+
+Algorithm: iterative *hash-min label propagation with pointer jumping*
+(the standard Spark/MapReduce CC formulation, cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14):
+
+- every node starts labeled with its own id;
+- each round, a node takes the min of its label and its neighbors' labels
+  (one equi-join + partial-aggregatable ``min`` — the shuffle carries one
+  row per (edge endpoint), never a cross product);
+- then labels *pointer-jump* (``label = label(label)``, a self-join on the
+  label table), which contracts label chains so convergence is O(log d)
+  rounds instead of O(d) for diameter-d components;
+- stop when no label changed (exact check: labels are monotone
+  non-increasing, so "changed" = ``new < old`` on the already-joined row —
+  no extra join).
+
+Per-round cost is one edge-table shuffle + one label-table shuffle; each
+round's result is localCheckpoint()ed so the lineage (and therefore the
+plan) stays O(1) deep regardless of round count. Duplicate clusters have
+tiny diameters in practice (2-4), so 2-3 rounds is typical; the driver only
+ever collects one scalar per round.
+
+Determinism: min-aggregation over ids — byte-identical output at any
+partitioning or worker count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``; ``component``
+    is the MINIMUM node id in the node's connected component (stable,
+    deterministic cluster names). Edges are treated as undirected; self
+    loops and duplicate edges are tolerated."""
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    if checkpoint:
+        sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("_s").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["_s"] == labels["id"])
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.min("label").alias("_nbr_min"))
+        )
+        joined = labels.join(nbr, "id", "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least("label", F.coalesce("_nbr_min", "label")).alias("label"),
+        )
+        # pointer jumping: label <- label(label). A label is always a node
+        # id, so the lookup table is `joined` itself.
+        lut = joined.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
+        jumped = (
+            joined.join(lut, joined["label"] == lut["_lid"], "left")
+            .select(
+                "id",
+                "_old",
+                F.least("label", F.coalesce("_llabel", "label")).alias("label"),
+            )
+        )
+        if checkpoint:
+            jumped = jumped.localCheckpoint(eager=True)
+        n_changed = jumped.filter(F.col("label") < F.col("_old")).count()
+        labels = jumped.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate clusters over a document table: MinHash-LSH candidate
+    pairs -> connected components -> (id, cluster_id). Documents with no
+    duplicate partner form singleton clusters (cluster_id = own id), so the
+    output has exactly one row per input document and ``cluster_id`` is
+    always the min doc id of the cluster — the canonical keeper."""
+    from logai_spark.functions.textops import lsh_duplicate_pairs
+
+    pairs = lsh_duplicate_pairs(
+        df, id_col, text_col, bands=bands, rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def dedup_canonical(
+    clusters: DataFrame, id_col: str = "doc_id", cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Keeper table from a cluster assignment: one row per cluster —
+    the canonical doc (min id == cluster id by construction) + member
+    count. Join back to the doc table on ``id_col`` to materialize the
+    deduplicated corpus."""
+    return (
+        clusters.groupBy(F.col(cluster_col).alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
