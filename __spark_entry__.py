@@ -611,6 +611,134 @@ def _q_tfidf_idf(spark, sf_dir):
     return idf.select("token", "df", round4(F.col("idf")).alias("idf"), "token_idx")
 
 
+def _q_tfidf_transform(spark, sf_dir):
+    """TF-IDF transform: sparse l2-normalized doc vectors (vectorizers.
+    tfidf_transform; reference tfidf.py:136-146 minus the densify
+    anti-pattern), exploded to (doc_id, token_idx, w) rows so the sparse
+    content hashes exactly."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.functions.vectorizers import tfidf_fit, tfidf_transform
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("logline")
+    )
+    out = tfidf_transform(docs, tfidf_fit(docs), id_col="doc_id")
+    ex = out.select(
+        "doc_id", F.explode(F.arrays_zip("indices", "values")).alias("_z")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("_z.indices").alias("token_idx"),
+        round4(F.col("_z.values")).alias("w"),
+    )
+
+
+def _q_seasonal_dbl(spark, sf_dir):
+    """Seasonal dynamic-baseline detection (Merlion DynamicBaseline
+    trends=['daily'] contract, reference dbl.py:46-122): hourly event
+    counts per type, 70% chronological train, each test point scored
+    against its own time-of-day bucket's train baseline (global fallback
+    for thin buckets)."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.operators.anomaly import detect_anomalies_per_series
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("timestamp")
+    ).agg(F.count(F.lit(1)).alias("counts"))
+    out = detect_anomalies_per_series(
+        series,
+        ["event_type"],
+        ts_col="timestamp",
+        value_col="counts",
+        algo="dbl",
+        trends=["daily"],
+        wind_sz_minutes=60,
+    )
+    return out.select(
+        "event_type",
+        "timestamp",
+        "counts",
+        round4(F.col("anom_score")).alias("anom_score"),
+        "is_anomaly",
+    )
+
+
+def _q_pad_trim(spark, sf_dir):
+    """pad/trim array to fixed length (vectorizers.pad_array; reference
+    utils/functions.py:19-33): per-user event-value sequence trimmed/zero-
+    padded to 5, exploded to (user_id, pos, v)."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.functions.vectorizers import pad_array
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("_vals")
+    )
+    padded = seq.select(
+        "user_id", F.posexplode(pad_array(F.col("_vals"), 5, 0.0)).alias("pos", "_v")
+    )
+    return padded.select("user_id", "pos", round4(F.col("_v")).alias("v"))
+
+
+def _q_streaming_counts(spark, sf_dir):
+    """Structured-Streaming windowed counter vector driven to completion:
+    the events table is replayed as a 2-file stream (maxFilesPerTrigger=1 ->
+    two micro-batches), aggregated with streaming_counter_vector (tumbling
+    1-hour event-time windows) in complete mode, and the FINAL state is
+    materialized. Because tumbling-window counts are associative, the
+    drained stream's state equals the batch group-by — which is the plain
+    SQL oracle. This is real streaming execution (readStream -> writeStream
+    -> memory sink), not a batch stand-in."""
+    import shutil
+    import tempfile
+
+    from logai_spark.streaming.counters import streaming_counter_vector
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(dir="/dev/shm", prefix="stream_ev_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "a.parquet")
+        )
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "b.parquet")
+        )
+        schema = ev.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+            # watermarks require an instant (TIMESTAMP), not NTZ; session tz
+            # is pinned UTC so the wall-clock values are unchanged
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = streaming_counter_vector(
+            stream, ["event_type"], ts_col="ts", freq="1 hour"
+        )
+        name = f"_stream_counts_{os.getpid()}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out_schema = (
+        "event_type string, timestamp timestamp, counts bigint"
+    )
+    return spark.createDataFrame(pdf, schema=out_schema)
+
+
 def _q_sliding_window_step(spark, sf_dir):
     """strided sliding windows (feature_extractor.py:174-214 stride semantics)."""
     ev = _t(spark, sf_dir, "events").select(
@@ -778,6 +906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ivf_topk": _q_ivf_topk,
         "tfidf_idf": _q_tfidf_idf,
+        "tfidf_transform": _q_tfidf_transform,
+        "seasonal_dbl": _q_seasonal_dbl,
+        "streaming_counts": _q_streaming_counts,
+        "pad_trim": _q_pad_trim,
         "sliding_window_step": _q_sliding_window_step,
         "token_position_stats": _q_token_position_stats,
         "feature_mean": _q_feature_mean,
@@ -1218,6 +1350,89 @@ def oracle_sql() -> dict[str, str]:
                    floor((ln((n_docs + 1) / (df + 1)) + 1) * 10000 + 0.5) / 10000 AS idf,
                    row_number() OVER (ORDER BY token) - 1 AS token_idx
             FROM dfreq, n
+        """,
+        "tfidf_transform": """
+            WITH d AS (
+                SELECT doc_id, list_filter(
+                    regexp_split_to_array(regexp_replace(lower(text), '[^\\w]+', ' ', 'g'), ' '),
+                    t -> length(t) >= 2) AS toks
+                FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            flat AS (SELECT doc_id, unnest(toks) AS token FROM d),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+            idf AS (
+                SELECT token, ln((n_docs + 1) / (df + 1)) + 1 AS idf,
+                       row_number() OVER (ORDER BY token) - 1 AS token_idx
+                FROM dfreq, n),
+            tf AS (SELECT doc_id, token, count(*)::double AS tf FROM flat GROUP BY 1, 2),
+            scored AS (
+                SELECT doc_id, token_idx, tf * idf AS w
+                FROM tf JOIN idf USING (token)),
+            normed AS (
+                SELECT doc_id, token_idx,
+                       w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS wn
+                FROM scored)
+            SELECT doc_id, token_idx, floor(wn * 10000 + 0.5) / 10000 AS w
+            FROM normed
+        """,
+        "seasonal_dbl": """
+            WITH series AS (
+                SELECT event_type, date_trunc('hour', ts) AS timestamp,
+                       count(*) AS counts
+                FROM events GROUP BY 1, 2),
+            w AS (
+                SELECT event_type, timestamp, counts,
+                       row_number() OVER (PARTITION BY event_type ORDER BY timestamp) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM series),
+            -- 0.7 must be a DOUBLE: DuckDB's bare 0.7 literal is DECIMAL,
+            -- where 170*0.7 = exactly 119 while IEEE gives 118.999... ->
+            -- int() 118 (the operator's Python split). Decimal here would
+            -- shift the train/test boundary by one row on such lengths.
+            sp AS (SELECT *, CAST(floor(n * CAST(0.7 AS DOUBLE)) AS BIGINT) AS split,
+                          extract(hour FROM timestamp) AS bucket
+                   FROM w),
+            g AS (
+                SELECT event_type,
+                       avg(counts) FILTER (WHERE rn <= split) AS g_mu,
+                       coalesce(nullif(stddev_pop(counts) FILTER (WHERE rn <= split), 0), 1.0) AS g_sd
+                FROM sp GROUP BY 1),
+            bstats AS (
+                SELECT event_type, bucket,
+                       avg(counts) FILTER (WHERE rn <= split) AS b_mu,
+                       stddev_samp(counts) FILTER (WHERE rn <= split) AS b_sd,
+                       count(*) FILTER (WHERE rn <= split) AS b_cnt
+                FROM sp GROUP BY 1, 2),
+            scored AS (
+                SELECT s.event_type, s.timestamp, s.counts,
+                       (s.counts - CASE WHEN coalesce(b.b_cnt, 0) < 2 THEN g.g_mu ELSE b.b_mu END)
+                       / CASE WHEN coalesce(b.b_cnt, 0) < 2 THEN g.g_sd
+                              ELSE CASE WHEN b.b_sd > 0 THEN b.b_sd ELSE 1.0 END END AS sc
+                FROM sp s
+                JOIN g ON g.event_type = s.event_type
+                LEFT JOIN bstats b ON b.event_type = s.event_type AND b.bucket = s.bucket
+                WHERE s.rn > s.split AND s.n >= 10)
+            SELECT event_type, timestamp, counts,
+                   floor(sc * 10000 + 0.5) / 10000 AS anom_score,
+                   CASE WHEN abs(sc) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+            FROM scored
+        """,
+        "streaming_counts": """
+            SELECT event_type, date_trunc('hour', ts) AS timestamp,
+                   count(*) AS counts
+            FROM events GROUP BY 1, 2
+        """,
+        "pad_trim": """
+            WITH seq AS (
+                SELECT user_id, list(value ORDER BY event_id) AS vals
+                FROM events WHERE user_id < 50 GROUP BY 1),
+            padded AS (
+                SELECT user_id,
+                       (vals || [0.0, 0.0, 0.0, 0.0, 0.0])[1:5] AS p
+                FROM seq)
+            SELECT user_id, i - 1 AS pos,
+                   floor(p[i] * 10000 + 0.5) / 10000 AS v
+            FROM padded, unnest(generate_series(1, 5)) AS u(i)
         """,
         "sliding_window_step": """
             WITH w AS (
