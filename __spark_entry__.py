@@ -684,6 +684,38 @@ def _q_pad_trim(spark, sf_dir):
     return padded.select("user_id", "pos", round4(F.col("_v")).alias("v"))
 
 
+def _q_hw_ets(spark, sf_dir):
+    """Holt-Winters (A,A,A) one-step-ahead anomaly scores (Merlion-ETS
+    contract, reference ets.py:55-145; operators/anomaly.py
+    _ets_one_step_scores): hourly counts per event type, seasonal_periods=24,
+    anomaly-shielded state updates. The oracle replays the identical
+    recursion in a recursive CTE — level/trend/season-array state carried
+    per step — proving the distributed applyInPandas path equals a pure-SQL
+    re-derivation, not just a Python twin."""
+    from logai_spark.functions.textops import round4
+    from logai_spark.operators.anomaly import detect_anomalies_per_series
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("timestamp")
+    ).agg(F.count(F.lit(1)).alias("counts"))
+    out = detect_anomalies_per_series(
+        series,
+        ["event_type"],
+        ts_col="timestamp",
+        value_col="counts",
+        algo="ets",
+        seasonal_periods=24,
+    )
+    return out.select(
+        "event_type",
+        "timestamp",
+        "counts",
+        round4(F.col("anom_score")).alias("anom_score"),
+        "is_anomaly",
+    )
+
+
 def _q_streaming_counts(spark, sf_dir):
     """Structured-Streaming windowed counter vector driven to completion:
     the events table is replayed as a 2-file stream (maxFilesPerTrigger=1 ->
@@ -908,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_idf": _q_tfidf_idf,
         "tfidf_transform": _q_tfidf_transform,
         "seasonal_dbl": _q_seasonal_dbl,
+        "hw_ets": _q_hw_ets,
         "streaming_counts": _q_streaming_counts,
         "pad_trim": _q_pad_trim,
         "sliding_window_step": _q_sliding_window_step,
@@ -1416,6 +1449,91 @@ def oracle_sql() -> dict[str, str]:
                    floor(sc * 10000 + 0.5) / 10000 AS anom_score,
                    CASE WHEN abs(sc) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
             FROM scored
+        """,
+        # Holt-Winters additive one-step recursion replayed as a recursive
+        # CTE: state = (level, trend, 24-slot season array, train residuals,
+        # frozen sigma). Every arithmetic step mirrors
+        # anomaly._ets_one_step_scores exactly (incl. the anomaly-shielded
+        # observed-value substitution); all constants are cast to DOUBLE so
+        # DuckDB's DECIMAL literals can't shift IEEE results.
+        "hw_ets": """
+            WITH RECURSIVE series AS (
+                SELECT event_type, date_trunc('hour', ts) AS timestamp,
+                       count(*) AS counts
+                FROM events GROUP BY 1, 2),
+            arr AS (
+                SELECT event_type,
+                       list(counts::double ORDER BY timestamp) AS ys,
+                       list(timestamp ORDER BY timestamp) AS tss,
+                       count(*) AS n,
+                       CAST(floor(count(*) * CAST(0.7 AS DOUBLE)) AS BIGINT) AS split
+                FROM series GROUP BY 1),
+            init AS (
+                SELECT event_type, ys, tss, n, split,
+                       list_aggregate(ys[1:24], 'avg') AS level0,
+                       (list_aggregate(ys[25:48], 'avg')
+                        - list_aggregate(ys[1:24], 'avg')) / 24.0 AS trend0,
+                       list_transform(ys[1:24],
+                           y -> y - list_aggregate(ys[1:24], 'avg')) AS season0,
+                       coalesce(nullif(list_aggregate(ys[1:split], 'stddev_pop'), 0), 1.0) AS scale
+                FROM arr
+                WHERE n >= 10 AND split >= 48),
+            it AS (
+                SELECT event_type, 23 AS t, level0 AS level, trend0 AS trend,
+                       season0 AS season, CAST([] AS DOUBLE[]) AS resid,
+                       CAST(NULL AS DOUBLE) AS sigma, CAST(NULL AS DOUBLE) AS score
+                FROM init
+                UNION ALL
+                SELECT s.event_type, s.t, s.new_level AS level,
+                       CAST(0.1 AS DOUBLE) * (s.new_level - s.level)
+                         + CAST(0.9 AS DOUBLE) * s.trend AS trend,
+                       list_concat(list_concat(
+                           s.season[1:s.idx - 1],
+                           [CAST(0.2 AS DOUBLE) * (s.obs - s.new_level)
+                              + CAST(0.8 AS DOUBLE) * s.sv]),
+                           s.season[s.idx + 1:24]) AS season,
+                       s.resid_new AS resid, s.sigma_new AS sigma, s.score
+                FROM (
+                    SELECT *,
+                           CAST(0.3 AS DOUBLE) * (s2.obs - s2.sv)
+                             + CAST(0.7 AS DOUBLE) * (s2.level + s2.trend) AS new_level
+                    FROM (
+                        SELECT *,
+                               CASE WHEN s1.t >= s1.split AND abs(s1.score) > CAST(3.0 AS DOUBLE)
+                                    THEN s1.f ELSE s1.obs0 END AS obs,
+                               CASE WHEN s1.t < s1.split
+                                    THEN list_append(s1.resid, s1.err) ELSE s1.resid END AS resid_new
+                        FROM (
+                            SELECT it.event_type, it.t + 1 AS t, it.level, it.trend,
+                                   it.season, it.resid,
+                                   i.split, i.ys, i.n,
+                                   ((it.t + 1) % 24) + 1 AS idx,
+                                   it.season[((it.t + 1) % 24) + 1] AS sv,
+                                   it.level + it.trend + it.season[((it.t + 1) % 24) + 1] AS f,
+                                   i.ys[it.t + 2] AS obs0,
+                                   i.ys[it.t + 2]
+                                     - (it.level + it.trend + it.season[((it.t + 1) % 24) + 1]) AS err,
+                                   CASE WHEN it.t + 1 >= i.split THEN coalesce(
+                                        it.sigma,
+                                        greatest(coalesce(list_aggregate(it.resid, 'stddev_pop'), 0),
+                                                 CAST(0.000001 AS DOUBLE) * i.scale))
+                                   END AS sigma_new,
+                                   CASE WHEN it.t + 1 >= i.split THEN
+                                       (i.ys[it.t + 2]
+                                        - (it.level + it.trend + it.season[((it.t + 1) % 24) + 1]))
+                                       / coalesce(
+                                           it.sigma,
+                                           greatest(coalesce(list_aggregate(it.resid, 'stddev_pop'), 0),
+                                                    CAST(0.000001 AS DOUBLE) * i.scale))
+                                   END AS score
+                            FROM it JOIN init i USING (event_type)
+                            WHERE it.t + 1 < i.n) s1) s2) s)
+            SELECT i.event_type, i.tss[it.t + 1] AS timestamp,
+                   CAST(i.ys[it.t + 1] AS BIGINT) AS counts,
+                   floor(it.score * 10000 + CAST(0.5 AS DOUBLE)) / 10000 AS anom_score,
+                   CASE WHEN abs(it.score) > CAST(3.0 AS DOUBLE) THEN 1 ELSE 0 END AS is_anomaly
+            FROM it JOIN init i USING (event_type)
+            WHERE it.t >= i.split
         """,
         "streaming_counts": """
             SELECT event_type, date_trunc('hour', ts) AS timestamp,

@@ -35,6 +35,7 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "quality_score",
+    "dup_clusters",
 ]
 
 
