@@ -264,23 +264,32 @@ def minhash_signatures(
     k: int = MINHASH_K,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: explode shingles, take min of each of k
+    """Per-doc MinHash signature: min over the shingle set of each of k
     affine-permuted 32-bit hashes. Output: id + sig_0..sig_{k-1}.
 
-    One explode + one hash-aggregate: fully partial-aggregatable, so the
-    shuffle carries only (doc, k mins), not the shingles."""
+    Computed entirely PER ROW (base md5 array materialized once, then k
+    ``array_min`` passes over cheap affine permutations) — a pure map stage
+    with NO explode and NO shuffle. The previous explode+groupBy shape was
+    partial-aggregatable but still exchanged one row per (doc, k mins) and
+    re-sorted; at 10^12 docs a signature pass should touch the shuffle
+    system zero times. Value-identical to the exploded form (min is
+    duplicate- and order-insensitive; empty shingle sets give NULL sigs in
+    both shapes)."""
     work = df.withColumn("_toks", tokenize_expr(text_col))
-    sh = work.select(
-        F.col(id_col), F.explode_outer(_shingles(F.col("_toks"), shingle_n)).alias("_sh")
-    )
-    # materialize the base hash once per shingle row; the k permuted mins all
-    # reference this column (otherwise each agg recomputes the md5)
-    sh = sh.withColumn("_h", _hash32(F.col("_sh")))
-    aggs = [
-        F.min(F.pmod(F.lit(_A[i]) * F.col("_h") + F.lit(_B[i]), F.lit(MINHASH_P))).alias(f"sig_{i}")
+    work = work.withColumn("_sh", _shingles(F.col("_toks"), shingle_n))
+    # base hash once per shingle; the k permuted mins all reference this
+    # array (otherwise each sig recomputes the md5)
+    work = work.withColumn("_h", F.transform(F.col("_sh"), _hash32))
+    def _perm(i: int):
+        # closure (not a default arg): F.transform inspects lambda arity and
+        # would pass the element INDEX into a second parameter
+        return lambda h: F.pmod(F.lit(_A[i]) * h + F.lit(_B[i]), F.lit(MINHASH_P))
+
+    sigs = [
+        F.array_min(F.transform(F.col("_h"), _perm(i))).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return work.select(F.col(id_col), *sigs)
 
 
 def lsh_duplicate_pairs(
@@ -292,19 +301,31 @@ def lsh_duplicate_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (banding: k = bands*rows sigs;
-    docs agreeing on ALL rows of any band become a pair). Join key is the
-    band's signature tuple -> equi-join, linear shuffle, no cross product."""
+    docs agreeing on ALL rows of any band become a pair). All bands share
+    ONE self-equi-join over an exploded (id, band_key) table — the band
+    index is baked into the key, so the single join is exactly the union of
+    the per-band joins but with one shuffle of a bands*rows table instead
+    of 2*bands exchanges of the signature table. Linear shuffle, no cross
+    product."""
     k = bands * rows_per_band
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
-    pairs = None
-    for b in range(bands):
-        cols = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws("_", F.lit(b), *[F.col(c) for c in cols])
-        left = sigs.select(F.col(id_col).alias("id_a"), key.alias("_band"))
-        right = sigs.select(F.col(id_col).alias("id_b"), key.alias("_band"))
-        cand = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-    return pairs.distinct()
+    keys = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    bandtbl = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("_band"))
+    left = bandtbl.select(F.col(id_col).alias("id_a"), "_band")
+    right = bandtbl.select(F.col(id_col).alias("id_b"), "_band")
+    return (
+        left.join(right, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
