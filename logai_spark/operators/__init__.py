@@ -9,7 +9,13 @@ from logai_spark.operators.features import (
 )
 from logai_spark.operators.enrich import enrich
 from logai_spark.operators.evaluate import binary_metrics
-from logai_spark.operators.route import route_to_sinks, read_sink, salted_repartition
+from logai_spark.operators.route import (
+    compact_sinks,
+    read_sink,
+    route_to_sinks,
+    salted_repartition,
+    sink_file_stats,
+)
 from logai_spark.operators.splits import split_by_span
 
 __all__ = [
@@ -24,6 +30,8 @@ __all__ = [
     "chrono_split",
     "enrich",
     "route_to_sinks",
+    "compact_sinks",
+    "sink_file_stats",
     "read_sink",
     "salted_repartition",
 ]

@@ -212,3 +212,186 @@ def checkpoint(
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return out
+
+
+def sink_file_stats(path: str, partition_col: str = "template_id") -> dict[str, dict]:
+    """Per-sink file count + byte size from the filesystem layout.
+
+    Driver-side listing is fine here: one entry per FILE of one table — at
+    real deployments this is the table-format metadata (Iceberg manifest
+    files) rather than an object-store LIST, and the result is O(#files),
+    the same thing a compaction planner must hold anyway."""
+    import urllib.parse
+
+    stats: dict[str, dict] = {}
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = urllib.parse.unquote(entry[len(prefix):])
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, entry))
+            if f.endswith(".parquet")
+        ]
+        stats[value] = {
+            "dir": entry,
+            "n_files": len(files),
+            "bytes": sum(
+                os.path.getsize(os.path.join(path, entry, f)) for f in files
+            ),
+        }
+    return stats
+
+
+def compact_sinks(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "template_id",
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Compact small files inside a routed sink layout (the maintenance op a
+    long-lived incremental/streaming fan-out needs: every micro-batch and
+    every writer task adds a file per touched sink, and parquet scan cost is
+    dominated by file count once files are small). Iceberg analog:
+    ``rewrite_data_files``; the reference has no sink layout at all.
+
+    Plan (scale shapes):
+    - pick sinks where n_files > max(min_files_to_compact - 1,
+      ceil(bytes/target_bytes)) from :func:`sink_file_stats`;
+    - ONE pruned scan of just those sinks (partition pruning via an isin
+      filter on ``partition_col``);
+    - per-sink output file count enforced by a broadcast (key -> n_buckets)
+      join + deterministic row-hash bucket, then ``repartition(key,
+      bucket)`` — same shape as :func:`skew_aware_repartition`, but joined
+      (not a literal map) so ANY number of sinks compacts in one job;
+    - rewritten under ``path/_compact_tmp`` then swapped directory-by-
+      directory (idempotent: a crash mid-swap leaves each sink either old
+      or new, both complete; re-running converges);
+    - per-sink row counts re-verified against the manifest BEFORE the swap
+      — a compaction that would change row counts fails loudly;
+    - manifest per-file lineage refreshed for the rewritten sinks.
+
+    Returns {"compacted": {key: {files_before, files_after, rows}},
+    "skipped": n}.
+    """
+    import math
+    import shutil
+
+    # recover from a crash inside a previous swap window: the two renames
+    # (live -> ._pre_compact, tmp -> live) are not jointly atomic without a
+    # table-format catalog (Iceberg snapshot commit); if the crash landed
+    # between them the live dir is missing and the backup holds the data —
+    # restore it, then replan. A backup WITH a live dir present means the
+    # crash was after the second rename: the new data is live, drop the
+    # backup.
+    for entry in os.listdir(path):
+        if entry.endswith("._pre_compact"):
+            live = os.path.join(path, entry[: -len("._pre_compact")])
+            backup = os.path.join(path, entry)
+            if os.path.exists(live):
+                shutil.rmtree(backup)
+            else:
+                os.rename(backup, live)
+
+    stats = sink_file_stats(path, partition_col)
+    plan: dict[str, int] = {}
+    for key, st in stats.items():
+        needed = max(1, math.ceil(st["bytes"] / target_bytes))
+        if st["n_files"] >= max(min_files_to_compact, needed + 1):
+            plan[key] = needed
+    if not plan:
+        return {"compacted": {}, "skipped": len(stats)}
+
+    tmp = os.path.join(path, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)  # leftover from a crashed run
+
+    targets = spark.createDataFrame(
+        [(k, n) for k, n in sorted(plan.items())], [partition_col, "_n_buckets"]
+    )
+    src = spark.read.parquet(path).filter(
+        F.col(partition_col).cast("string").isin(list(plan))
+    )
+    data_cols = [c for c in src.columns if c != partition_col]
+    bucketed = (
+        src.join(F.broadcast(targets), partition_col)
+        .withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in data_cols]), F.col("_n_buckets")),
+        )
+        .repartition(F.col(partition_col), F.col("_bucket"))
+        .sortWithinPartitions(partition_col)
+        .drop("_n_buckets", "_bucket")
+    )
+    # target size is enforced by maxRecordsPerFile (deterministic splitting
+    # inside each writer task, AQE-coalesce-proof); the bucket repartition
+    # above only provides write parallelism for big sinks. records/file is
+    # derived from the sinks' own measured on-disk bytes per row.
+    plan_bytes = sum(stats[k]["bytes"] for k in plan)
+    plan_rows = sum(
+        int(r["n"])
+        for r in src.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    rows_per_file = max(1, int(target_bytes / max(plan_bytes / max(plan_rows, 1), 1)))
+    (
+        bucketed.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+
+    # verify BEFORE swapping: per-sink rows in tmp == per-sink rows on disk
+    new_counts = {
+        str(r[partition_col]): int(r["n"])
+        for r in spark.read.parquet(tmp)
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = manifest_of(path)
+    old_counts = (manifest or {}).get("sinks", {})
+    for key in plan:
+        before = old_counts.get(key)
+        if before is not None and int(before) != new_counts.get(key, -1):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction would change sink {key!r} rows "
+                f"{before} -> {new_counts.get(key)}; aborting before swap"
+            )
+
+    result: dict[str, dict] = {}
+    for key, st in ((k, stats[k]) for k in plan):
+        src_dir = os.path.join(tmp, st["dir"])
+        dst_dir = os.path.join(path, st["dir"])
+        old_dir = dst_dir + "._pre_compact"
+        os.rename(dst_dir, old_dir)
+        os.rename(src_dir, dst_dir)
+        shutil.rmtree(old_dir)
+        result[key] = {
+            "files_before": st["n_files"],
+            "files_after": len(
+                [f for f in os.listdir(dst_dir) if f.endswith(".parquet")]
+            ),
+            "rows": new_counts.get(key, 0),
+        }
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    if manifest is not None and "sink_files" in manifest:
+        # refresh per-file lineage for rewritten sinks with one pruned scan
+        refreshed = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).cast("string").isin(list(plan)))
+            .groupBy(partition_col, F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for key in plan:
+            manifest["sink_files"][key] = {}
+        for r in refreshed:
+            manifest["sink_files"][str(r[partition_col])][
+                os.path.basename(r["f"])
+            ] = int(r["n"])
+        manifest["compactions"] = manifest.get("compactions", 0) + 1
+        write_manifest(path, manifest)
+    return {"compacted": result, "skipped": len(stats) - len(plan)}
