@@ -699,6 +699,19 @@ def _q_hw_ets(spark, sf_dir):
     series = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("timestamp")
     ).agg(F.count(F.lit(1)).alias("counts"))
+    # contract alignment with the oracle's `split >= 48` gate: keep only
+    # series whose train span covers two full seasons (floor(0.7*n) >= 2*24).
+    # Shorter series take the operator's Holt/SES fallback, which the
+    # recursive-CTE oracle deliberately does not model — without this filter
+    # a dataset containing a 10..68-bucket series would make Spark emit rows
+    # the oracle lacks.
+    seasonal_ok = (
+        series.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.floor(F.col("_n") * F.lit(0.7)) >= 2 * 24)
+        .select("event_type")
+    )
+    series = series.join(F.broadcast(seasonal_ok), "event_type")
     out = detect_anomalies_per_series(
         series,
         ["event_type"],

@@ -190,8 +190,17 @@ def band_buckets_arrow(
     """All ``bands`` hyperplane sign buckets in ONE Arrow crossing: the
     (bands x rows_per_band, dim) plane matrix lives in the UDF closure
     (broadcast with the serialized function, one copy per executor), each
-    batch is a single numpy sign-matrix multiply. Bit-for-bit the same
-    bucket ids as the literal-expression path."""
+    batch is a single numpy sign-matrix multiply.
+
+    Parity with the literal-expression path: same planes, same sign rule,
+    equality pinned on real embeddings in tests — but the dot products sum
+    in a different order (numpy blocked/pairwise vs the SQL left fold), so a
+    product within ~1 ulp of exactly 0 could in principle flip a bit between
+    the paths. LSH recall is insensitive to a single bit on a measure-zero
+    tie, and ``method='auto'`` picks the path from the static shape
+    (bands*rows*dim), never per row, so any one configuration is internally
+    consistent. NULL or wrong-length vectors degrade to bucket 0, exactly
+    like the SQL path's ``when(dot > 0)`` on a NULL dot."""
     import numpy as np
     import pandas as pd
 
@@ -200,9 +209,11 @@ def band_buckets_arrow(
 
     @F.pandas_udf("array<long>")
     def _buckets(s):
-        X = np.asarray(s.tolist(), dtype=float)
-        if X.ndim != 2:  # empty batch
-            return pd.Series([], dtype=object)
+        vals = s.tolist()
+        X = np.zeros((len(vals), dim))
+        for i, v in enumerate(vals):
+            if v is not None and len(v) == dim and not any(x is None for x in v):
+                X[i] = v
         S = (X @ P.T) > 0  # (n, bands*rows)
         B = (S.reshape(len(X), bands, rows_per_band) * pows[None, None, :]).sum(2)
         return pd.Series([row.tolist() for row in B.astype("int64")])

@@ -430,8 +430,14 @@ def simhash(
     partial-aggregatable but still exchanged every token row at 10^12-doc
     scale). A +1/-1 sum being positive is equivalent to the set-bit count
     exceeding half the tokens (2*ones > n). Measured 0.9s -> 0.2s on the
-    sf0.1 battery vs the exploded shape."""
-    work = df.withColumn("_h", F.transform(tokenize_expr(text_col), _hash32))
+    sf0.1 battery vs the exploded shape.
+
+    NULL-text docs are dropped (no fingerprint), matching the previous
+    explode shape and the SQL oracle — the per-row rewrite would otherwise
+    emit a (doc_id, NULL) row for them."""
+    work = df.withColumn("_h", F.transform(tokenize_expr(text_col), _hash32)).filter(
+        F.col("_h").isNotNull()
+    )
     # bit b of h via floor-div (shiftright/shiftleft need literal shift
     # amounts, which would force one array pass per bit)
     def _bit_of(h, b):

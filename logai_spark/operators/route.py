@@ -270,7 +270,10 @@ def compact_sinks(
       directory (idempotent: a crash mid-swap leaves each sink either old
       or new, both complete; re-running converges);
     - per-sink row counts re-verified against the manifest BEFORE the swap
-      — a compaction that would change row counts fails loudly;
+      — a compaction that would change row counts fails loudly; the verify
+      pass is ONE scan of the rewritten tmp output that also yields the
+      refreshed per-file lineage (total data read: old files once for the
+      rewrite, new files once for the gate);
     - manifest per-file lineage refreshed for the rewritten sinks.
 
     Returns {"compacted": {key: {files_before, files_after, rows}},
@@ -327,12 +330,21 @@ def compact_sinks(
     # target size is enforced by maxRecordsPerFile (deterministic splitting
     # inside each writer task, AQE-coalesce-proof); the bucket repartition
     # above only provides write parallelism for big sinks. records/file is
-    # derived from the sinks' own measured on-disk bytes per row.
+    # derived from the sinks' own measured on-disk bytes per row — taken from
+    # the manifest counts when present so the estimate costs zero scans; a
+    # manifest-less layout pays one pre-count of the planned sinks.
+    manifest = manifest_of(path)
+    old_counts = (manifest or {}).get("sinks", {})
     plan_bytes = sum(stats[k]["bytes"] for k in plan)
-    plan_rows = sum(
-        int(r["n"])
-        for r in src.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    )
+    if all(k in old_counts for k in plan):
+        plan_rows = sum(int(old_counts[k]) for k in plan)
+    else:
+        plan_rows = sum(
+            int(r["n"])
+            for r in src.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
     rows_per_file = max(1, int(target_bytes / max(plan_bytes / max(plan_rows, 1), 1)))
     (
         bucketed.write.mode("overwrite")
@@ -341,16 +353,22 @@ def compact_sinks(
         .parquet(tmp)
     )
 
-    # verify BEFORE swapping: per-sink rows in tmp == per-sink rows on disk
-    new_counts = {
-        str(r[partition_col]): int(r["n"])
-        for r in spark.read.parquet(tmp)
-        .groupBy(partition_col)
+    # verify BEFORE swapping: per-sink rows in tmp == per-sink rows on disk.
+    # ONE scan of tmp yields both the per-sink totals for the gate and the
+    # per-file lineage (same files post-swap — only the directory renames),
+    # instead of re-scanning the live path afterwards.
+    per_file = (
+        spark.read.parquet(tmp)
+        .groupBy(partition_col, F.input_file_name().alias("f"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
-    }
-    manifest = manifest_of(path)
-    old_counts = (manifest or {}).get("sinks", {})
+    )
+    new_counts: dict[str, int] = {}
+    new_files: dict[str, dict[str, int]] = {}
+    for r in per_file:
+        key = str(r[partition_col])
+        new_counts[key] = new_counts.get(key, 0) + int(r["n"])
+        new_files.setdefault(key, {})[os.path.basename(r["f"])] = int(r["n"])
     for key in plan:
         before = old_counts.get(key)
         if before is not None and int(before) != new_counts.get(key, -1):
@@ -378,20 +396,10 @@ def compact_sinks(
     shutil.rmtree(tmp, ignore_errors=True)
 
     if manifest is not None and "sink_files" in manifest:
-        # refresh per-file lineage for rewritten sinks with one pruned scan
-        refreshed = (
-            spark.read.parquet(path)
-            .filter(F.col(partition_col).cast("string").isin(list(plan)))
-            .groupBy(partition_col, F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # per-file lineage for rewritten sinks, from the pre-swap tmp scan
+        # (file basenames survive the directory rename)
         for key in plan:
-            manifest["sink_files"][key] = {}
-        for r in refreshed:
-            manifest["sink_files"][str(r[partition_col])][
-                os.path.basename(r["f"])
-            ] = int(r["n"])
+            manifest["sink_files"][key] = new_files.get(key, {})
         manifest["compactions"] = manifest.get("compactions", 0) + 1
         write_manifest(path, manifest)
     return {"compacted": result, "skipped": len(stats) - len(plan)}

@@ -64,11 +64,16 @@ def mine_templates(
                 cluster = tree.add_line(line)
                 cluster.size += int(cnt) - 1
         tpls = tree.templates()
-        # in-band stats row (template NULL): this shard's distinct-line count
+        # in-band stats row (template NULL): this shard's distinct-line
+        # count, over the SAME rows the tree fit (str only) — counting
+        # null/non-string rows here while total_lines excludes them would
+        # understate the duplication factor that drives match-strategy auto-
+        # selection
+        n_fit = int(sum(1 for line in pdf[column] if isinstance(line, str)))
         return pd.DataFrame(
             {
                 "template": [t for t, _ in tpls] + [None],
-                "size": [s for _, s in tpls] + [len(pdf)],
+                "size": [s for _, s in tpls] + [n_fit],
             }
         )
 

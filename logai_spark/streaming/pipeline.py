@@ -49,6 +49,33 @@ def _batch_manifest_path(out_dir: str, batch_id: int) -> str:
     return os.path.join(out_dir, BATCH_MANIFEST_DIR, f"batch_{int(batch_id)}.json")
 
 
+def _batch_fingerprint(batch_df: DataFrame) -> str | None:
+    """Content identity of a micro-batch for the replay short-circuit.
+
+    For file sources this is a hash of the batch's input file list, read
+    with a zero-data-column job (``input_file_name()`` distinct — the
+    DataFrame-level ``inputFiles()`` is empty inside ``foreachBatch``).
+    Needed because batch ids alone are not stable across checkpoint loss: a
+    restarted stream re-bundles ALL unprocessed files into a fresh batch 0,
+    so a committed ``batch_0.json`` from the old lineage must NOT suppress a
+    batch 0 that now carries new files. Non-file sources return None (no
+    cheap identity; the short-circuit then degrades to batch-id-only, the
+    pre-fingerprint behavior)."""
+    import hashlib
+
+    try:
+        files = sorted(
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+            if r[0]
+        )
+    except Exception:
+        files = []
+    if not files:
+        return None
+    return hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
 def run_streaming_pipeline(
     spark: SparkSession,
     pages_stream: DataFrame,
@@ -72,10 +99,19 @@ def run_streaming_pipeline(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         man_path = _batch_manifest_path(out_dir, batch_id)
+        fingerprint = _batch_fingerprint(batch_df)
         if os.path.exists(man_path):
             # replay of a fully-committed batch (manifest is written LAST):
-            # nothing to do — this is the exactly-once short-circuit
-            return
+            # skip ONLY if the batch carries the same input as the committed
+            # one — after checkpoint loss the re-bundled batch 0 may include
+            # files the old batch 0 never saw, and skipping would silently
+            # drop them. A mismatch falls through to reprocess: dynamic
+            # partition overwrite replaces the batch's own partitions and
+            # the manifest is rewritten, so the rerun is exactly-once too.
+            with open(man_path) as fp:
+                committed = json.load(fp)
+            if committed.get("input_fingerprint") == fingerprint:
+                return
         sess = batch_df.sparkSession
         # dynamic overwrite: only the touched batch_id partitions are
         # replaced, so a replayed half-written batch self-heals. Restored
@@ -84,11 +120,13 @@ def run_streaming_pipeline(
         prev_mode = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            _run_batch(sess, batch_df, batch_id, man_path)
+            _run_batch(sess, batch_df, batch_id, man_path, fingerprint)
         finally:
             sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    def _run_batch(sess, batch_df: DataFrame, batch_id: int, man_path: str) -> None:
+    def _run_batch(
+        sess, batch_df: DataFrame, batch_id: int, man_path: str, fingerprint
+    ) -> None:
         parsed = extract_parse(batch_df, templates, cfg.drain)
         lines = (
             enrich(parsed, lang_dimension(sess), "lang", select=["lang_name", "script"])
@@ -127,6 +165,7 @@ def run_streaming_pipeline(
         lines.unpersist()
         manifest = {
             "batch_id": int(batch_id),
+            "input_fingerprint": fingerprint,
             "sinks": {str(r["template_id"]): int(r["n"]) for r in per_sink},
         }
         manifest["total_rows"] = int(sum(manifest["sinks"].values()))

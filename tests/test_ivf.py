@@ -161,6 +161,41 @@ def test_hyperplane_arrow_matches_sql_path(spark):
     assert len(s) > 0 and s.equals(a)
 
 
+def test_hyperplane_arrow_tolerates_null_and_ragged_vectors(spark):
+    """NULL / wrong-length embeddings must not crash the Arrow path; both
+    paths send them to bucket 0 (the SQL path's when(dot>0)-on-NULL rule)."""
+    import pandas as pd
+
+    from logai_spark.functions.similarity import band_buckets_arrow, hyperplane_signs
+    from pyspark.sql import functions as F
+
+    dim = 8
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0] * dim,       # normal
+                    None,              # NULL vector
+                    [1.0] * (dim - 3), # ragged
+                    [float(i) for i in range(dim)],
+                ],
+            }
+        )
+    )
+    got = df.select(
+        "vec_id",
+        band_buckets_arrow(F.col("embedding"), dim, 2, 3).alias("arrow"),
+        F.array(
+            hyperplane_signs(F.col("embedding"), dim, 3, plane_offset=0),
+            hyperplane_signs(F.col("embedding"), dim, 3, plane_offset=3),
+        ).alias("sql"),
+    ).orderBy("vec_id").collect()
+    for r in got:
+        assert r["arrow"] == r["sql"]
+    assert got[1]["arrow"] == [0, 0]  # NULL -> bucket 0 in every band
+
+
 def test_near_dup_high_dim_uses_bounded_plan(spark):
     """dim 768 x 16 planes exceeds the plane-literal budget: auto must take
     the Arrow path and keep the plan compact (no 10^4-literal expression)."""

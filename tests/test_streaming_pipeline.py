@@ -114,3 +114,48 @@ def test_streaming_pipeline_exactly_once_on_replay(spark, pages_dir, tmp_path):
     )
     assert read_streaming_routed(spark, out).count() == n1
     assert os.path.exists(_batch_manifest_path(out, 0))
+
+
+def test_streaming_pipeline_checkpoint_loss_with_new_file(spark, pages_dir, tmp_path):
+    """Checkpoint loss + a NEW source file: the restarted stream re-bundles
+    everything into a fresh batch 0, whose id collides with the committed
+    batch_0 manifest. The input fingerprint must force a reprocess (NOT a
+    skip) so the new file's rows are not silently dropped."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shutil.copytree(
+        os.path.join(pages_dir, "a.parquet"), os.path.join(src, "a.parquet")
+    )
+    out = str(tmp_path / "out")
+    pages = synth_webpages(spark, 120)
+    templates = mine_templates(pages_to_lines(pages))
+
+    def one_batch_stream():
+        # no maxFilesPerTrigger: ALL unprocessed files bundle into batch 0
+        schema = spark.read.parquet(os.path.join(src, "a.parquet")).schema
+        return spark.readStream.schema(schema).parquet(os.path.join(src, "*.parquet"))
+
+    run_streaming_pipeline(
+        spark, one_batch_stream(), out, templates, checkpoint_dir=str(tmp_path / "c1")
+    )
+    n_a = read_streaming_routed(spark, out).count()
+    assert n_a > 0
+
+    # new file lands, checkpoint is lost
+    shutil.copytree(
+        os.path.join(pages_dir, "b.parquet"), os.path.join(src, "b.parquet")
+    )
+    run_streaming_pipeline(
+        spark, one_batch_stream(), out, templates, checkpoint_dir=str(tmp_path / "c2")
+    )
+    routed = read_streaming_routed(spark, out)
+    n_all = routed.count()
+    assert n_all > n_a  # b's rows arrived
+    assert routed.select("url", "seq").distinct().count() == n_all  # and no dups
+
+    # identical replay (checkpoint lost again, no new file): fingerprint
+    # matches -> short-circuit, still exactly once
+    run_streaming_pipeline(
+        spark, one_batch_stream(), out, templates, checkpoint_dir=str(tmp_path / "c3")
+    )
+    assert read_streaming_routed(spark, out).count() == n_all
