@@ -926,6 +926,103 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+_SESSION_GAP_SECS = 6 * 3600
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream: a >6h silence within
+    a user starts a new session; emit per-session row counts + duration.
+    One shuffle on user_id (keyed windows), no global state — the sessionizer
+    a clickstream/log pipeline runs on every ingest batch."""
+    from logai_spark.operators.features import sessionize_by_gap
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_by_gap(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        gap_secs=_SESSION_GAP_SECS,
+        tiebreak_cols=["event_id"],
+    )
+    epoch = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(1_000_000)
+    ).cast("long")
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(epoch) - F.min(epoch)).alias("duration_secs"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    """As-of join: every event picks up the latest error event of the same
+    user at-or-before its timestamp ("state at event time"). Union + keyed
+    window — one shuffle on user_id, cost independent of match fan-out
+    (operators/joins.py docstring has the plan argument). The oracle is
+    DuckDB's native ASOF LEFT JOIN, so the semantics are checked against an
+    independent first-class implementation."""
+    from logai_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("error_id"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        errors,
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["error_id"],
+        right_ts_out="error_ts",
+        tiebreak_cols=["event_id"],
+    )
+    epoch = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp_ltz")) / F.lit(1_000_000)
+    ).cast("long")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "error_id",
+        (epoch("ts") - epoch("error_ts")).alias("secs_since_error"),
+    ).orderBy("event_id")
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document (dup-word
+    fraction, top-bigram fraction) — row-local array exprs, zero shuffles."""
+    from logai_spark.functions.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII scrub over documents with deterministically planted PII (the
+    synthetic corpus has none, so the query plants one email/IP/long-id per
+    doc from doc_id — same construction in the oracle — and the redaction
+    regexes are exercised against real surrounding text)."""
+    from logai_spark.functions.textops import pii_redact
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"), F.col("doc_id"),
+            F.lit("@ex"), F.col("doc_id") % 7,
+            F.lit(".com ip 10."), F.col("doc_id") % 256,
+            F.lit(".0."), F.col("doc_id") % 100,
+            F.lit(" acct "), F.col("doc_id") + 900000000,
+        ).alias("text"),
+    )
+    return pii_redact(d).select(
+        "doc_id", "redacted", "n_emails", "n_ips", "n_ids"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -980,6 +1077,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
         "auc": _q_auc,
     }
 
@@ -1882,4 +1983,85 @@ def oracle_sql() -> dict[str, str]:
     }
     # IVF with full probing is exactness-equivalent to brute force
     out["ivf_topk"] = out["cosine_topk"]
+    out["sessionize"] = f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > {_SESSION_GAP_SECS}::bigint * 1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )::bigint AS session_seq
+            FROM e)
+        SELECT user_id, session_seq, count(*) AS n_events,
+               (epoch_us(max(ts)) // 1000000)
+                 - (epoch_us(min(ts)) // 1000000) AS duration_secs
+        FROM s GROUP BY 1, 2
+    """
+    out["asof_join"] = """
+        WITH err AS (
+            SELECT user_id, ts, max(event_id) AS error_id
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, err.error_id,
+               (epoch_us(e.ts) // 1000000)
+                 - (epoch_us(err.ts) // 1000000) AS secs_since_error
+        FROM events e
+        ASOF LEFT JOIN err ON e.user_id = err.user_id AND e.ts >= err.ts
+    """
+    out["repetition_stats"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        w AS (
+            SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+            FROM d),
+        bg AS (
+            SELECT doc_id,
+                   w || ' ' || lead(w) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS b
+            FROM w),
+        bgc AS (
+            SELECT doc_id, b, count(*) AS c
+            FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY 1)
+        SELECT d.doc_id, len(t)::bigint AS n_words,
+               floor((1 - len(list_distinct(t))::double / len(t)) * 10000
+                     + 0.5) / 10000 AS dup_word_frac,
+               floor(coalesce(mx::double / tot, 0) * 10000 + 0.5) / 10000
+                 AS top_bigram_frac
+        FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    """
+    from logai_spark.functions.textops import PII_EMAIL, PII_IPV4, PII_LONG_ID
+
+    out["pii_redact"] = f"""
+        WITH p AS (
+            SELECT doc_id,
+                   text || ' mail u' || doc_id || '@ex' || (doc_id % 7)
+                        || '.com ip 10.' || (doc_id % 256)
+                        || '.0.' || (doc_id % 100)
+                        || ' acct ' || (doc_id + 900000000) AS s
+            FROM documents),
+        r1 AS (SELECT doc_id, s,
+                      len(regexp_extract_all(s, '{PII_EMAIL}'))::bigint
+                        AS n_emails,
+                      regexp_replace(s, '{PII_EMAIL}', '<EMAIL>', 'g') AS s1
+               FROM p),
+        r2 AS (SELECT doc_id, n_emails,
+                      len(regexp_extract_all(s1, '{PII_IPV4}'))::bigint
+                        AS n_ips,
+                      regexp_replace(s1, '{PII_IPV4}', '<IP>', 'g') AS s2
+               FROM r1)
+        SELECT doc_id,
+               regexp_replace(s2, '{PII_LONG_ID}', '<ID>', 'g') AS redacted,
+               n_emails, n_ips,
+               len(regexp_extract_all(s2, '{PII_LONG_ID}'))::bigint AS n_ids
+        FROM r2
+    """
     return out

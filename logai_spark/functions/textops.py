@@ -463,3 +463,86 @@ def simhash(
         lambda a, x: a + x,
     )
     return work.select(F.col(id_col), sig.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats + PII redaction (training-data extensions)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics in the spirit of the Gopher quality
+    filters (Rae et al. 2021, §A1.1): duplicate-word fraction and the
+    fraction of bigrams taken by the single most common bigram.
+
+    Scale shape: entirely row-local array expressions — zero shuffles, zero
+    Python. The top-bigram count sorts the bigram array and folds a
+    max-run-length with the ``aggregate`` HOF (O(n log n) per doc), instead
+    of the O(n * distinct) transform-filter formulation that would crawl on
+    10k-token web pages.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    d = df.withColumn("_t", toks)
+    bigrams = F.when(
+        F.size("_t") >= 2,
+        F.expr("transform(sequence(0, size(_t)-2), i -> concat(_t[i], ' ', _t[i+1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("_bg", F.array_sort(bigrams))
+    # fold: state (prev token, current run, best run) over the sorted bigrams
+    best_run = F.aggregate(
+        "_bg",
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return d.select(
+        id_col,
+        F.size("_t").cast("long").alias("n_words"),
+        round4(
+            1.0 - F.size(F.array_distinct("_t")).cast("double") / F.size("_t")
+        ).alias("dup_word_frac"),
+        round4(
+            F.when(
+                F.size("_bg") > 0,
+                best_run.cast("double") / F.size("_bg"),
+            ).otherwise(F.lit(0.0))
+        ).alias("top_bigram_frac"),
+    )
+
+
+# Shared Java/RE2-compatible PII patterns (Spark regexp_* use java.util.regex,
+# DuckDB uses RE2 — these stay inside the common dialect: no lookaround).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+PII_LONG_ID = r"\b\d{9,}\b"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and long digit runs (account/SSN-ish
+    ids) with typed placeholders, and count each class. Redaction order
+    matters: emails first (they contain dots+digits), then IPs, then bare
+    long ids. Pure regexp codegen — no shuffle, no Python; this is the hot
+    inner loop of a compliance scrub over a 100 TB corpus, so it must stay
+    JVM-side.
+    """
+    s = F.col(text_col)
+    n_emails = F.regexp_count(s, F.lit(PII_EMAIL)).cast("long")
+    after_email = F.regexp_replace(s, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4)).cast("long")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_ids = F.regexp_count(after_ip, F.lit(PII_LONG_ID)).cast("long")
+    redacted = F.regexp_replace(after_ip, PII_LONG_ID, "<ID>")
+    return df.withColumn(out_col, redacted).withColumn(
+        "n_emails", n_emails
+    ).withColumn("n_ips", n_ips).withColumn("n_ids", n_ids)

@@ -178,3 +178,37 @@ def chrono_split(
     dataset_utils.py:53-66). percent_rank keeps it one window pass."""
     w = Window.partitionBy(*(partition_by or [])).orderBy(order_col)
     return df.withColumn(flag_col, F.percent_rank().over(w) <= train_frac)
+
+
+def sessionize_by_gap(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "timestamp",
+    gap_secs: int = 1800,
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts when
+    the time since the previous event exceeds ``gap_secs``. Extends the
+    reference's fixed-bucket session ids (openset_partitioner.py:119-142) to
+    the gap semantics a web/event pipeline needs.
+
+    Scale shape: both windows partition on the session keys, so the whole
+    operator is ONE shuffle on ``key_cols`` followed by an in-partition sort
+    — no global window, no driver state. ``tiebreak_cols`` make the order
+    (and therefore session numbering) deterministic under equal timestamps.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # exact integer micros (no double rounding at the gap boundary)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    prev = F.lag(micros).over(w)
+    brk = F.when(
+        prev.isNull() | (micros - prev > gap_secs * 1_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("_brk", brk).withColumn(
+        out_col, F.sum("_brk").over(run).cast("long")
+    ).drop("_brk")

@@ -137,3 +137,55 @@ def test_ngram_jaccard_validate_ids_fails_loudly(spark, docs):
         clean.sort_values(key).reset_index(drop=True).equals(
             base.sort_values(key).reset_index(drop=True))
     )
+
+
+def test_repetition_stats(spark):
+    from logai_spark.functions.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),        # 2 distinct of 6; "a b" bigram x3 of 5
+            (1, "x y z"),              # all distinct; every bigram unique
+            (2, "solo"),               # single token: no bigrams
+            (3, "t t t t"),            # 1 distinct of 4; "t t" x3 of 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[0].n_words == 6
+    assert abs(out[0].dup_word_frac - (1 - 2 / 6)) < 1e-4
+    assert abs(out[0].top_bigram_frac - 3 / 5) < 1e-4
+    assert out[1].dup_word_frac == 0.0
+    assert abs(out[1].top_bigram_frac - 0.5) < 1e-4
+    assert out[2].top_bigram_frac == 0.0
+    assert out[3].top_bigram_frac == 1.0
+
+
+def test_repetition_stats_no_shuffle(spark):
+    from logai_spark.functions.textops import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: no shuffle at any scale
+
+
+def test_pii_redact(spark):
+    from logai_spark.functions.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "from 192.168.0.1 to 10.0.0.255"),
+            (2, "ssn 123456789 acct 900000000042 ok 1234"),
+            (3, "clean text with no pii at all"),
+            (4, "a@b.io via 1.2.3.4 ref 999999999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[0].redacted == "mail <EMAIL> now" and out[0].n_emails == 1
+    assert out[1].redacted == "from <IP> to <IP>" and out[1].n_ips == 2
+    assert out[2].redacted == "ssn <ID> acct <ID> ok 1234" and out[2].n_ids == 2
+    assert out[3].redacted == out[3].text
+    assert (out[4].n_emails, out[4].n_ips, out[4].n_ids) == (1, 1, 1)
+    assert out[4].redacted == "<EMAIL> via <IP> ref <ID>"
