@@ -36,6 +36,10 @@ HEADLINE = [
     "cosine_topk",
     "quality_score",
     "dup_clusters",
+    "sessionize",
+    "asof_join",
+    "repetition_stats",
+    "pii_redact",
 ]
 
 
