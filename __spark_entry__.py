@@ -992,6 +992,40 @@ def _q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic stratified hash-sample: 20% of documents per source.
+    Pure filter — zero shuffle, reproducible on any cluster size (the whole
+    point vs df.sample)."""
+    from logai_spark.functions.textops import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        frac=0.2,
+        strata_cols=["source"],
+    ).orderBy("doc_id")
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus-level most-frequent bigrams (boilerplate detection): explode →
+    partial-agg count → TakeOrderedAndProject top-20."""
+    from logai_spark.functions.textops import top_ngrams
+
+    return top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental crawl dedup: incoming batch (doc_id >= 200) anti-joined on
+    content fingerprint against a prior snapshot (doc_id < 250); the 200-249
+    overlap must vanish. One shuffle per side on the fingerprint key."""
+    from logai_spark.functions.textops import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") >= 200), docs.filter(F.col("doc_id") < 250)
+    )
+    return out.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality metrics per document (dup-word
     fraction, top-bigram fraction) — row-local array exprs, zero shuffles."""
@@ -1081,6 +1115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
+        "hash_sample": _q_hash_sample,
+        "top_ngrams": _q_top_ngrams,
+        "incremental_dedup": _q_incremental_dedup,
         "auc": _q_auc,
     }
 
@@ -2037,6 +2074,39 @@ def oracle_sql() -> dict[str, str]:
                floor(coalesce(mx::double / tot, 0) * 10000 + 0.5) / 10000
                  AS top_bigram_frac
         FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    """
+    key = "'s42|' || source || '|' || doc_id"
+    out["hash_sample"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_DD_H32.format(x=key)} % 10000 < 2000
+    """
+    out["top_ngrams"] = f"""
+        WITH d AS (SELECT doc_id, {_DD_TOKS} AS t FROM documents),
+        w AS (
+            SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+            FROM d),
+        bg AS (
+            SELECT w || ' ' || lead(w) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS ngram
+            FROM w)
+        SELECT ngram, count(*) AS n FROM bg WHERE ngram IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20
+    """
+    fp_cte = f"""
+        t AS (SELECT doc_id, {_DD_TOKS_RAW} AS toks FROM documents),
+        w AS (
+            SELECT doc_id, {_DD_H32.format(x='toks[i]')} * i AS v
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        fp AS (
+            SELECT doc_id, (sum(v) % {MINHASH_P})::bigint AS fingerprint
+            FROM w GROUP BY doc_id)
+    """
+    out["incremental_dedup"] = f"""
+        WITH {fp_cte},
+        snap AS (SELECT fingerprint FROM fp WHERE doc_id < 250),
+        inc AS (SELECT * FROM fp WHERE doc_id >= 200)
+        SELECT i.doc_id, i.fingerprint
+        FROM inc i ANTI JOIN snap s ON i.fingerprint = s.fingerprint
     """
     from logai_spark.functions.textops import PII_EMAIL, PII_IPV4, PII_LONG_ID
 

@@ -546,3 +546,71 @@ def pii_redact(
     return df.withColumn(out_col, redacted).withColumn(
         "n_emails", n_emails
     ).withColumn("n_ips", n_ips).withColumn("n_ids", n_ids)
+
+
+def hash_sample(
+    df: DataFrame,
+    frac: float,
+    id_col: str = "doc_id",
+    strata_cols: list[str] | None = None,
+    salt: str = "s42",
+) -> DataFrame:
+    """Deterministic (stratified) hash sampling: keep a row iff
+    hash32(salt|strata|id) falls in the first ``frac`` of 10,000 buckets.
+    The workhorse of training-data curation — held-out splits, ablation
+    subsets, per-source quotas — where `df.sample()` is useless because it
+    is neither reproducible across runs nor stable under repartitioning.
+
+    Scale shape: a pure filter — zero shuffles, prunes at the scan when the
+    predicate survives pushdown, and the same row always lands on the same
+    side of the cut on any cluster size. ``strata_cols`` only enter the hash
+    key (per-stratum independence); they do not group or shuffle anything.
+    """
+    parts = [
+        F.lit(salt),
+        *[F.col(c).cast("string") for c in (strata_cols or [])],
+        F.col(id_col).cast("string"),
+    ]
+    bucket = F.pmod(_hash32(F.concat_ws("|", *parts)), F.lit(10000))
+    return df.filter(bucket < int(round(frac * 10000)))
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level most-frequent word n-grams (boilerplate / stock-phrase
+    detection over a crawl). explode -> hash agg (map-side partial combine)
+    -> global top-k; Spark plans the final step as TakeOrderedAndProject, so
+    only k rows ever reach the driver side of the sort, not the full
+    distinct-ngram table. Ties break on the ngram string for determinism.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    grams = _shingles(F.col("_t"), n)
+    return (
+        df.withColumn("_t", toks)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(k)
+    )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental crawl dedup: drop incoming docs whose content fingerprint
+    already exists in a prior corpus snapshot. LEFT ANTI join on the
+    fingerprint — one shuffle on a long key on each side (or none on the
+    snapshot side when its fingerprints are stored pre-bucketed); never
+    compares text bodies. The dual of ``exact_dedup`` for the batch-over-
+    batch ingestion loop, where re-reading the full corpus per batch is not
+    an option."""
+    inc = doc_fingerprint(incoming, text_col)
+    snap = doc_fingerprint(snapshot, text_col).select("fingerprint").distinct()
+    return inc.join(snap, "fingerprint", "left_anti")

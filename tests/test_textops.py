@@ -189,3 +189,55 @@ def test_pii_redact(spark):
     assert out[3].redacted == out[3].text
     assert (out[4].n_emails, out[4].n_ips, out[4].n_ids) == (1, 1, 1)
     assert out[4].redacted == "<EMAIL> via <IP> ref <ID>"
+
+
+def test_hash_sample_deterministic_and_no_shuffle(spark):
+    from logai_spark.functions.textops import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(1000)], "doc_id long, source string"
+    )
+    a = hash_sample(df, 0.2, strata_cols=["source"])
+    b = hash_sample(df, 0.2, strata_cols=["source"])
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b                       # reproducible
+    assert 120 <= len(ids_a) <= 280             # ~20% of 1000
+    # frac=1 keeps everything; frac=0 keeps nothing
+    assert hash_sample(df, 1.0).count() == 1000
+    assert hash_sample(df, 0.0).count() == 0
+    # nested sampling: a 10% cut is a subset of the 20% cut (same key space)
+    ids_10 = {r.doc_id for r in hash_sample(df, 0.1, strata_cols=["source"]).collect()}
+    assert ids_10 <= set(ids_a)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan               # pure filter
+
+
+def test_top_ngrams(spark):
+    from logai_spark.functions.textops import top_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the cat ran"), (2, "The Cat sat down")],
+        "doc_id long, text string",
+    )
+    out = [(r.ngram, r.n) for r in top_ngrams(df, n=2, k=3).collect()]
+    assert out[0] == ("the cat", 3)             # lowercased, corpus-wide
+    assert ("cat sat", 2) in out
+    plan = top_ngrams(df, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan      # top-k, not a global sort
+
+
+def test_incremental_dedup(spark):
+    from logai_spark.functions.textops import incremental_dedup
+
+    snap = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(10, "alpha beta"),      # duplicate content, different id -> dropped
+         (11, "epsilon zeta"),    # new -> kept
+         (12, "gamma delta")],    # duplicate -> dropped
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(inc, snap).collect())
+    assert kept == [11]
