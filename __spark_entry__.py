@@ -1026,6 +1026,31 @@ def _q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+_PACK_BUDGET = 200
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy token-budget sequence packing per source (pre-training packer):
+    exact greedy semantics checked against a DuckDB recursive-CTE replay of
+    the same walk. Parallelism unit = source shard (applyInPandas), which is
+    how production packers parallelize."""
+    from logai_spark.operators.features import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        ).cast("long"),
+    )
+    return pack_sequences(
+        docs,
+        budget=_PACK_BUDGET,
+        group_cols=["source"],
+        order_cols=["doc_id"],
+        size_col="n_tokens",
+    ).select("source", "doc_id", "n_tokens", "pack_id").orderBy("doc_id")
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality metrics per document (dup-word
     fraction, top-bigram fraction) — row-local array exprs, zero shuffles."""
@@ -1118,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "top_ngrams": _q_top_ngrams,
         "incremental_dedup": _q_incremental_dedup,
+        "pack_sequences": _q_pack_sequences,
         "auc": _q_auc,
     }
 
@@ -2074,6 +2100,27 @@ def oracle_sql() -> dict[str, str]:
                floor(coalesce(mx::double / tot, 0) * 10000 + 0.5) / 10000
                  AS top_bigram_frac
         FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    """
+    out["pack_sequences"] = f"""
+        WITH RECURSIVE d AS (
+            SELECT source, doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> ''))::bigint AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents),
+        r AS (
+            SELECT source, doc_id, n_tokens, rn,
+                   1::bigint AS pack_id, n_tokens AS cum
+            FROM d WHERE rn = 1
+            UNION ALL
+            SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+                   CASE WHEN r.cum + d.n_tokens > {_PACK_BUDGET}
+                        THEN r.pack_id + 1 ELSE r.pack_id END,
+                   CASE WHEN r.cum + d.n_tokens > {_PACK_BUDGET}
+                        THEN d.n_tokens ELSE r.cum + d.n_tokens END
+            FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+        SELECT source, doc_id, n_tokens, pack_id FROM r
     """
     key = "'s42|' || source || '|' || doc_id"
     out["hash_sample"] = f"""

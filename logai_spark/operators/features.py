@@ -212,3 +212,47 @@ def sessionize_by_gap(
     return df.withColumn("_brk", brk).withColumn(
         out_col, F.sum("_brk").over(run).cast("long")
     ).drop("_brk")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    group_cols: list[str],
+    order_cols: list[str],
+    size_col: str = "n_tokens",
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Greedy token-budget sequence packing: walk each group in order,
+    accumulating ``size_col``; start a new pack whenever adding the next doc
+    would exceed ``budget`` (an oversized doc gets a pack of its own). The
+    standard pre-training step that concatenates documents into fixed-budget
+    training sequences.
+
+    Scale shape: greedy packing is inherently sequential WITHIN a group —
+    that is its definition, not an implementation limit — so the parallelism
+    unit is the group (source/shard/partition), exactly how production
+    packers run: thousands of shards packed independently. applyInPandas
+    gives one Arrow batch per group; memory is O(group rows) of (ids, sizes)
+    only, the text itself never enters the Python worker (callers join the
+    assignment back by id).
+    """
+    import pandas as pd
+
+    sizes = df.select(*group_cols, *order_cols, size_col)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in sizes.schema.fields
+    ) + f", {out_col} long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        packs, pack, cum = [], 1, 0
+        for tok in pdf[size_col].tolist():
+            if cum > 0 and cum + tok > budget:
+                pack, cum = pack + 1, tok
+            else:
+                cum += tok
+            packs.append(pack)
+        pdf[out_col] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return sizes.groupBy(*group_cols).applyInPandas(_pack, out_schema)

@@ -104,3 +104,32 @@ def test_chrono_split_fraction(spark, events):
         .toPandas()["f"]
     )
     assert ((frac > 0.6) & (frac < 0.8)).all()
+
+
+def test_pack_sequences_greedy(spark):
+    from logai_spark.operators.features import pack_sequences
+
+    rows = [
+        # source a: sizes 50, 60, 80, 90 with budget 120 ->
+        # [50+60]=110, [80]=80 (80+90>120), [90]
+        ("a", 1, 50), ("a", 2, 60), ("a", 3, 80), ("a", 4, 90),
+        # source b: oversized doc gets its own pack, then packing resumes
+        ("b", 1, 200), ("b", 2, 10), ("b", 3, 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = pack_sequences(
+        df, budget=120, group_cols=["source"], order_cols=["doc_id"]
+    )
+    got = {(r.source, r.doc_id): r.pack_id for r in out.collect()}
+    assert got[("a", 1)] == 1 and got[("a", 2)] == 1
+    assert got[("a", 3)] == 2 and got[("a", 4)] == 3
+    assert got[("b", 1)] == 1          # oversized first doc -> pack 1 alone
+    assert got[("b", 2)] == 2 and got[("b", 3)] == 2
+    # every pack except possibly per-group tails respects the budget when
+    # its members are not individually oversized
+    from pyspark.sql import functions as F
+    sums = (
+        out.filter(F.col("n_tokens") <= 120)
+        .groupBy("source", "pack_id").agg(F.sum("n_tokens").alias("s"))
+    )
+    assert sums.filter(F.col("s") > 120).count() == 0
