@@ -784,6 +784,65 @@ def _q_streaming_counts(spark, sf_dir):
     return spark.createDataFrame(pdf, schema=out_schema)
 
 
+def _q_streaming_sessions(spark, sf_dir):
+    """Streaming gap sessionization driven to completion: the events table
+    replayed as a 2-file stream, native session_window(6h) per user in the
+    state store, complete mode, availableNow. The drained state must equal
+    the batch gap-walk — which the DuckDB oracle replays with the same
+    strictly-inside-[first, last+gap) membership rule. Real streaming
+    execution, not a batch stand-in."""
+    import shutil
+    import tempfile
+
+    from logai_spark.streaming.counters import streaming_sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(dir="/dev/shm", prefix="stream_sess_")
+    try:
+        src = os.path.join(tmp, "src")
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+            os.path.join(src, "a.parquet")
+        )
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(src, "b.parquet")
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = streaming_sessionize(stream, ["user_id"], ts_col="ts", gap="6 hours")
+        name = f"_stream_sessions_{os.getpid()}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        epoch = lambda c: F.floor(  # noqa: E731
+            F.unix_micros(F.col(c)) / F.lit(1_000_000)
+        ).cast("long")
+        pdf = (
+            spark.sql(f"SELECT * FROM {name}")
+            .select(
+                "user_id",
+                epoch("session_start").alias("start_s"),
+                epoch("session_end").alias("end_s"),
+                "n_events",
+            )
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, schema="user_id bigint, start_s bigint, end_s bigint, n_events bigint"
+    )
+
+
 def _q_sliding_window_step(spark, sf_dir):
     """strided sliding windows (feature_extractor.py:174-214 stride semantics)."""
     ev = _t(spark, sf_dir, "events").select(
@@ -1111,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_dbl": _q_seasonal_dbl,
         "hw_ets": _q_hw_ets,
         "streaming_counts": _q_streaming_counts,
+        "streaming_sessions": _q_streaming_sessions,
         "pad_trim": _q_pad_trim,
         "sliding_window_step": _q_sliding_window_step,
         "token_position_stats": _q_token_position_stats,
@@ -2100,6 +2160,26 @@ def oracle_sql() -> dict[str, str]:
                floor(coalesce(mx::double / tot, 0) * 10000 + 0.5) / 10000
                  AS top_bigram_frac
         FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    """
+    out["streaming_sessions"] = """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 6::bigint * 3600 * 1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS seq
+            FROM e)
+        SELECT user_id,
+               (epoch_us(min(ts)) // 1000000) AS start_s,
+               ((epoch_us(max(ts)) + 6::bigint * 3600 * 1000000)
+                 // 1000000) AS end_s,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, seq
     """
     out["pack_sequences"] = f"""
         WITH RECURSIVE d AS (

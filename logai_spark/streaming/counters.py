@@ -167,3 +167,33 @@ def streaming_match_templates(
     from logai_spark.parse.distributed import match_templates
 
     return match_templates(stream, column, templates, config, template_col=None)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "6 hours",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming gap sessionization over arbitrary keys (counts + bounds):
+    the native ``session_window`` keeps per-key open-session state in the
+    state store and merges on arrival, so state is O(open sessions), not
+    O(events). Semantics: an event extends its session iff it is at most
+    ``gap`` after the previous event (boundary INCLUSIVE — Spark merges a
+    window whose start equals the prior session's end), which is exactly
+    ``features.sessionize_by_gap``'s batch break-on-strictly-greater rule;
+    verified on the exact-gap boundary in tests/test_streaming.py."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            *key_cols, F.session_window(F.col(ts_col), gap).alias("session")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -187,3 +187,60 @@ def test_streaming_forecast_scoring(spark, tmp_path):
         ["k", "next_id", "next_rank"]
     )["is_anomaly"].tolist()
     assert key(got) == key(want)
+
+
+def test_streaming_sessionize_gap_boundary(spark, tmp_path):
+    """session_window membership is INCLUSIVE at the gap boundary: an event
+    exactly gap after the previous one still joins (Spark merges a window
+    whose start equals the prior session end) — identical to the batch
+    sessionize_by_gap rule, which breaks only on strictly-greater."""
+    import datetime as dt
+
+    from logai_spark.streaming import counters as sc
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 0),
+        (1, base + dt.timedelta(seconds=60), 1),    # exactly gap -> joins
+        (1, base + dt.timedelta(seconds=121), 2),   # 61s later -> NEW session
+        (2, base, 3),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long"
+    ).parquet(src)
+    agg = sc.streaming_sessionize(stream, ["user_id"], ts_col="ts", gap="60 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessionize_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(
+        "SELECT * FROM sessionize_out ORDER BY user_id, session_start"
+    ).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert per_user == {1: [2, 1], 2: [1]}
+
+    # equivalence with the batch sessionizer on the same rows
+    from logai_spark.operators.features import sessionize_by_gap
+
+    batch = sessionize_by_gap(
+        spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long"),
+        ["user_id"], "ts", 60, ["event_id"],
+    )
+    batch_sizes = {
+        (r.user_id, r.session_seq): r.n
+        for r in batch.groupBy("user_id", "session_seq")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert batch_sizes == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
