@@ -89,3 +89,43 @@ def test_semantic_vocab_ranks_without_global_window(spark):
             assert s.strip().startswith("_range"), (
                 f"vocab ranking window is not partitioned by _range: {s}"
             )
+
+
+def test_sessionize_single_keyed_shuffle(spark, qs):
+    """Gap sessionization: the lag window and the running-sum window must
+    share ONE hashpartitioning(user_id) exchange (plus the final agg's own
+    exchange on the same key) — never a global (empty-key) window."""
+    p = _plan(qs["sessionize"](spark, SF))
+    assert "SinglePartition" not in p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs
+    for s in specs:
+        assert s.strip().startswith("user_id"), f"unkeyed window: {s}"
+
+
+def test_asof_join_no_range_join(spark, qs):
+    """The as-of join must plan as union + keyed window: no cartesian, no
+    nested-loop range join, and at most one extra exchange beyond the
+    right-side pre-aggregation."""
+    p = _plan(qs["asof_join"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all(s.strip().startswith("user_id") for s in specs)
+
+
+def test_incremental_dedup_anti_join_shape(spark, qs):
+    """Snapshot dedup must be a hash/sort anti join on the fingerprint —
+    never a nested loop over the snapshot."""
+    p = _plan(qs["incremental_dedup"](spark, SF))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_row_local_text_ops_zero_exchange(spark, qs):
+    """repetition_stats and pii_redact are row-local: the only exchange
+    allowed in their plans is the final presentation sort's range partition
+    (rangepartitioning), never a hashpartitioning shuffle."""
+    for name in ("repetition_stats", "pii_redact"):
+        p = _plan(qs[name](spark, SF))
+        assert "hashpartitioning" not in p, name
