@@ -1118,6 +1118,17 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _q_quality_floor(spark, sf_dir):
+    """Per-language quality cut (top 50% per lang): quantile cutoff as a
+    tiny partial agg, broadcast back, pure filter — never a per-lang rank
+    window (lang cardinality is tiny; rows are not)."""
+    from logai_spark.functions.textops import quality_floor
+
+    return quality_floor(
+        _t(spark, sf_dir, "documents"), keep_frac=0.5
+    ).orderBy("doc_id")
+
+
 def _q_pii_redact(spark, sf_dir):
     """PII scrub over documents with deterministically planted PII (the
     synthetic corpus has none, so the query plants one email/IP/long-id per
@@ -1204,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "incremental_dedup": _q_incremental_dedup,
         "pack_sequences": _q_pack_sequences,
+        "quality_floor": _q_quality_floor,
         "auc": _q_auc,
     }
 
@@ -2160,6 +2172,25 @@ def oracle_sql() -> dict[str, str]:
                floor(coalesce(mx::double / tot, 0) * 10000 + 0.5) / 10000
                  AS top_bigram_frac
         FROM d LEFT JOIN top ON d.doc_id = top.doc_id
+    """
+    out["quality_floor"] = f"""
+        WITH q AS (
+            SELECT doc_id, lang,
+                   floor((least(len({_DD_TOKS}) / 64.0, 1.0) * 0.4
+                          + least(len(list_intersect({_DD_TOKS},
+                                                     [{stop_list}])) / 8.0,
+                                  1.0) * 0.3
+                          + floor(len(regexp_replace(text, '[^A-Za-z]', '',
+                                                     'g'))
+                                  / greatest(length(text), 1) * 10000 + 0.5)
+                            / 10000 * 0.3) * 10000 + 0.5) / 10000 AS quality
+            FROM documents),
+        c AS (
+            SELECT lang, quantile_cont(quality, 0.5) AS cutoff
+            FROM q GROUP BY lang)
+        SELECT q.doc_id, q.lang, q.quality
+        FROM q JOIN c ON q.lang = c.lang
+        WHERE q.quality >= c.cutoff
     """
     out["streaming_sessions"] = """
         WITH e AS (

@@ -614,3 +614,34 @@ def incremental_dedup(
     inc = doc_fingerprint(incoming, text_col)
     snap = doc_fingerprint(snapshot, text_col).select("fingerprint").distinct()
     return inc.join(snap, "fingerprint", "left_anti")
+
+
+def quality_floor(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality within each
+    language (the per-language quality cut every corpus-curation pipeline
+    applies before training).
+
+    Scale shape: NOT a per-language rank window — language cardinality is
+    tiny (~dozens) while rows are 10^12, so partitionBy(lang) would funnel
+    whole languages through single tasks. Instead: (1) one partial-agg pass
+    computes the per-language quantile cutoff (output = one row per
+    language), (2) the cutoff table broadcast-joins back, (3) a pure filter
+    keeps rows at-or-above it. Interpolated quantile (index = (n-1)*p, the
+    numpy-linear definition) is evaluated identically by DuckDB's
+    quantile_cont, which is what makes the cut oracle-checkable.
+    """
+    scored = quality_score(df, text_col).select(id_col, lang_col, "quality")
+    cut = scored.groupBy(lang_col).agg(
+        F.expr(f"percentile(quality, {1.0 - keep_frac})").alias("_cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cut), lang_col)
+        .filter(F.col("quality") >= F.col("_cutoff"))
+        .drop("_cutoff")
+    )

@@ -241,3 +241,23 @@ def test_incremental_dedup(spark):
     )
     kept = sorted(r.doc_id for r in incremental_dedup(inc, snap).collect())
     assert kept == [11]
+
+
+def test_quality_floor_threshold_and_plan(spark):
+    from logai_spark.functions.textops import quality_floor
+
+    # 10 docs in one lang with strictly increasing quality (longer = better
+    # here), plus a second lang to prove per-lang independence
+    rows = [(i, "en", "the a of to in is " + "word " * (i + 1)) for i in range(10)]
+    rows += [(100, "de", "kurz"), (101, "de", "der die das und ist " + "wort " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = quality_floor(df, keep_frac=0.5)
+    kept = {r.doc_id for r in out.collect()}
+    # en: top half by quality (ties impossible: monotone construction);
+    # with 10 rows the interpolated median is BETWEEN ranks 5 and 6, so
+    # exactly 5 survive >= cutoff
+    assert len([d for d in kept if d < 100]) == 5
+    assert max(kept & {100, 101}) == 101 and 100 not in kept  # de cut separately
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # cutoff table broadcast back
+    assert "Window" not in plan              # never a per-lang rank window
