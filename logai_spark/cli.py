@@ -31,6 +31,18 @@ def main(argv: list[str] | None = None) -> int:
 
     bench = sub.add_parser("bench", help="run the repo benchmark")
 
+    cur = sub.add_parser(
+        "curate",
+        help="run the corpus curation pipeline: dedup -> filter -> scrub -> pack",
+    )
+    cur.add_argument("--input", help="parquet dir of documents (doc_id, text, lang, source); omit for synthetic")
+    cur.add_argument("--output", required=True, help="output dir (curated/ + _curation_manifest.json)")
+    cur.add_argument("--n-docs", type=int, default=10000, help="synthetic doc count when no --input")
+    cur.add_argument("--keep-frac", type=float, default=0.5)
+    cur.add_argument("--max-rep", type=float, default=0.5)
+    cur.add_argument("--pack-budget", type=int, default=2048)
+    cur.add_argument("--near-dup", action="store_true")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "bench":
@@ -44,6 +56,37 @@ def main(argv: list[str] | None = None) -> int:
     from logai_spark.sources.webpages import synth_webpages
 
     spark = get_spark("logai_spark_cli")
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from logai_spark.curate import CurationConfig, run_curation
+
+        if args.input:
+            docs = spark.read.parquet(args.input)
+        else:
+            # documents-shaped view of the synthetic pages table:
+            # deterministic id from the url, source = the url's host
+            docs = synth_webpages(spark, args.n_docs).select(
+                F.xxhash64("url").alias("doc_id"),
+                "text",
+                "lang",
+                F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("source"),
+            )
+        manifest = run_curation(
+            spark,
+            docs,
+            args.output,
+            CurationConfig(
+                keep_frac=args.keep_frac,
+                max_top_bigram_frac=args.max_rep,
+                pack_budget=args.pack_budget,
+                near_dup=args.near_dup,
+            ),
+        )
+        print(json.dumps(manifest["counts"]))
+        spark.stop()
+        return 0
     if args.input:
         pages = spark.read.parquet(args.input)
     else:

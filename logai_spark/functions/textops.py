@@ -26,8 +26,18 @@ from pyspark.sql import functions as F
 # DuckDB BIGINT arithmetic). Coefficients are fixed odd constants, not RNG.
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 MINHASH_K = 12
-_A = [(2 * i + 1) * 40503 % MINHASH_P for i in range(1, MINHASH_K + 1)]
-_B = [(i * 9973 + 7) % MINHASH_P for i in range(1, MINHASH_K + 1)]
+def _perm_a(i: int) -> int:
+    """i-th MinHash permutation multiplier (closed form — any k, not a
+    fixed-length table; 0-indexed)."""
+    return (2 * (i + 1) + 1) * 40503 % MINHASH_P
+
+
+def _perm_b(i: int) -> int:
+    return ((i + 1) * 9973 + 7) % MINHASH_P
+
+
+_A = [_perm_a(i) for i in range(MINHASH_K)]  # kept for oracle builders
+_B = [_perm_b(i) for i in range(MINHASH_K)]
 
 STOPWORDS_EN = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on",
@@ -283,7 +293,9 @@ def minhash_signatures(
     def _perm(i: int):
         # closure (not a default arg): F.transform inspects lambda arity and
         # would pass the element INDEX into a second parameter
-        return lambda h: F.pmod(F.lit(_A[i]) * h + F.lit(_B[i]), F.lit(MINHASH_P))
+        return lambda h: F.pmod(
+            F.lit(_perm_a(i)) * h + F.lit(_perm_b(i)), F.lit(MINHASH_P)
+        )
 
     sigs = [
         F.array_min(F.transform(F.col("_h"), _perm(i))).alias(f"sig_{i}")

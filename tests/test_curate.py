@@ -1,0 +1,94 @@
+"""End-to-end curation pipeline: every stage must account for its drops."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from logai_spark.curate import CurationConfig, run_curation
+
+
+def _docs(spark):
+    rows = []
+    # 8 clean docs per lang, distinct text, increasing quality-ish length
+    for i in range(8):
+        rows.append((i, "the a of to and is in it " + "alpha beta " * (i + 2), "en", "s0"))
+    for i in range(8, 16):
+        rows.append((i, "der die das und ist ein " + "wort satz " * (i - 5), "de", "s1"))
+    # exact duplicate pair: 100 duplicates doc 0's text -> dropped
+    rows.append((100, rows[0][1], "en", "s0"))
+    # hyper-repetitive doc: one bigram everywhere -> repetition filter
+    rows.append((101, "spam ham " * 40, "en", "s0"))
+    # doc with PII that survives the cuts (long, fluent)
+    rows.append(
+        (102,
+         "the a of to and is in it " + "gamma delta " * 12
+         + " contact root@host.example.org from 10.1.2.3",
+         "en", "s0"),
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_curation_stages_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    m = run_curation(
+        spark,
+        _docs(spark),
+        out,
+        CurationConfig(keep_frac=0.75, max_top_bigram_frac=0.5, pack_budget=60),
+    )
+    c = m["counts"]
+    assert c["input"] == 19
+    assert c["after_exact_dedup"] == 18          # doc 100 dropped (dup of 0)
+    assert c["after_repetition_filter"] == 17    # doc 101 dropped
+    assert c["after_quality_floor"] < 17          # per-lang cut applied
+    assert c["written"] == c["after_quality_floor"]
+
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    assert 100 not in {r.doc_id for r in written.select("doc_id").collect()}
+    # PII scrubbed in the surviving text
+    pii_doc = written.filter(F.col("doc_id") == 102).collect()
+    assert len(pii_doc) == 1
+    assert "<EMAIL>" in pii_doc[0].text and "<IP>" in pii_doc[0].text
+    assert "root@host" not in pii_doc[0].text
+    # every doc packed; packs respect the budget for non-oversized docs
+    assert written.filter(F.col("pack_id").isNull()).count() == 0
+    sums = (
+        written.filter(F.col("n_tokens") <= 60)
+        .groupBy("source", "pack_id").agg(F.sum("n_tokens").alias("s"))
+    )
+    assert sums.filter(F.col("s") > 60).count() == 0
+    # manifest on disk mirrors the returned one
+    disk = json.load(open(os.path.join(out, "_curation_manifest.json")))
+    assert disk["counts"] == c
+
+
+def test_curation_near_dup_stage(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base, "en", "s0"),
+            (2, base + " extra", "en", "s0"),       # near-dup of 1
+            (3, "completely different words about spark shuffles and joins", "en", "s0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    m = run_curation(
+        spark, df, str(tmp_path / "nd"),
+        CurationConfig(keep_frac=1.0, near_dup=True, minhash_k=12, lsh_bands=4),
+    )
+    c = m["counts"]
+    assert c["after_exact_dedup"] == 3
+    assert c["after_near_dup"] == 2               # canonical (min id) kept
+
+
+def test_minhash_signatures_any_k(spark):
+    """k above the legacy 12-entry coefficient table must work (closed-form
+    permutation coefficients), and the first 12 must be unchanged."""
+    from logai_spark.functions.textops import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    r16 = minhash_signatures(df, k=16).collect()[0]
+    r12 = minhash_signatures(df, k=12).collect()[0]
+    for i in range(12):
+        assert r16[f"sig_{i}"] == r12[f"sig_{i}"]
+    assert r16["sig_15"] is not None
