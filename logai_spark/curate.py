@@ -61,21 +61,41 @@ def run_curation(
     (id, text, lang, source). Writes ``curated/`` parquet and
     ``_curation_manifest.json`` under ``output``; returns the manifest."""
     c = cfg
-    counts: dict[str, int] = {"input": docs.count()}
+
+    # ------------------------------------------------------------------
+    # Flag ledger: one boolean per drop reason on a THIN (id, lang,
+    # flags...) table. Filters are flags, never materialized intermediate
+    # corpora — stage counts come from ONE aggregate over the persisted
+    # ledger instead of a .count() per stage that re-scans the corpus
+    # lineage N times (the difference between 2 and ~6 full passes at
+    # 100 TB). Only ids and booleans are persisted; text never is.
+    # ------------------------------------------------------------------
 
     # 1. exact dedup: keeper = min id per identical text
     keepers = exact_dedup(docs, [c.text_col], id_col=c.id_col).select(
-        F.col("keeper_id").alias(c.id_col)
+        F.col("keeper_id").alias(c.id_col), F.lit(True).alias("_keep_exact")
     )
-    cur = docs.join(keepers, c.id_col, "left_semi")
-    counts["after_exact_dedup"] = cur.count()
+    # 2. repetition ceiling (row-local — compute for every doc in the same
+    #    scan; survivorship is AND-ed later)
+    rep = repetition_stats(docs, text_col=c.text_col, id_col=c.id_col).select(
+        c.id_col, (F.col("top_bigram_frac") <= c.max_top_bigram_frac).alias("_keep_rep")
+    )
+    flags = (
+        docs.select(c.id_col, c.lang_col)
+        .join(keepers, c.id_col, "left")
+        .join(rep, c.id_col)
+        .withColumn("_keep_exact", F.coalesce("_keep_exact", F.lit(False)))
+    )
 
-    # 2. optional near-dup cluster resolution (canonical = min id per cluster)
+    # 3. optional near-dup cluster resolution among exact-dedup survivors
     if c.near_dup:
         from logai_spark.functions.components import dup_clusters
 
+        survivors = docs.join(
+            flags.filter("_keep_exact").select(c.id_col), c.id_col, "left_semi"
+        )
         clusters = dup_clusters(
-            cur,
+            survivors,
             id_col=c.id_col,
             text_col=c.text_col,
             bands=c.lsh_bands,
@@ -83,28 +103,47 @@ def run_curation(
         )
         canonical = clusters.filter(
             F.col(c.id_col) == F.col("cluster_id")
-        ).select(c.id_col)
-        cur = cur.join(canonical, c.id_col, "left_semi")
-        counts["after_near_dup"] = cur.count()
+        ).select(c.id_col, F.lit(True).alias("_keep_near"))
+        flags = flags.join(canonical, c.id_col, "left").withColumn(
+            "_keep_near", F.coalesce("_keep_near", F.lit(False))
+        )
+    else:
+        flags = flags.withColumn("_keep_near", F.col("_keep_exact"))
 
-    # 3. repetition ceiling (row-local)
-    rep = repetition_stats(cur, text_col=c.text_col, id_col=c.id_col).select(
-        c.id_col, "top_bigram_frac"
+    # 4. per-language quality cut computed over the survivors of 1-3
+    pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    qsurv = docs.join(
+        flags.filter(pre_quality).select(c.id_col), c.id_col, "left_semi"
     )
-    cur = (
-        cur.join(rep, c.id_col)
-        .filter(F.col("top_bigram_frac") <= c.max_top_bigram_frac)
-        .drop("top_bigram_frac")
-    )
-    counts["after_repetition_filter"] = cur.count()
-
-    # 4. per-language quality cut (broadcast quantile thresholds)
     kept = quality_floor(
-        cur, keep_frac=c.keep_frac, lang_col=c.lang_col,
+        qsurv, keep_frac=c.keep_frac, lang_col=c.lang_col,
         text_col=c.text_col, id_col=c.id_col,
-    ).select(c.id_col, "quality")
-    cur = cur.join(kept, c.id_col)
-    counts["after_quality_floor"] = cur.count()
+    ).select(c.id_col, "quality", F.lit(True).alias("_keep_quality"))
+    flags = (
+        flags.join(kept, c.id_col, "left")
+        .withColumn("_keep_quality", F.coalesce("_keep_quality", F.lit(False)))
+        .persist()
+    )
+
+    # ONE aggregate yields every stage count (ledger rows are id+booleans)
+    row = flags.agg(
+        F.count(F.lit(1)).alias("input"),
+        F.sum(F.col("_keep_exact").cast("long")).alias("exact"),
+        F.sum((F.col("_keep_exact") & F.col("_keep_near")).cast("long")).alias("near"),
+        F.sum(pre_quality.cast("long")).alias("rep"),
+        F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
+    ).collect()[0]
+    counts: dict[str, int] = {"input": row["input"],
+                              "after_exact_dedup": row["exact"]}
+    if c.near_dup:
+        counts["after_near_dup"] = row["near"]
+    counts["after_repetition_filter"] = row["rep"]
+    counts["after_quality_floor"] = row["qual"]
+
+    cur = docs.join(
+        flags.filter(pre_quality & F.col("_keep_quality")).select(c.id_col, "quality"),
+        c.id_col,
+    )
 
     # 5. PII scrub (row-local) — redacted text replaces the original
     cur = (
@@ -131,6 +170,8 @@ def run_curation(
 
     out_dir = os.path.join(output, "curated")
     final.write.mode("overwrite").parquet(out_dir)
+    flags.unpersist()
+    # audit the WRITTEN files, not the plan (counts from parquet footers)
     written = spark.read.parquet(out_dir)
     counts["written"] = written.count()
     counts["packs"] = written.select(c.source_col, "pack_id").distinct().count()
