@@ -110,17 +110,24 @@ def run_curation(
     else:
         flags = flags.withColumn("_keep_near", F.col("_keep_exact"))
 
-    # 4. per-language quality cut computed over the survivors of 1-3
+    # Persist the base ledger BEFORE the quality stage: the repetition fold
+    # and dedup joins must run exactly once. Without this, the quality
+    # branch re-derives the chain on BOTH sides of its broadcast (cutoff
+    # subtree + main side) and again at the final write — ~4 evaluations of
+    # the most expensive row-local expression in the pipeline.
+    base = flags.persist()
     pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+
+    # 4. per-language quality cut computed over the survivors of 1-3
     qsurv = docs.join(
-        flags.filter(pre_quality).select(c.id_col), c.id_col, "left_semi"
+        base.filter(pre_quality).select(c.id_col), c.id_col, "left_semi"
     )
     kept = quality_floor(
         qsurv, keep_frac=c.keep_frac, lang_col=c.lang_col,
         text_col=c.text_col, id_col=c.id_col,
     ).select(c.id_col, "quality", F.lit(True).alias("_keep_quality"))
     flags = (
-        flags.join(kept, c.id_col, "left")
+        base.join(kept, c.id_col, "left")
         .withColumn("_keep_quality", F.coalesce("_keep_quality", F.lit(False)))
         .persist()
     )
@@ -170,6 +177,7 @@ def run_curation(
 
     out_dir = os.path.join(output, "curated")
     final.write.mode("overwrite").parquet(out_dir)
+    base.unpersist()
     flags.unpersist()
     # audit the WRITTEN files, not the plan (counts from parquet footers)
     written = spark.read.parquet(out_dir)
