@@ -71,10 +71,11 @@ def run_curation(
     # 100 TB). Only ids and booleans are persisted; text never is.
     # ------------------------------------------------------------------
 
-    # 1. exact dedup: keeper = min id per identical text
-    keepers = exact_dedup(docs, [c.text_col], id_col=c.id_col).select(
-        F.col("keeper_id").alias(c.id_col), F.lit(True).alias("_keep_exact")
-    )
+    # 1. exact dedup: keeper = min id per identical text. hash_key shuffles
+    #    16-byte digests, not document bodies (textops.exact_dedup docstring)
+    keepers = exact_dedup(
+        docs, [c.text_col], id_col=c.id_col, hash_key=True
+    ).select(F.col("keeper_id").alias(c.id_col), F.lit(True).alias("_keep_exact"))
     # 2. repetition ceiling (row-local — compute for every doc in the same
     #    scan; survivorship is AND-ed later)
     rep = repetition_stats(docs, text_col=c.text_col, id_col=c.id_col).select(
@@ -141,11 +142,11 @@ def run_curation(
         F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
     ).collect()[0]
     counts: dict[str, int] = {"input": row["input"],
-                              "after_exact_dedup": row["exact"]}
+                              "after_exact_dedup": int(row["exact"] or 0)}
     if c.near_dup:
-        counts["after_near_dup"] = row["near"]
-    counts["after_repetition_filter"] = row["rep"]
-    counts["after_quality_floor"] = row["qual"]
+        counts["after_near_dup"] = int(row["near"] or 0)
+    counts["after_repetition_filter"] = int(row["rep"] or 0)
+    counts["after_quality_floor"] = int(row["qual"] or 0)
 
     cur = docs.join(
         flags.filter(pre_quality & F.col("_keep_quality")).select(c.id_col, "quality"),

@@ -241,9 +241,31 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
 
 
 def exact_dedup(
-    df: DataFrame, key_cols: list[str], id_col: str = "doc_id"
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    hash_key: bool = False,
 ) -> DataFrame:
-    """Exact dedup: one row per distinct key, keeper = min id, n_dups kept."""
+    """Exact dedup: one row per distinct key, keeper = min id, n_dups kept.
+
+    ``hash_key=True`` groups by the 128-bit md5 of the concatenated key
+    columns instead of the raw values: the shuffle then carries a 16-byte
+    key per row instead of the full document text (duplicate texts rarely
+    share a map partition, so map-side combine cannot shrink it) — at
+    corpus scale that is the difference between reshuffling the whole
+    corpus and reshuffling ~24 bytes/doc. md5 collision odds at 10^12 docs
+    are ~1e-13; the raw-key mode remains for exactness-critical use.
+    The key columns are dropped from the output in this mode (the hash is
+    internal); output is (keeper_id, n_dups) either way plus raw keys when
+    ``hash_key=False``.
+    """
+    if hash_key:
+        key = F.md5(F.concat_ws("\x1f", *[F.col(k) for k in key_cols]))
+        return (
+            df.groupBy(key.alias("_k"))
+            .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+            .drop("_k")
+        )
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups")
     )

@@ -6,7 +6,10 @@ from logai_spark.operators.features import (
     dedup_with_counts,
     feature_vector_mean,
     chrono_split,
+    sessionize_by_gap,
+    pack_sequences,
 )
+from logai_spark.operators.joins import asof_join
 from logai_spark.operators.enrich import enrich
 from logai_spark.operators.evaluate import binary_metrics
 from logai_spark.operators.route import (
@@ -28,6 +31,9 @@ __all__ = [
     "dedup_with_counts",
     "feature_vector_mean",
     "chrono_split",
+    "sessionize_by_gap",
+    "pack_sequences",
+    "asof_join",
     "enrich",
     "route_to_sinks",
     "compact_sinks",

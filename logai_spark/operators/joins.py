@@ -38,6 +38,7 @@ def asof_join(
     value_cols: list[str],
     right_ts_out: str | None = None,
     tiebreak_cols: list[str] | None = None,
+    tolerance_secs: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach ``value_cols`` from
     the latest right row of the same ``on`` keys with right.ts <= left.ts
@@ -46,16 +47,21 @@ def asof_join(
     ``right_ts_out``: also expose the matched right row's timestamp under
     this name (e.g. to compute "seconds since"). ``tiebreak_cols`` (left
     columns) make ordering among equal-ts left rows deterministic — they do
-    not affect which right row matches.
+    not affect which right row matches. ``tolerance_secs`` (pandas
+    merge_asof parity): a match older than this is nulled out — "state must
+    be fresh within X"; applied as a row-local post-filter, so the plan
+    shape (one keyed shuffle) is unchanged.
     """
     for c in value_cols:
         if c in left.columns:
             raise ValueError(f"value column {c!r} collides with a left column")
     carry = list(value_cols)
     r = right.select(*on, ts_col, *value_cols)
-    if right_ts_out is not None:
-        r = r.withColumn(right_ts_out, F.col(ts_col))
-        carry.append(right_ts_out)
+    # tolerance needs the matched right ts even when the caller didn't ask
+    ts_internal = right_ts_out or ("_asof_right_ts" if tolerance_secs is not None else None)
+    if ts_internal is not None:
+        r = r.withColumn(ts_internal, F.col(ts_col))
+        carry.append(ts_internal)
 
     left_only = [c for c in left.columns if c not in on and c != ts_col]
     l_tag = left.withColumn("_side", F.lit(1))
@@ -81,4 +87,12 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
         "_side",
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_secs is not None:
+        micros = lambda col: F.unix_micros(F.col(col).cast("timestamp_ltz"))  # noqa: E731
+        stale = micros(ts_col) - micros(ts_internal) > int(tolerance_secs * 1_000_000)
+        for c in carry:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+        if right_ts_out is None:
+            out = out.drop(ts_internal)
+    return out

@@ -103,3 +103,30 @@ def test_asof_plan_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # hashpartitioning on the key appears once (window shuffle), not per-side
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(0), 100), (1, _ts(10), 101), (1, _ts(40), 102)],
+        "k long, ts timestamp, ev long",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(9), 7)], "k long, ts timestamp, v long"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", value_cols=["v"],
+        tolerance_secs=600,  # 10 minutes freshness
+    )
+    got = {r.ev: r.v for r in out.collect()}
+    assert got[100] is None        # before any right row
+    assert got[101] == 7           # 60s old: fresh
+    assert got[102] is None        # 31min old: stale -> nulled
+    assert "_asof_right_ts" not in out.columns  # internal col dropped
+
+    # with right_ts_out requested, the stale match's ts is nulled too
+    out2 = asof_join(
+        left, right, on=["k"], ts_col="ts", value_cols=["v"],
+        right_ts_out="vts", tolerance_secs=600,
+    )
+    g2 = {r.ev: (r.v, r.vts) for r in out2.collect()}
+    assert g2[101] == (7, _ts(9)) and g2[102] == (None, None)

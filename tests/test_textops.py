@@ -261,3 +261,18 @@ def test_quality_floor_threshold_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan       # cutoff table broadcast back
     assert "Window" not in plan              # never a per-lang rank window
+
+
+def test_exact_dedup_hash_key_equivalent(spark):
+    from logai_spark.functions.textops import exact_dedup
+
+    df = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "other"), (3, "third")],
+        "doc_id long, text string",
+    )
+    raw = {(r.keeper_id, r.n_dups) for r in exact_dedup(df, ["text"]).collect()}
+    hashed = {
+        (r.keeper_id, r.n_dups)
+        for r in exact_dedup(df, ["text"], hash_key=True).collect()
+    }
+    assert raw == hashed == {(0, 2), (2, 1), (3, 1)}

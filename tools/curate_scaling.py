@@ -91,14 +91,18 @@ def _quiesce() -> None:
 
 
 def run_isolated(cpus: int, n_docs: int, repeats: int = 3) -> dict:
+    """Each level runs in a fresh process PINNED to exactly ``cpus`` host
+    CPUs (taskset), like tools/cluster_bench.py's per-node cpusets. Without
+    pinning, local[N] caps task SLOTS only — JVM GC/IO/codegen threads and
+    Python workers spill onto the other host cores, flattering the low-N
+    run and understating true N -> 4N scaling."""
     best = None
     for _ in range(repeats):
         _quiesce()
+        cmd = [sys.executable, os.path.abspath(__file__), "--single", str(cpus), str(n_docs)]
+        pin = ["taskset", "-c", f"0-{cpus - 1}"]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(cpus), str(n_docs)],
-            capture_output=True,
-            text=True,
-            check=True,
+            pin + cmd, capture_output=True, text=True, check=True
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or r["wall_sec"] < best["wall_sec"]:
