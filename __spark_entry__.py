@@ -1152,6 +1152,52 @@ def _q_pii_redact(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 3-gram with the
+    held-out benchmark slice (doc_id %% 40 == 0) get a per-doc hit count.
+    Benchmark n-gram hash set is distinct-ed then BROADCAST (eval suites are
+    tiny vs a 10^12-row corpus); the corpus side never shuffles its exploded
+    shingles."""
+    from logai_spark.functions.textops import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 40 != 0),
+        docs.filter(F.col("doc_id") % 40 == 0),
+        n=3,
+    ).orderBy("doc_id")
+
+
+def _q_bigram_lm(spark, sf_dir):
+    """Perplexity-proxy quality: add-one-smoothed bigram LM trained on the
+    corpus itself (KenLM stand-in), scored back per document. Counts via
+    map-side partial agg; the model table joins back on the bigram key."""
+    from logai_spark.functions.textops import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain quota (hot-domain crawl curation): keep at most 30 docs per
+    registered host, longest first. One hash shuffle on the domain key; the
+    row_number filter plans as WindowGroupLimit so the per-key sort buffer
+    holds 30 rows, not the domain's full page set."""
+    from logai_spark.functions.textops import domain_cap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+            F.lit("/p/"), F.col("doc_id"),
+        ).alias("url"),
+    )
+    return domain_cap(d, max_per_domain=30, order_cols=["n_chars"]).select(
+        "doc_id", "domain", "n_chars"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -1216,6 +1262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "pack_sequences": _q_pack_sequences,
         "quality_floor": _q_quality_floor,
+        "decontaminate": _q_decontaminate,
+        "bigram_lm": _q_bigram_lm,
+        "domain_cap": _q_domain_cap,
         "auc": _q_auc,
     }
 
@@ -2191,6 +2240,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.doc_id, q.lang, q.quality
         FROM q JOIN c ON q.lang = c.lang
         WHERE q.quality >= c.cutoff
+    """
+    _dtoks = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')"
+    out["decontaminate"] = f"""
+        WITH d AS (SELECT doc_id, {_dtoks} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+2], ' ')))
+                     AS g
+            FROM d WHERE len(t) >= 3),
+        h AS (SELECT doc_id, {_DD_H32.format(x='g')} AS gh FROM sh),
+        bench AS (SELECT DISTINCT gh FROM h WHERE doc_id % 40 = 0)
+        SELECT doc_id, count(DISTINCT gh) AS n_hit_ngrams
+        FROM h JOIN bench USING (gh) WHERE doc_id % 40 <> 0
+        GROUP BY doc_id
+    """
+    out["bigram_lm"] = f"""
+        WITH d AS (SELECT doc_id, {_dtoks} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS bg
+            FROM d, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        bgc AS (SELECT w1, bg, count(*) AS c_bg FROM pos GROUP BY 1, 2),
+        w1c AS (SELECT w1, sum(c_bg) AS c_w1 FROM bgc GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM d)),
+        model AS (SELECT bg, ln((c_bg + 1) / (c_w1 + v)) AS lp
+                  FROM bgc JOIN w1c USING (w1) CROSS JOIN v)
+        SELECT doc_id, count(*)::bigint AS n_bigrams,
+               floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_logp
+        FROM pos JOIN model USING (bg) GROUP BY doc_id
+    """
+    out["domain_cap"] = """
+        WITH u AS (
+            SELECT doc_id, n_chars,
+                   'https://' || source || '.example.com'
+                     || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END
+                     || '/p/' || doc_id AS url
+            FROM documents),
+        d AS (SELECT doc_id, n_chars,
+                     regexp_extract(lower(url),
+                                    '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+                       AS domain
+              FROM u),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+              FROM d)
+        SELECT doc_id, domain, n_chars FROM r WHERE rk <= 30
     """
     out["streaming_sessions"] = """
         WITH e AS (

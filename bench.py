@@ -40,6 +40,9 @@ HEADLINE = [
     "asof_join",
     "repetition_stats",
     "pii_redact",
+    "decontaminate",
+    "bigram_lm",
+    "domain_cap",
 ]
 
 

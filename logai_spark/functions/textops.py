@@ -18,7 +18,7 @@ keys so candidate generation is a hash shuffle, never an all-pairs product.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # MinHash parameters: k permutations via (a*h + b) mod P over 32-bit md5-based
@@ -678,4 +678,148 @@ def quality_floor(
         scored.join(F.broadcast(cut), lang_col)
         .filter(F.col("quality") >= F.col("_cutoff"))
         .drop("_cutoff")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of word ``n``-grams
+    shared with a benchmark/eval set (the GPT-3/Llama-style test-set-overlap
+    scrub every pre-training pipeline runs before the corpus ships).
+
+    Returns (id_col, n_hit_ngrams) for contaminated documents only; anti-join
+    the ids back to drop them, or threshold n_hit_ngrams for a softer cut.
+
+    Scale shape: the benchmark side is eval suites — thousands of docs vs
+    10^12 corpus rows — so its distinct n-gram hash set is built once
+    (explode -> distinct, tiny output) and BROADCAST; the corpus side then
+    never shuffles its exploded shingles: explode -> broadcast-hash-join ->
+    per-doc partial count-distinct. Joining on the 32-bit md5-derived hash
+    (not the gram string) keeps the broadcast table bytes-small; the same
+    hash formula exists in DuckDB, which makes the op oracle-checkable.
+    """
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+        return (
+            df.withColumn("_t", toks)
+            .select(*keep, F.explode(_shingles(F.col("_t"), n)).alias("_g"))
+            .select(*keep, _hash32(F.col("_g")).alias("_gh"))
+        )
+
+    bench_set = grams(benchmark).distinct()
+    return (
+        grams(corpus, id_col)
+        .join(F.broadcast(bench_set), "_gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_gh").alias("n_hit_ngrams"))
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-trained add-one-smoothed
+    bigram language model (the KenLM stand-in of CCNet-style curation:
+    gibberish and word-soup spam score far below fluent text under even a
+    bigram model trained on the corpus itself).
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), where c(w1 ·) counts
+    w1 occurrences with a successor and V is the corpus vocabulary size.
+    Output: (id_col, n_bigrams, avg_logp) with avg_logp = mean ln P over the
+    document's bigram positions, 4-dp rounded; docs with < 2 tokens drop out.
+
+    Scale shape: two corpus passes. Pass 1 trains — explode bigrams ->
+    hash-agg counts (map-side partial combine); c(w1 ·) derives from the
+    bigram table itself (sum over w1), so unigrams cost no extra scan, and V
+    is one scalar agg crossJoined back (broadcast, 1 row). Pass 2 scores —
+    exploded doc bigrams shuffle-join the count table on the bigram key
+    (both sides hash-partition; the model table is Zipf-small relative to
+    the corpus and AQE broadcast-converts it when it fits) then re-aggregate
+    to one row per doc. Nothing leaves the JVM.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    pos = (
+        df.withColumn("_t", toks)
+        .filter(F.size("_t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("w1"),
+                        F.array_join(F.slice(F.col("_t"), i, 2), " ").alias("bg"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(id_col, "_p.w1", "_p.bg")
+    )
+    bg_counts = pos.groupBy("w1", "bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = bg_counts.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    vocab = df.withColumn("_t", toks).select(
+        F.explode("_t").alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    model = bg_counts.join(w1_counts, "w1").crossJoin(F.broadcast(vocab))
+    logp = F.log((F.col("c_bg") + 1) / (F.col("c_w1") + F.col("v")))
+    return (
+        pos.join(model.select("bg", logp.alias("_lp")), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round4(F.avg("_lp")).alias("avg_logp"),
+        )
+    )
+
+
+#: Scheme-prefixed URL -> registered host, port and path stripped. Plain
+#: character classes only — evaluates identically under Java regex (Spark)
+#: and RE2 (DuckDB oracle).
+URL_DOMAIN_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def url_domain_expr(col: str | Column) -> Column:
+    """Lower-cased host component of a URL column ('' for non-URLs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(F.lower(c), URL_DOMAIN_RE, 1)
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_domain: int = 100,
+    order_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Per-domain document quota (RefinedWeb/C4-style crawl curation: a hot
+    domain with 10^8 near-identical pages must not dominate the corpus).
+    Keeps at most ``max_per_domain`` rows per registered host, preferring
+    ``order_cols`` order (ties broken by ``id_col`` for determinism).
+
+    Scale shape: ONE hash shuffle on the domain key, then a rank window
+    inside each domain partition. Domain cardinality is ~10^8 on a full
+    crawl, so the window's partitionBy key is high-cardinality — tasks stay
+    balanced except for hot domains, which AQE skew-split cannot help inside
+    a window; for those the quota itself is the guard (a TopK per key), and
+    planting `spark.sql.execution.rankLimit` caps the sort buffer at
+    ``max_per_domain`` rows per key. No driver-side state.
+    """
+    order = [F.col(c).desc() for c in (order_cols or [])] + [F.col(id_col).asc()]
+    w = Window.partitionBy(domain_out).orderBy(*order)
+    return (
+        df.withColumn(domain_out, url_domain_expr(url_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_rk")
     )

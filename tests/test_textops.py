@@ -276,3 +276,62 @@ def test_exact_dedup_hash_key_equivalent(spark):
         for r in exact_dedup(df, ["text"], hash_key=True).collect()
     }
     assert raw == hashed == {(0, 2), (2, 1), (3, 1)}
+
+
+def test_decontaminate_counts_and_broadcast(spark):
+    from logai_spark.functions.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),        # benchmark
+            (1, "alpha beta gamma epsilon"),      # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota"),           # clean
+            (3, "x alpha beta gamma delta y"),    # shares 2 benchmark 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    corpus = docs.filter("doc_id != 0")
+    out = decontaminate(corpus, bench, n=3)
+    got = {r.doc_id: r.n_hit_ngrams for r in out.collect()}
+    assert got == {1: 1, 3: 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan     # benchmark n-gram set broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_bigram_lm_score_hand_check(spark):
+    from logai_spark.functions.textops import bigram_lm_score
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "c")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: 'a b' x3, 'b a' x1; c(a.)=3, c(b.)=1; V={a,b,c}=3
+    out = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in bigram_lm_score(docs).collect()}
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (1 + 3))
+    exp0 = math.floor((2 * p_ab + p_ba) / 3 * 10000 + 0.5) / 10000
+    exp1 = math.floor(p_ab * 10000 + 0.5) / 10000
+    assert out[0] == (3, exp0) and out[1] == (1, exp1)
+    assert 2 not in out  # single-token doc has no bigrams
+
+
+def test_domain_cap_quota_and_rank_limit(spark):
+    from logai_spark.functions.textops import domain_cap
+
+    rows = [(i, f"https://HOT.example.com/p/{i}", i % 7) for i in range(20)]
+    rows += [(100 + i, f"https://cold.org:8443/q?{i}", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score long")
+    out = domain_cap(df, max_per_domain=5, order_cols=["score"])
+    got = out.groupBy("domain").count().collect()
+    counts = {r.domain: r["count"] for r in got}
+    assert counts == {"hot.example.com": 5, "cold.org": 3}  # port stripped
+    kept_hot = sorted(
+        r.doc_id for r in out.filter("domain = 'hot.example.com'").collect()
+    )
+    # top-5 by score desc (score = doc_id % 7): 6,13 (score 6), 5,12,19 (5)
+    assert kept_hot == [5, 6, 12, 13, 19]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown caps sort buffer
