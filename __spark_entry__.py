@@ -1198,6 +1198,57 @@ def _q_domain_cap(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_url_normalize(spark, sf_dir):
+    """Crawl-frontier URL canonicalization over deterministically-messy URLs
+    (upper-case scheme/host, default ports, tracking params, fragments,
+    trailing slashes — one variant per doc_id %% 5). Pure regexp/array
+    codegen: zero shuffles."""
+    from logai_spark.functions.textops import url_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW."), F.upper("source"), F.lit(".COM:80/A/"),
+            F.col("doc_id"), F.lit("/?utm_source=x&b=2&a=1#f")))
+        .when(m == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com:443/")))
+        .when(m == 2, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com:8443/x/")))
+        .when(m == 3, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".com/p"),
+            F.col("doc_id"), F.lit("?fbclid=c"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("plain text "), F.col("doc_id")))
+    )
+    return url_normalize(d.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url_norm"
+    ).orderBy("doc_id")
+
+
+def _q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: k=3-gram hashes, w=4 windows,
+    rightmost-min selection — positional substring-level dup detection.
+    Entirely row-local array exprs; the explode is the only row multiplier."""
+    from logai_spark.functions.textops import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, w=4
+    ).orderBy("doc_id", "pos")
+
+
+def _q_vocab_drift(spark, sf_dir):
+    """Snapshot-over-snapshot vocabulary drift: Jensen-Shannon divergence
+    between the word distributions of the first and second half of the
+    corpus. Two partial-agg count passes + a vocab-sized full-outer join."""
+    from logai_spark.functions.textops import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    half = 250
+    return vocab_drift(
+        docs.filter(F.col("doc_id") < half), docs.filter(F.col("doc_id") >= half)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -1265,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "bigram_lm": _q_bigram_lm,
         "domain_cap": _q_domain_cap,
+        "url_normalize": _q_url_normalize,
+        "winnow": _q_winnow,
+        "vocab_drift": _q_vocab_drift,
         "auc": _q_auc,
     }
 
@@ -2287,6 +2341,98 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
               FROM d)
         SELECT doc_id, domain, n_chars FROM r WHERE rk <= 30
+    """
+    out["url_normalize"] = r"""
+        WITH u AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'HTTP://WWW.' || upper(source)
+                                 || '.COM:80/A/' || doc_id
+                                 || '/?utm_source=x&b=2&a=1#f'
+                     WHEN 1 THEN 'https://' || source || '.com:443/'
+                     WHEN 2 THEN 'https://' || source || '.com:8443/x/'
+                     WHEN 3 THEN 'http://' || source || '.com/p' || doc_id
+                                 || '?fbclid=c' || doc_id
+                     ELSE 'plain text ' || doc_id
+                   END AS url
+            FROM documents),
+        p AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p0,
+                   regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS q0
+            FROM u),
+        n AS (
+            SELECT doc_id, url, scheme,
+                   CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                        THEN hostport[1:len(hostport)-3]
+                        WHEN scheme = 'https' AND hostport LIKE '%:443'
+                        THEN hostport[1:len(hostport)-4]
+                        ELSE hostport END AS host,
+                   CASE WHEN p0 = '' THEN '/'
+                        WHEN len(p0) > 1 AND p0 LIKE '%/'
+                        THEN p0[1:len(p0)-1]
+                        ELSE p0 END AS path,
+                   list_sort(list_filter(string_split(q0, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[a-zA-Z_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=|$)')))
+                     AS params
+            FROM p)
+        SELECT doc_id,
+               CASE WHEN scheme = '' THEN url
+                    ELSE scheme || '://' || host || path
+                         || CASE WHEN len(params) > 0
+                                 THEN '?' || array_to_string(params, '&')
+                                 ELSE '' END
+               END AS url_norm
+        FROM n
+    """
+    out["winnow"] = f"""
+        WITH d AS (SELECT doc_id, {_dtoks} AS t FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS gr
+            FROM d WHERE len(t) >= 3),
+        h AS (
+            SELECT doc_id,
+                   list_transform(gr, x -> {_DD_H32.format(x='x')}) AS hs,
+                   len(gr) AS m
+            FROM g WHERE len(gr) >= 4),
+        sel AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, m - 2),
+                       i -> list_min(list_transform(range(i, i + 4),
+                           j -> hs[j] * 1000000 + (1000000 - j))))) AS encs
+            FROM h)
+        SELECT doc_id,
+               (1000000 - (e % 1000000))::bigint AS pos,
+               (e // 1000000)::bigint AS fp
+        FROM sel, unnest(encs) AS u(e)
+    """
+    out["vocab_drift"] = f"""
+        WITH d AS (SELECT doc_id, {_dtoks} AS t FROM documents),
+        ca AS (SELECT w, count(*) AS ca
+               FROM (SELECT doc_id, unnest(t) AS w FROM d)
+               WHERE doc_id < 250 GROUP BY w),
+        cb AS (SELECT w, count(*) AS cb
+               FROM (SELECT doc_id, unnest(t) AS w FROM d)
+               WHERE doc_id >= 250 GROUP BY w),
+        j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM ca FULL OUTER JOIN cb USING (w)),
+        tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j)
+        SELECT max(na)::bigint AS n_words_a, max(nb)::bigint AS n_words_b,
+               floor(sum(
+                   (CASE WHEN ca > 0 THEN (ca / na) * ln((ca / na)
+                        / (((ca / na) + (cb / nb)) / 2)) ELSE 0 END
+                    + CASE WHEN cb > 0 THEN (cb / nb) * ln((cb / nb)
+                        / (((ca / na) + (cb / nb)) / 2)) ELSE 0 END) / 2
+               ) * 10000 + 0.5) / 10000 AS js_divergence
+        FROM j CROSS JOIN tot
     """
     out["streaming_sessions"] = """
         WITH e AS (

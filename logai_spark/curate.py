@@ -76,15 +76,20 @@ def run_curation(
     keepers = exact_dedup(
         docs, [c.text_col], id_col=c.id_col, hash_key=True
     ).select(F.col("keeper_id").alias(c.id_col), F.lit(True).alias("_keep_exact"))
-    # 2. repetition ceiling (row-local — compute for every doc in the same
-    #    scan; survivorship is AND-ed later)
-    rep = repetition_stats(docs, text_col=c.text_col, id_col=c.id_col).select(
-        c.id_col, (F.col("top_bigram_frac") <= c.max_top_bigram_frac).alias("_keep_rep")
-    )
+    # 2. repetition ceiling (row-local — computed in the SAME scan that
+    #    seeds the ledger, with lang carried through keep_cols: the ledger
+    #    base costs one corpus scan + one join to the dedup keepers, never
+    #    an extra id-keyed shuffle to glue stats back on)
     flags = (
-        docs.select(c.id_col, c.lang_col)
+        repetition_stats(
+            docs, text_col=c.text_col, id_col=c.id_col, keep_cols=[c.lang_col]
+        )
+        .select(
+            c.id_col,
+            c.lang_col,
+            (F.col("top_bigram_frac") <= c.max_top_bigram_frac).alias("_keep_rep"),
+        )
         .join(keepers, c.id_col, "left")
-        .join(rep, c.id_col)
         .withColumn("_keep_exact", F.coalesce("_keep_exact", F.lit(False)))
     )
 
@@ -180,10 +185,13 @@ def run_curation(
     final.write.mode("overwrite").parquet(out_dir)
     base.unpersist()
     flags.unpersist()
-    # audit the WRITTEN files, not the plan (counts from parquet footers)
-    written = spark.read.parquet(out_dir)
-    counts["written"] = written.count()
-    counts["packs"] = written.select(c.source_col, "pack_id").distinct().count()
+    # audit the WRITTEN files, not the plan — one job for both counts
+    wrow = spark.read.parquet(out_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(c.source_col, "pack_id").alias("p"),
+    ).collect()[0]
+    counts["written"] = wrow["n"]
+    counts["packs"] = wrow["p"]
 
     manifest = {"config": asdict(c), "counts": counts}
     with open(os.path.join(output, "_curation_manifest.json"), "w") as fp:

@@ -504,11 +504,19 @@ def simhash(
 # ---------------------------------------------------------------------------
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document repetition metrics in the spirit of the Gopher quality
     filters (Rae et al. 2021, §A1.1): duplicate-word fraction and the
     fraction of bigrams taken by the single most common bigram.
+
+    ``keep_cols``: extra input columns carried through to the output, so a
+    caller assembling a per-doc flag ledger gets (id, extras, stats) from
+    THIS scan instead of joining the stats back to the corpus on the id key
+    (at corpus scale that join is a full extra shuffle).
 
     Scale shape: entirely row-local array expressions — zero shuffles, zero
     Python. The top-bigram count sorts the bigram array and folds a
@@ -540,6 +548,7 @@ def repetition_stats(
     )
     return d.select(
         id_col,
+        *(keep_cols or []),
         F.size("_t").cast("long").alias("n_words"),
         round4(
             1.0 - F.size(F.array_distinct("_t")).cast("double") / F.size("_t")
@@ -822,4 +831,170 @@ def domain_cap(
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_per_domain)
         .drop("_rk")
+    )
+
+
+#: Query parameters that carry tracking state, not content identity. A
+#: param is dropped when its NAME matches (utm_* family or the exact ids).
+TRACKING_PARAM_RE = r"^(utm_[a-zA-Z_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=|$)"
+
+#: URL pieces — plain character classes, identical under Java regex and RE2.
+_URL_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_URL_HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+_URL_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+
+def url_normalize(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Canonical URL form — the normalization pass that runs BEFORE any
+    url-keyed dedup of a crawl (the same page arrives as http://X, X:80/,
+    X/?utm_source=..., X/path/ across fetches; keying dedup on the raw
+    string under-merges by ~10-30% on real crawl frontiers).
+
+    Rules: lower-case scheme and host; strip default ports (http:80,
+    https:443); drop the fragment; drop tracking params (``utm_*``, click
+    ids); byte-sort surviving query params; strip one trailing slash from a
+    non-root path; empty path -> "/". Non-URLs (no scheme://) pass through
+    unchanged.
+
+    Scale shape: pure regexp/array codegen on the row — zero shuffles, zero
+    Python; safe to fuse into the scan of a 10^12-row frontier table.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _URL_HOSTPORT_RE, 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.substring(hostport, 1, F.length(hostport) - 3),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.substring(hostport, 1, F.length(hostport) - 4),
+    ).otherwise(hostport)
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(u, _URL_QUERY_RE, 1), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    norm = F.when(
+        scheme == "", u  # not a URL: pass through
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, query))
+    return df.withColumn(out_col, norm)
+
+
+#: Winnowing position encoder base — must exceed any token position; one
+#: BIGINT carries (hash, rightmost-tiebreak position) so min() selects the
+#: window's fingerprint identically in Spark and the DuckDB oracle.
+_WINNOW_M = 1_000_000
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every word ``k``-gram, slide a ``w``-wide window over
+    the hash sequence, keep each window's minimum (rightmost on ties), and
+    emit the distinct (position, hash) selections. Guarantees any shared
+    run of >= w+k-1 tokens between two documents shares a fingerprint —
+    positional substring-level dup detection where MinHash only gives
+    whole-document similarity.
+
+    Output: one row per selected fingerprint (id_col, pos, fp), pos 1-based
+    over the k-gram sequence.
+
+    Scale shape: entirely row-local array expressions (shingle -> hash ->
+    windowed min via an integer (hash, position) encoding) — the only
+    shuffle is whatever the caller does with the fingerprints (typically a
+    groupBy(fp) join to find cross-doc matches). ~|tokens|/w fingerprints
+    per doc survive, so downstream state is w-fold smaller than full
+    k-gram indexing.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    M = F.lit(_WINNOW_M)
+    hs = F.transform(_shingles(F.col("_t"), k), lambda g: _hash32(g))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_h")) - (w - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.sequence(i, i + (w - 1)),
+                lambda j: F.element_at(F.col("_h"), j) * M + (M - j),
+            )
+        ),
+    )
+    sel = F.array_distinct(wins)
+    return (
+        df.withColumn("_t", toks)
+        .withColumn("_h", hs)
+        .filter(F.size("_h") >= w)
+        .select(id_col, F.explode(sel).alias("_enc"))
+        .select(
+            id_col,
+            (M - F.pmod(F.col("_enc"), M)).cast("long").alias("pos"),
+            F.floor(F.col("_enc") / M).cast("long").alias("fp"),
+        )
+    )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the word distributions of two
+    corpus snapshots (drift monitoring between crawl batches: a spam flood
+    or a scraper change shows up as vocabulary drift long before quality
+    metrics move). Returns one row: (n_words_a, n_words_b, js_divergence),
+    JS in nats, 4-dp rounded.
+
+    Scale shape: each side is one explode -> hash-agg word count (map-side
+    partial combine); the two count tables (vocab-sized, Zipf-small) full-
+    outer join on the word and reduce to one row. Absent words contribute
+    zero KL mass by construction (p*ln(2p/(p+q)) -> 0 as p -> 0).
+    """
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        )
+        return (
+            d.withColumn("_t", toks)
+            .select(F.explode("_t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    a = counts(df_a, "ca")
+    b = counts(df_b, "cb")
+    j = a.join(b, "w", "full_outer").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = j.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    t = j.crossJoin(F.broadcast(tot))
+    p = F.col("ca") / F.col("na")
+    q = F.col("cb") / F.col("nb")
+    m = (p + q) / 2
+    kl_term = lambda x: F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))  # noqa: E731
+    return t.agg(
+        F.max("na").alias("n_words_a"),
+        F.max("nb").alias("n_words_b"),
+        round4(F.sum((kl_term(p) + kl_term(q)) / 2)).alias("js_divergence"),
     )

@@ -335,3 +335,64 @@ def test_domain_cap_quota_and_rank_limit(spark):
     assert kept_hot == [5, 6, 12, 13, 19]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # rank-limit pushdown caps sort buffer
+
+
+def test_url_normalize_rules(spark):
+    from logai_spark.functions.textops import url_normalize
+
+    cases = [
+        (0, "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag"),
+        (1, "https://example.com:443/"),
+        (2, "https://example.com:8443/x/"),
+        (3, "http://example.com/p?fbclid=abc"),
+        (4, "not a url"),
+        (5, "https://example.com"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in url_normalize(df).collect()}
+    assert got[0] == "http://example.com/a/b?a=1&b=2"  # port, frag, utm, sort
+    assert got[1] == "https://example.com/"            # default port, root
+    assert got[2] == "https://example.com:8443/x"      # non-default port kept
+    assert got[3] == "http://example.com/p"            # tracking-only query
+    assert got[4] == "not a url"                       # pass-through
+    assert got[5] == "https://example.com/"            # empty path -> /
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    from logai_spark.functions.textops import winnow_fingerprints
+
+    k, w = 3, 3
+    shared = "one two three four five six seven"  # 7 tokens: run >= w+k-1=5
+    df = spark.createDataFrame(
+        [
+            (0, "x y " + shared),
+            (1, shared + " p q r"),
+            (2, "totally different words here entirely now friend"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: docs sharing a >= w+k-1 token run share >=1 fp
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    # selection density: ~|grams|/w selections, never more than |windows|
+    n_grams = len(("x y " + shared).split()) - k + 1
+    assert len([r for r in out if r.doc_id == 0]) <= n_grams - w + 1
+    # positions are 1-based and within range
+    assert all(1 <= r.pos <= n_grams for r in out if r.doc_id == 0)
+
+
+def test_vocab_drift_js_bounds(spark):
+    from logai_spark.functions.textops import vocab_drift
+    import math
+
+    a = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    same = vocab_drift(a, a).collect()[0]
+    assert same.js_divergence == 0.0
+    b = spark.createDataFrame([(1, "x y z w")], "doc_id long, text string")
+    disjoint = vocab_drift(a, b).collect()[0]
+    assert abs(disjoint.js_divergence - math.log(2)) < 1e-4  # JS max = ln 2
+    assert (disjoint.n_words_a, disjoint.n_words_b) == (4, 4)
