@@ -1249,6 +1249,73 @@ def _q_vocab_drift(spark, sf_dir):
     )
 
 
+def _q_text_normalize(spark, sf_dir):
+    """ftfy-lite text normalization (curation.py): typography translate +
+    ellipsis + control-strip + whitespace squeeze, one zero-shuffle codegen
+    chain. The corpus text is ASCII-clean, so the fixture dirties it
+    deterministically first (curly quotes, tabs, BEL, ellipsis) — the same
+    construction the oracle applies."""
+    from logai_spark.functions.curation import text_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit(" “"),
+            F.regexp_replace("text", " table ", "\ttable\t"),
+            F.lit("”\x07…"),
+        ),
+    )
+    return text_normalize(dirty).select(
+        "doc_id", F.md5("norm_text").alias("norm_md5"), "changed"
+    )
+
+
+def _q_boilerplate_rm(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (curation.py): lines in
+    more than max_df distinct docs are dropped everywhere; df counts
+    shuffle 8-byte line hashes and the hot-line set broadcasts. The
+    fixture wraps each doc in shared nav/header plus a 3-variant footer —
+    all four chrome lines exceed df=50 and must vanish; every body line
+    stays."""
+    from logai_spark.functions.curation import boilerplate_rm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    page = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV home | about | contact"),
+            F.lit("HEADER example corpus"),
+            F.col("text"),
+            F.concat(
+                F.lit("FOOTER copyright "), (F.col("doc_id") % 3).cast("string")
+            ),
+        ),
+    )
+    return boilerplate_rm(page, max_df=50).select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"), "n_removed", "n_lines"
+    )
+
+
+def _q_keep_best(spark, sf_dir):
+    """Duplicate-cluster retention by quality (components.keep_best):
+    MinHash-LSH pairs -> connected components -> keep the highest-quality
+    member per cluster (ties to smallest id) via one partial-aggregatable
+    max over (quality, -id) structs — no window, no member sort. The
+    fixture unions each doc with a near-duplicate copy (first token
+    dropped, id+10^6): ~93% of pairs band together and the keeper is the
+    higher-quality member, which is NOT always the min id."""
+    from logai_spark.functions.components import keep_best
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+    return keep_best(docs.unionByName(mut), bands=4, rows_per_band=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -1319,6 +1386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "winnow": _q_winnow,
         "vocab_drift": _q_vocab_drift,
+        "text_normalize": _q_text_normalize,
+        "boilerplate_rm": _q_boilerplate_rm,
+        "keep_best": _q_keep_best,
         "auc": _q_auc,
     }
 
@@ -1449,7 +1519,7 @@ def _near_dup_sql(
     """
 
 
-def _dd_minhash_cte(k: int, shingle_n: int = 3) -> str:
+def _dd_minhash_cte(k: int, shingle_n: int = 3, table: str = "documents") -> str:
     from logai_spark.functions.textops import _A, _B
 
     sig_cols = ", ".join(
@@ -1458,7 +1528,7 @@ def _dd_minhash_cte(k: int, shingle_n: int = 3) -> str:
     )
     return f"""
         toks AS (
-            SELECT doc_id, {_DD_TOKS} AS t FROM documents
+            SELECT doc_id, {_DD_TOKS} AS t FROM {table}
         ),
         sh AS (
             SELECT doc_id,
@@ -1487,6 +1557,10 @@ _DD_LSH_BANDS = """
 # (mirrors components.connected_components: comp = min doc id reachable).
 # Recursive UNION is set-distinct, so the iteration terminates at the
 # reachability closure; min(comp) per id is the component's min member.
+def _dd_cc_fixpoint(table: str = "documents") -> str:
+    return _DD_CC_FIXPOINT.replace("FROM documents", f"FROM {table}")
+
+
 _DD_CC_FIXPOINT = """
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2433,6 +2507,94 @@ def oracle_sql() -> dict[str, str]:
                         / (((ca / na) + (cb / nb)) / 2)) ELSE 0 END) / 2
                ) * 10000 + 0.5) / 10000 AS js_divergence
         FROM j CROSS JOIN tot
+    """
+    # dirty-construction fixture (corpus text is ASCII-clean): curly double
+    # quotes + tabs + BEL + ellipsis injected identically on both engines,
+    # then the full normalize chain (translate -> ellipsis -> control strip
+    # -> ws squeeze -> newline-space strip -> trim) applied in the same
+    # order as curation.normalize_text_expr.
+    out["text_normalize"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   ' ' || chr(8220)
+                   || replace(text, ' table ', chr(9)||'table'||chr(9))
+                   || chr(8221) || chr(7) || chr(8230) AS text
+            FROM documents),
+        n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(
+                        translate(text,
+                          chr(8216)||chr(8217)||chr(8218)||chr(8219)||chr(8220)
+                          ||chr(8221)||chr(8222)||chr(8211)||chr(8212)||chr(160),
+                          repeat(chr(39), 4) || repeat(chr(34), 3) || '--' || ' '),
+                        chr(8230), '...', 'g'),
+                        '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                        '[ \\t]+', ' ', 'g'),
+                        ' ?\\n ?', chr(10), 'g'),
+                        '\\n{3,}', chr(10)||chr(10), 'g')) AS norm
+            FROM d)
+        SELECT doc_id, md5(norm) AS norm_md5, norm <> text AS changed FROM n
+    """
+    out["boilerplate_rm"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   'NAV home | about | contact' || chr(10)
+                   || 'HEADER example corpus' || chr(10)
+                   || text || chr(10)
+                   || 'FOOTER copyright ' || (doc_id % 3) AS page
+            FROM documents),
+        arrs AS (SELECT doc_id, string_split(page, chr(10)) AS a FROM p),
+        lines AS (
+            SELECT doc_id, a[i] AS line, i AS pos
+            FROM arrs, unnest(range(1, len(a) + 1)) AS u(i)),
+        hot AS (
+            SELECT line FROM lines
+            GROUP BY line HAVING count(DISTINCT doc_id) > 50),
+        f AS (
+            SELECT l.doc_id, l.line, l.pos, h.line IS NOT NULL AS is_hot
+            FROM lines l LEFT JOIN hot h ON l.line = h.line)
+        SELECT doc_id,
+               md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT is_hot), '')) AS clean_md5,
+               count(*) FILTER (WHERE is_hot) AS n_removed,
+               count(*) AS n_lines
+        FROM f GROUP BY doc_id
+    """
+    # near-dup retention by quality: aug = docs + first-token-dropped copies
+    # (id + 10^6); same 12-sig/4-band LSH + CC fixpoint as dup_clusters but
+    # over aug, then keeper = argmax(quality, ties -> min id) per cluster.
+    out["keep_best"] = f"""
+        WITH RECURSIVE
+        aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, regexp_replace(text, '^[^ ]+ ', '')
+            FROM documents),
+        {_dd_minhash_cte(12, table="aug")},
+        {_DD_LSH_BANDS},
+        {_dd_cc_fixpoint("aug")},
+        cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM cc GROUP BY id),
+        q AS (
+            SELECT doc_id,
+                   len({_DD_TOKS}) AS n_tokens,
+                   len(list_intersect({_DD_TOKS}, [{stop_list}])) AS stopword_hits,
+                   floor(len(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(length(text), 1) * 10000 + 0.5) / 10000 AS alpha_ratio
+            FROM aug),
+        qq AS (
+            SELECT doc_id,
+                   floor((least(n_tokens / 64.0, 1.0) * 0.4
+                          + least(stopword_hits / 8.0, 1.0) * 0.3
+                          + alpha_ratio * 0.3) * 10000 + 0.5) / 10000 AS quality
+            FROM q),
+        j AS (SELECT cl.cluster_id, cl.doc_id, qq.quality
+              FROM cl JOIN qq USING (doc_id))
+        SELECT cluster_id,
+               (array_agg(doc_id ORDER BY quality DESC, doc_id ASC))[1] AS keeper_id,
+               max(quality) AS best_quality,
+               count(*) AS n_members
+        FROM j GROUP BY cluster_id
     """
     out["streaming_sessions"] = """
         WITH e AS (

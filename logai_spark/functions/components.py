@@ -132,3 +132,51 @@ def dedup_canonical(
         clusters.groupBy(F.col(cluster_col).alias(id_col))
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
+
+
+def keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Duplicate-cluster retention by QUALITY, not by min id.
+
+    Real curation pipelines keep the best member of each near-duplicate
+    cluster (longest / highest-quality copy — mirrors, reposts and
+    truncated scrapes usually differ in quality), not an arbitrary
+    canonical id. Pipeline: ``dup_clusters`` (MinHash-LSH pairs ->
+    connected components) -> join per-doc quality (``quality_score`` from
+    textops unless ``quality_col`` names a precomputed column) -> one
+    shuffle on cluster_id with a partial-aggregatable ``max`` over
+    (quality, -id) structs: keeper = highest quality, ties to the SMALLEST
+    id — fully deterministic, no window, no sort of cluster members.
+
+    Output: (cluster_id, keeper_id, best_quality, n_members).
+    """
+    clusters = dup_clusters(
+        df, id_col, text_col, bands=bands, rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+    )
+    if quality_col is None:
+        from logai_spark.functions.textops import quality_score
+
+        q = quality_score(df, text_col).select(id_col, "quality")
+    else:
+        q = df.select(id_col, F.col(quality_col).alias("quality"))
+    joined = clusters.join(q, id_col)
+    agg = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("quality"), (-F.col(id_col)).alias("_n"))
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("_b._n")).alias("keeper_id"),
+        F.col("_b.quality").alias("best_quality"),
+        "n_members",
+    )

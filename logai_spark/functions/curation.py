@@ -1,0 +1,122 @@
+"""Corpus-hygiene operators for web-scale training-data curation.
+
+Two first-class stages every large text-corpus pipeline runs before dedup
+and quality filtering (cf. CCNet, Wenzek et al. 2020; Gopher, Rae et al.
+2021 §A1 — public methodology, re-expressed Spark-first; the reference
+salesforce/logai has no corpus-curation stage at all, this module extends
+its preprocessing surface for the 100 TB web-corpus target):
+
+- ``text_normalize``: ftfy-lite typography/whitespace cleanup as ONE chain
+  of JVM column expressions (translate + 5 regexp passes) — zero shuffle,
+  whole-stage codegen, no UDF. Deterministic byte-for-byte.
+- ``boilerplate_rm``: CCNet-style line-level boilerplate removal. A line
+  (nav bar, footer, cookie banner) that appears in more than ``max_df``
+  DISTINCT documents is dropped from every document; remaining lines are
+  reassembled in original order. Scale shape: the document corpus is
+  exploded once; the doc-frequency aggregate shuffles 8-byte line hashes
+  (never line text); the hot-line set is at most total_lines / max_df rows
+  — small by construction — so the removal join is a BROADCAST hash join
+  and the only wide shuffle of full text is the final per-document
+  reassembly, partitioned on doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# single-char typography fixes in one translate() pass (1 JVM scan):
+# curly single quotes -> ', curly double quotes -> ", en/em dash -> -,
+# NBSP -> space. The 1->3-char ellipsis fix needs regexp_replace.
+_TR_FROM = "‘’‚‛“”„–— "
+_TR_TO = "''''\"\"\"-- "
+# C0 controls except \t (x09) and \n (x0a), plus DEL. \r (x0d) is stripped
+# too: web text mixes CRLF/LF and downstream line operators key on \n.
+_CTRL_RE = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+
+def normalize_text_expr(col: str | Column) -> Column:
+    """The normalization chain as a single column expression.
+
+    Order matters and is part of the contract (the DuckDB oracle applies
+    the identical sequence): typography translate -> ellipsis -> control
+    strip -> horizontal-whitespace squeeze -> strip spaces around newlines
+    -> collapse 3+ newlines to a blank line -> trim. All RE2/Java-compatible
+    patterns, byte-stable cross-engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.translate(c, _TR_FROM, _TR_TO)
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+def text_normalize(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Add the normalized text plus a ``changed`` flag (did any rule fire).
+
+    Pure narrow projection — composes with any upstream scan without
+    adding a stage boundary.
+    """
+    norm = normalize_text_expr(text_col)
+    return df.withColumn(out_col, norm).withColumn(
+        "changed", F.col(out_col) != F.col(text_col)
+    )
+
+
+def boilerplate_rm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    sep: str = "\n",
+) -> DataFrame:
+    """Remove lines shared by more than ``max_df`` distinct documents.
+
+    Returns one row per input document: (id, clean_text, n_removed,
+    n_lines). Documents whose every line is boilerplate come back with
+    ``clean_text = ''`` rather than vanishing.
+
+    ``max_df`` is an absolute doc-frequency cutoff; pick it as a fraction
+    of corpus size (CCNet drops paragraphs above ~0.01% df). The hot-line
+    set is bounded by total_lines / max_df regardless of corpus size,
+    which is what makes the broadcast join below safe at 10^12 docs.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    # df-count per line HASH: the shuffle for this aggregate carries
+    # (8-byte hash, id) pairs, never the line text. countDistinct expands
+    # to the standard two-phase partial-distinct plan.
+    hot = (
+        lines.groupBy(F.xxhash64("line").alias("_lh"))
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_lh", F.lit(True).alias("_hot"))
+    )
+    flagged = lines.withColumn("_lh", F.xxhash64("line")).join(
+        F.broadcast(hot), "_lh", "left"
+    )
+    kept = F.when(F.col("_hot").isNull(), F.struct("pos", "line"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            # collect_list drops the NULLs the when() leaves for hot lines;
+            # array_sort on (pos, line) structs restores original order.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_hot").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

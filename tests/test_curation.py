@@ -1,0 +1,134 @@
+"""text_normalize / boilerplate_rm (functions/curation.py) and
+keep_best (functions/components.py) — crafted-fixture behavior checks;
+the sf0.01 cross-engine value checks live in the oracle rows."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from logai_spark.functions.components import keep_best
+from logai_spark.functions.curation import (
+    boilerplate_rm,
+    normalize_text_expr,
+    text_normalize,
+)
+
+
+def _norm(spark, s: str) -> str:
+    return (
+        spark.createDataFrame([Row(text=s)])
+        .select(normalize_text_expr("text").alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # typography: curly quotes, dashes, NBSP
+        ("‘a’ “b” – — c d", "'a' \"b\" - - c d"),
+        # ellipsis becomes three dots
+        ("wait… what", "wait... what"),
+        # control chars stripped, \t collapses with spaces
+        ("a\x07b\tc  \t d", "ab c d"),
+        # CR stripped (CRLF -> LF), spaces around newlines stripped,
+        # 3+ newlines collapse to 2
+        ("a \r\n b\n\n\n\nc", "a\nb\n\nc"),
+        # leading/trailing whitespace trimmed
+        ("  x  ", "x"),
+        # clean text passes through untouched
+        ("already clean\ntwo lines", "already clean\ntwo lines"),
+    ],
+)
+def test_normalize_rules(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+def test_normalize_idempotent(spark):
+    dirty = "“q”\x01 \t x… \r\n\n\n y "
+    once = _norm(spark, dirty)
+    assert _norm(spark, once) == once
+
+
+def test_text_normalize_changed_flag(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="clean text"), Row(doc_id=1, text="dirty…")]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text_normalize(df).select("doc_id", "norm_text", "changed").collect()
+    }
+    assert rows[0]["changed"] is False and rows[0]["norm_text"] == "clean text"
+    assert rows[1]["changed"] is True and rows[1]["norm_text"] == "dirty..."
+
+
+def _bp_corpus(spark, n_docs=8):
+    rows = [
+        Row(
+            doc_id=i,
+            text="\n".join(
+                ["SHARED NAV", f"unique body {i} alpha", f"unique body {i} beta", "SHARED FOOTER"]
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    # one doc that is ALL boilerplate
+    rows.append(Row(doc_id=n_docs, text="SHARED NAV\nSHARED FOOTER"))
+    return spark.createDataFrame(rows)
+
+
+def test_boilerplate_rm_drops_hot_keeps_order(spark):
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_rm(_bp_corpus(spark), max_df=5).collect()
+    }
+    assert out[0]["clean_text"] == "unique body 0 alpha\nunique body 0 beta"
+    assert out[0]["n_removed"] == 2 and out[0]["n_lines"] == 4
+    # the all-boilerplate doc survives as an empty row, it does not vanish
+    assert out[8]["clean_text"] == "" and out[8]["n_removed"] == 2
+
+
+def test_boilerplate_rm_threshold_is_distinct_docs(spark):
+    # a line repeated many times WITHIN one doc never exceeds df=1
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="echo\necho\necho"), Row(doc_id=1, text="other")]
+    )
+    out = boilerplate_rm(df, max_df=1).filter(F.col("doc_id") == 0).collect()[0]
+    assert out["clean_text"] == "echo\necho\necho" and out["n_removed"] == 0
+
+
+def test_keep_best_prefers_quality_over_min_id(spark):
+    # two near-dup docs: the LARGER id has the longer, higher-quality text;
+    # shared shingles guarantee LSH pairs them at bands=2 x rows=1
+    long_txt = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs far away into the quiet green forest before the morning"
+    )
+    short_txt = "quick brown fox jumps over the lazy dog and then the fox runs"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the " + short_txt),
+            Row(doc_id=2, text=long_txt),
+            Row(doc_id=50, text="completely unrelated single document here entirely"),
+        ]
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in keep_best(df, bands=2, rows_per_band=1, shingle_n=3).collect()
+    }
+    dup = out[1]
+    assert dup["n_members"] == 2
+    assert dup["keeper_id"] == 2  # higher quality wins despite larger id
+    singleton = out[50]
+    assert singleton["n_members"] == 1 and singleton["keeper_id"] == 50
+
+
+def test_keep_best_tie_breaks_to_min_id(spark):
+    # identical texts => identical quality => smallest id kept
+    df = spark.createDataFrame(
+        [Row(doc_id=7, text="same exact text about the small table"),
+         Row(doc_id=3, text="same exact text about the small table")]
+    )
+    out = keep_best(df, bands=2, rows_per_band=1, shingle_n=3).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 3 and out[0]["n_members"] == 2
