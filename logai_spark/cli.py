@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--max-rep", type=float, default=0.5)
     cur.add_argument("--pack-budget", type=int, default=2048)
     cur.add_argument("--near-dup", action="store_true")
+    cur.add_argument("--normalize", action="store_true",
+                     help="ftfy-lite text cleanup before dedup")
+    cur.add_argument("--boilerplate-max-df", type=int, default=None,
+                     help="drop lines shared by more than this many docs")
 
     args = ap.parse_args(argv)
 
@@ -82,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_top_bigram_frac=args.max_rep,
                 pack_budget=args.pack_budget,
                 near_dup=args.near_dup,
+                normalize=args.normalize,
+                boilerplate_max_df=args.boilerplate_max_df,
             ),
         )
         print(json.dumps(manifest["counts"]))

@@ -1,12 +1,16 @@
-"""End-to-end corpus curation pipeline: dedup -> filter -> scrub -> pack.
+"""End-to-end corpus curation pipeline: clean -> dedup -> filter -> scrub
+-> pack.
 
 Ties the training-data operators into one shippable spark-submit job (the
-corpus dual of pipeline.py's parse->route->aggregate): exact dedup, optional
+corpus dual of pipeline.py's parse->route->aggregate): optional ftfy-lite
+normalization and line-level boilerplate removal, exact dedup, optional
 MinHash-LSH near-dup cluster resolution, Gopher repetition filter,
 per-language quality cut, PII scrub, and token-budget sequence packing, with
 a manifest of per-stage row counts so every drop is accounted for.
 
 Scale shape per stage (each documented at its operator):
+  normalize         row-local codegen chain, zero shuffle
+  boilerplate       hashed line-df agg + broadcast hot-set + id reassembly
   exact dedup       one shuffle on text hash + semi-join back
   near-dup          banded LSH equi-join + connected components (no cartesian)
   repetition filter row-local, zero shuffle
@@ -43,6 +47,8 @@ class CurationConfig:
     max_top_bigram_frac: float = 0.5  # Gopher-style repetition ceiling
     pack_budget: int = 2048         # tokens per packed training sequence
     near_dup: bool = False          # MinHash-LSH near-dup cluster removal
+    normalize: bool = False         # ftfy-lite text cleanup before dedup
+    boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
     minhash_k: int = 16
     lsh_bands: int = 4
     id_col: str = "doc_id"
@@ -61,6 +67,44 @@ def run_curation(
     (id, text, lang, source). Writes ``curated/`` parquet and
     ``_curation_manifest.json`` under ``output``; returns the manifest."""
     c = cfg
+
+    # ------------------------------------------------------------------
+    # 0. optional text-hygiene stages BEFORE dedup (normalizing first makes
+    #    trivially-different copies — curly quotes, CRLF, double spaces —
+    #    hash-equal, so exact dedup catches more). Both rewrite text_col in
+    #    place and leave a per-doc stat column that rides the SAME ledger
+    #    scan as everything else (no extra corpus pass for accounting).
+    # ------------------------------------------------------------------
+    pre_cols: list[str] = []
+    if c.normalize:
+        from logai_spark.functions.curation import normalize_text_expr
+
+        # row-local, zero shuffle: fuses into the first corpus scan
+        docs = (
+            docs.withColumn("_nt", normalize_text_expr(c.text_col))
+            .withColumn("_norm_changed", F.col("_nt") != F.col(c.text_col))
+            .drop(c.text_col)
+            .withColumnRenamed("_nt", c.text_col)
+        )
+        pre_cols.append("_norm_changed")
+    if c.boilerplate_max_df is not None:
+        from logai_spark.functions.curation import boilerplate_rm
+
+        # explode + hashed df-count + broadcast hot-set + id-keyed
+        # reassembly (see boilerplate_rm docstring for the 10^12-doc shape)
+        bp = boilerplate_rm(
+            docs, id_col=c.id_col, text_col=c.text_col,
+            max_df=c.boilerplate_max_df,
+        )
+        docs = docs.drop(c.text_col).join(
+            bp.select(
+                c.id_col,
+                F.col("clean_text").alias(c.text_col),
+                F.col("n_removed").alias("_bp_removed"),
+            ),
+            c.id_col,
+        )
+        pre_cols.append("_bp_removed")
 
     # ------------------------------------------------------------------
     # Flag ledger: one boolean per drop reason on a THIN (id, lang,
@@ -82,11 +126,13 @@ def run_curation(
     #    an extra id-keyed shuffle to glue stats back on)
     flags = (
         repetition_stats(
-            docs, text_col=c.text_col, id_col=c.id_col, keep_cols=[c.lang_col]
+            docs, text_col=c.text_col, id_col=c.id_col,
+            keep_cols=[c.lang_col, *pre_cols],
         )
         .select(
             c.id_col,
             c.lang_col,
+            *pre_cols,
             (F.col("top_bigram_frac") <= c.max_top_bigram_frac).alias("_keep_rep"),
         )
         .join(keepers, c.id_col, "left")
@@ -139,15 +185,24 @@ def run_curation(
     )
 
     # ONE aggregate yields every stage count (ledger rows are id+booleans)
-    row = flags.agg(
+    aggs = [
         F.count(F.lit(1)).alias("input"),
         F.sum(F.col("_keep_exact").cast("long")).alias("exact"),
         F.sum((F.col("_keep_exact") & F.col("_keep_near")).cast("long")).alias("near"),
         F.sum(pre_quality.cast("long")).alias("rep"),
         F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
-    ).collect()[0]
-    counts: dict[str, int] = {"input": row["input"],
-                              "after_exact_dedup": int(row["exact"] or 0)}
+    ]
+    if "_norm_changed" in pre_cols:
+        aggs.append(F.sum(F.col("_norm_changed").cast("long")).alias("normed"))
+    if "_bp_removed" in pre_cols:
+        aggs.append(F.sum("_bp_removed").alias("bp_removed"))
+    row = flags.agg(*aggs).collect()[0]
+    counts: dict[str, int] = {"input": row["input"]}
+    if "_norm_changed" in pre_cols:
+        counts["normalized_docs"] = int(row["normed"] or 0)
+    if "_bp_removed" in pre_cols:
+        counts["boilerplate_lines_removed"] = int(row["bp_removed"] or 0)
+    counts["after_exact_dedup"] = int(row["exact"] or 0)
     if c.near_dup:
         counts["after_near_dup"] = int(row["near"] or 0)
     counts["after_repetition_filter"] = int(row["rep"] or 0)

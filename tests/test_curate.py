@@ -92,3 +92,37 @@ def test_minhash_signatures_any_k(spark):
     for i in range(12):
         assert r16[f"sig_{i}"] == r12[f"sig_{i}"]
     assert r16["sig_15"] is not None
+
+
+def test_curation_normalize_and_boilerplate_stages(spark, tmp_path):
+    # doc 0/100: same text modulo typography — normalize makes them
+    # hash-equal so exact dedup catches the pair; every doc carries a
+    # shared footer line that boilerplate removal must strip
+    base = "the a of to and is in it " + "alpha beta " * 6
+    rows = []
+    for i in range(6):
+        rows.append((i, base + f"body {i}\nSHARED FOOTER LINE", "en", "s0"))
+    rows.append((100, rows[0][1].replace("the a", "the a").replace("alpha", "alpha "), "en", "s0"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "cur_nb")
+    m = run_curation(
+        spark,
+        docs,
+        out,
+        CurationConfig(
+            keep_frac=1.0, pack_budget=500, normalize=True, boilerplate_max_df=3
+        ),
+    )
+    c = m["counts"]
+    assert c["input"] == 7
+    # NBSP + double-space doc normalizes back to doc 0's bytes -> deduped
+    assert c["after_exact_dedup"] == 6
+    assert c["normalized_docs"] >= 1
+    # one footer per doc removed (df=7 > 3)
+    assert c["boilerplate_lines_removed"] == 7
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    texts = [r.text for r in written.select("text").collect()]
+    assert all("SHARED FOOTER LINE" not in t for t in texts)
+    assert all(" " not in t for t in texts)
