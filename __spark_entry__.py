@@ -1316,6 +1316,22 @@ def _q_keep_best(spark, sf_dir):
     return keep_best(docs.unionByName(mut), bands=4, rows_per_band=3)
 
 
+def _q_balanced_shards(spark, sf_dir):
+    """Balanced output sharding (operators/shards.py): running token sums
+    in global doc order via the distributed two-phase cumsum (range
+    repartition + per-range window + broadcast offsets — no single-task
+    window), then shard = (tokens_before * K) div total capped at K-1."""
+    from logai_spark.functions.textops import token_count
+    from logai_spark.operators.shards import balanced_shards
+
+    docs = token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return balanced_shards(docs, 8, buckets=7).select(
+        "doc_id", "n_tokens", "shard"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "counter_vector": _q_counter_vector,
@@ -1389,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "boilerplate_rm": _q_boilerplate_rm,
         "keep_best": _q_keep_best,
+        "balanced_shards": _q_balanced_shards,
         "auc": _q_auc,
     }
 
@@ -2595,6 +2612,18 @@ def oracle_sql() -> dict[str, str]:
                max(quality) AS best_quality,
                count(*) AS n_members
         FROM j GROUP BY cluster_id
+    """
+    out["balanced_shards"] = f"""
+        WITH s AS (
+            SELECT doc_id, len({_DD_TOKS_RAW}) AS n_tokens FROM documents),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                   sum(n_tokens) OVER () AS tot
+            FROM s)
+        SELECT doc_id, n_tokens, (least(7, (cb * 8) // tot))::int AS shard FROM c
     """
     out["streaming_sessions"] = """
         WITH e AS (

@@ -43,6 +43,9 @@ HEADLINE = [
     "decontaminate",
     "bigram_lm",
     "domain_cap",
+    "text_normalize",
+    "boilerplate_rm",
+    "keep_best",
 ]
 
 

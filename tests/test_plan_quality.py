@@ -129,3 +129,30 @@ def test_row_local_text_ops_zero_exchange(spark, qs):
     for name in ("repetition_stats", "pii_redact"):
         p = _plan(qs[name](spark, SF))
         assert "hashpartitioning" not in p, name
+
+
+def test_text_normalize_zero_exchange(spark, qs):
+    """The normalize chain is one row-local codegen projection — any
+    exchange in its plan means a rule fell out of the narrow pipeline."""
+    p = _plan(qs["text_normalize"](spark, SF))
+    assert "hashpartitioning" not in p
+
+
+def test_boilerplate_hot_set_broadcasts(spark, qs):
+    """The hot-line removal join must broadcast the (bounded) hot-line
+    set, never shuffle the exploded corpus against it; nothing in the
+    plan may degrade to a nested loop."""
+    p = _plan(qs["boilerplate_rm"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_keep_best_no_cartesian_no_window(spark, qs):
+    """Retention is a partial-aggregatable struct max per cluster: no
+    window over cluster members, and the LSH candidate path never
+    degrades to an all-pairs join."""
+    p = _plan(qs["keep_best"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
