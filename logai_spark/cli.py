@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="ftfy-lite text cleanup before dedup")
     cur.add_argument("--boilerplate-max-df", type=int, default=None,
                      help="drop lines shared by more than this many docs")
+    cur.add_argument("--n-shards", type=int, default=None,
+                     help="write K balanced-token-budget output shards")
 
     args = ap.parse_args(argv)
 
@@ -88,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
                 near_dup=args.near_dup,
                 normalize=args.normalize,
                 boilerplate_max_df=args.boilerplate_max_df,
+                n_shards=args.n_shards,
             ),
         )
         print(json.dumps(manifest["counts"]))

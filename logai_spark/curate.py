@@ -49,6 +49,7 @@ class CurationConfig:
     near_dup: bool = False          # MinHash-LSH near-dup cluster removal
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
+    n_shards: int | None = None     # balanced-token output shards (None = flat)
     minhash_k: int = 16
     lsh_bands: int = 4
     id_col: str = "doc_id"
@@ -237,16 +238,36 @@ def run_curation(
     final = sized.join(packs, c.id_col)
 
     out_dir = os.path.join(output, "curated")
-    final.write.mode("overwrite").parquet(out_dir)
+    if c.n_shards:
+        # 7. balanced-token output shards as the physical layout: training
+        #    readers get K ~equal-budget partition dirs in a deterministic
+        #    global (source, pack, id) order. Distributed two-phase cumsum —
+        #    see operators/shards.py for the no-single-task-window shape.
+        from logai_spark.operators.shards import balanced_shards
+
+        final = balanced_shards(
+            final,
+            c.n_shards,
+            size_col="n_tokens",
+            order_exprs=[F.asc(c.source_col), F.asc("pack_id"), F.asc(c.id_col)],
+        )
+        final.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    else:
+        final.write.mode("overwrite").parquet(out_dir)
     base.unpersist()
     flags.unpersist()
     # audit the WRITTEN files, not the plan — one job for both counts
-    wrow = spark.read.parquet(out_dir).agg(
+    waggs = [
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(c.source_col, "pack_id").alias("p"),
-    ).collect()[0]
+    ]
+    if c.n_shards:
+        waggs.append(F.count_distinct("shard").alias("s"))
+    wrow = spark.read.parquet(out_dir).agg(*waggs).collect()[0]
     counts["written"] = wrow["n"]
     counts["packs"] = wrow["p"]
+    if c.n_shards:
+        counts["shards"] = int(wrow["s"])
 
     manifest = {"config": asdict(c), "counts": counts}
     with open(os.path.join(output, "_curation_manifest.json"), "w") as fp:

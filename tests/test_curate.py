@@ -126,3 +126,26 @@ def test_curation_normalize_and_boilerplate_stages(spark, tmp_path):
     texts = [r.text for r in written.select("text").collect()]
     assert all("SHARED FOOTER LINE" not in t for t in texts)
     assert all(" " not in t for t in texts)
+
+
+def test_curation_balanced_shard_layout(spark, tmp_path):
+    out = str(tmp_path / "cur_sh")
+    m = run_curation(
+        spark,
+        _docs(spark),
+        out,
+        CurationConfig(keep_frac=1.0, pack_budget=60, n_shards=3),
+    )
+    c = m["counts"]
+    assert c["shards"] == 3
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    per = (
+        written.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    assert {r["shard"] for r in per} == {0, 1, 2}
+    toks = [r["toks"] for r in per]
+    total = sum(toks)
+    max_row = written.agg(F.max("n_tokens")).collect()[0][0]
+    assert all(abs(t - total / 3) <= max_row for t in toks)
