@@ -48,6 +48,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="drop lines shared by more than this many docs")
     cur.add_argument("--n-shards", type=int, default=None,
                      help="write K balanced-token-budget output shards")
+    cur.add_argument("--resume", action="store_true",
+                     help="reuse the checkpointed stage ledger if config matches")
 
     args = ap.parse_args(argv)
 
@@ -91,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
                 normalize=args.normalize,
                 boilerplate_max_df=args.boilerplate_max_df,
                 n_shards=args.n_shards,
+                resume=args.resume,
             ),
         )
         print(json.dumps(manifest["counts"]))

@@ -25,6 +25,7 @@ file count) and an identical manifest.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from dataclasses import asdict, dataclass
@@ -50,6 +51,7 @@ class CurationConfig:
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
     n_shards: int | None = None     # balanced-token output shards (None = flat)
+    resume: bool = False            # reuse a checkpointed ledger if present
     minhash_k: int = 16
     lsh_bands: int = 4
     id_col: str = "doc_id"
@@ -114,7 +116,38 @@ def run_curation(
     # ledger instead of a .count() per stage that re-scans the corpus
     # lineage N times (the difference between 2 and ~6 full passes at
     # 100 TB). Only ids and booleans are persisted; text never is.
+    #
+    # The finished ledger is CHECKPOINTED to <output>/_ledger parquet with
+    # a config-hash sidecar: with cfg.resume, a rerun whose stage config
+    # matches skips stages 1-4 (every expensive corpus pass — dedup, LSH,
+    # repetition, quality quantiles) and goes straight to scrub/pack/write
+    # — the curation dual of pipeline.py's per-partition lineage resume
+    # (north-rule "resumable from checkpoint"). pack_budget / n_shards are
+    # excluded from the hash: they only shape post-ledger stages.
     # ------------------------------------------------------------------
+    ledger_dir = os.path.join(output, "_ledger")
+    meta_path = os.path.join(output, "_ledger_meta.json")
+    stage_cfg = {
+        k: v for k, v in asdict(c).items()
+        if k not in ("pack_budget", "n_shards", "resume")
+    }
+    cfg_hash = hashlib.md5(
+        json.dumps(stage_cfg, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    resumed = False
+    if (
+        c.resume
+        and os.path.exists(os.path.join(ledger_dir, "_SUCCESS"))
+        and os.path.exists(meta_path)
+    ):
+        with open(meta_path) as fp:
+            resumed = json.load(fp).get("config_hash") == cfg_hash
+    if resumed:
+        flags = spark.read.parquet(ledger_dir)
+        pre_cols = [
+            x for x in ("_norm_changed", "_bp_removed") if x in flags.columns
+        ]
+        return _finish_curation(spark, docs, flags, pre_cols, output, c, True)
 
     # 1. exact dedup: keeper = min id per identical text. hash_key shuffles
     #    16-byte digests, not document bodies (textops.exact_dedup docstring)
@@ -179,11 +212,33 @@ def run_curation(
         qsurv, keep_frac=c.keep_frac, lang_col=c.lang_col,
         text_col=c.text_col, id_col=c.id_col,
     ).select(c.id_col, "quality", F.lit(True).alias("_keep_quality"))
-    flags = (
-        base.join(kept, c.id_col, "left")
-        .withColumn("_keep_quality", F.coalesce("_keep_quality", F.lit(False)))
-        .persist()
+    flags = base.join(kept, c.id_col, "left").withColumn(
+        "_keep_quality", F.coalesce("_keep_quality", F.lit(False))
     )
+    # checkpoint the finished ledger (ids + booleans + quality — tiny
+    # relative to the corpus) and reload it from parquet: downstream
+    # consumers read the frozen artifact, not live lineage, and a killed
+    # run resumes from here without repeating any corpus pass
+    flags.write.mode("overwrite").parquet(ledger_dir)
+    base.unpersist()
+    with open(meta_path, "w") as fp:
+        json.dump({"config_hash": cfg_hash}, fp)
+    flags = spark.read.parquet(ledger_dir)
+    return _finish_curation(spark, docs, flags, pre_cols, output, c, False)
+
+
+def _finish_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    flags: DataFrame,
+    pre_cols: list[str],
+    output: str,
+    c: CurationConfig,
+    resumed: bool,
+) -> dict:
+    """Stages downstream of the checkpointed ledger: counts, PII scrub,
+    packing, (sharded) write, manifest."""
+    pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
 
     # ONE aggregate yields every stage count (ledger rows are id+booleans)
     aggs = [
@@ -254,8 +309,6 @@ def run_curation(
         final.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     else:
         final.write.mode("overwrite").parquet(out_dir)
-    base.unpersist()
-    flags.unpersist()
     # audit the WRITTEN files, not the plan — one job for both counts
     waggs = [
         F.count(F.lit(1)).alias("n"),
@@ -269,7 +322,11 @@ def run_curation(
     if c.n_shards:
         counts["shards"] = int(wrow["s"])
 
-    manifest = {"config": asdict(c), "counts": counts}
+    manifest = {
+        "config": asdict(c),
+        "counts": counts,
+        "resumed_from_ledger": resumed,
+    }
     with open(os.path.join(output, "_curation_manifest.json"), "w") as fp:
         json.dump(manifest, fp, indent=2, default=str)
     return manifest

@@ -149,3 +149,29 @@ def test_curation_balanced_shard_layout(spark, tmp_path):
     total = sum(toks)
     max_row = written.agg(F.max("n_tokens")).collect()[0][0]
     assert all(abs(t - total / 3) <= max_row for t in toks)
+
+
+def test_curation_resume_from_ledger(spark, tmp_path):
+    out = str(tmp_path / "cur_res")
+    cfg = CurationConfig(keep_frac=0.75, pack_budget=60, resume=True)
+    m1 = run_curation(spark, _docs(spark), out, cfg)
+    assert m1["resumed_from_ledger"] is False
+    # wipe the final output but keep the ledger: the rerun must skip
+    # stages 1-4 and still reproduce identical counts + written corpus
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "curated"))
+    m2 = run_curation(spark, _docs(spark), out, cfg)
+    assert m2["resumed_from_ledger"] is True
+    assert m2["counts"] == m1["counts"]
+    # a changed STAGE config invalidates the ledger (pack_budget doesn't)
+    m3 = run_curation(
+        spark, _docs(spark), out,
+        CurationConfig(keep_frac=0.75, pack_budget=90, resume=True),
+    )
+    assert m3["resumed_from_ledger"] is True
+    m4 = run_curation(
+        spark, _docs(spark), out,
+        CurationConfig(keep_frac=0.5, pack_budget=60, resume=True),
+    )
+    assert m4["resumed_from_ledger"] is False
