@@ -123,7 +123,9 @@ def run_curation(
     # repetition, quality quantiles) and goes straight to scrub/pack/write
     # — the curation dual of pipeline.py's per-partition lineage resume
     # (north-rule "resumable from checkpoint"). pack_budget / n_shards are
-    # excluded from the hash: they only shape post-ledger stages.
+    # excluded from the hash: they only shape post-ledger stages. Stage-0
+    # text hygiene DOES recompute on resume (text is never checkpointed —
+    # only ids/flags are); it is deterministic, so the output is identical.
     # ------------------------------------------------------------------
     ledger_dir = os.path.join(output, "_ledger")
     meta_path = os.path.join(output, "_ledger_meta.json")

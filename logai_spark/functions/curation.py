@@ -81,6 +81,10 @@ def boilerplate_rm(
     n_lines). Documents whose every line is boilerplate come back with
     ``clean_text = ''`` rather than vanishing.
 
+    ``sep`` is used both as the split REGEX and the re-join literal, so it
+    must be a regex-neutral string (the default newline is; a "." would
+    split on every char while joining with a literal dot).
+
     ``max_df`` is an absolute doc-frequency cutoff; pick it as a fraction
     of corpus size (CCNet drops paragraphs above ~0.01% df). The hot-line
     set is bounded by total_lines / max_df regardless of corpus size,

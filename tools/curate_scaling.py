@@ -57,7 +57,19 @@ def run_at(cpus: int, n_docs: int) -> dict:
             F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("source"),
         )
 
-    cfg = CurationConfig(keep_frac=0.5, pack_budget=2048)
+    if os.environ.get("CURATE_SCALING_FULL") == "1":
+        # the shipped default-path superset: hygiene + dedup + filters +
+        # packing + balanced shards (near-dup LSH stays a separate bench —
+        # its cost profile is its own operator's)
+        cfg = CurationConfig(
+            keep_frac=0.5,
+            pack_budget=2048,
+            normalize=True,
+            boilerplate_max_df=max(100, n_docs // 20),
+            n_shards=8,
+        )
+    else:
+        cfg = CurationConfig(keep_frac=0.5, pack_budget=2048)
     run_curation(spark, _docs(5000, cpus), os.path.join(scratch, "warm"), cfg)
 
     docs = _docs(n_docs, 64).cache()
