@@ -1316,6 +1316,16 @@ def _q_keep_best(spark, sf_dir):
     return keep_best(docs.unionByName(mut), bands=4, rows_per_band=3)
 
 
+def _q_bpe_token_count(spark, sf_dir):
+    """GPT-2-style pre-tokenizer token counting (textops.bpe_token_count):
+    one regexp_count projection, zero shuffle. Lookahead-free pattern runs
+    identically on Java regex and the DuckDB oracle's RE2."""
+    from logai_spark.functions.textops import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+
 def _q_balanced_shards(spark, sf_dir):
     """Balanced output sharding (operators/shards.py): running token sums
     in global doc order via the distributed two-phase cumsum (range
@@ -1406,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_rm": _q_boilerplate_rm,
         "keep_best": _q_keep_best,
         "balanced_shards": _q_balanced_shards,
+        "bpe_token_count": _q_bpe_token_count,
         "auc": _q_auc,
     }
 
@@ -2612,6 +2623,14 @@ def oracle_sql() -> dict[str, str]:
                max(quality) AS best_quality,
                count(*) AS n_members
         FROM j GROUP BY cluster_id
+    """
+    from logai_spark.functions.textops import BPE_SPLIT_RE
+
+    _bpe_pat = BPE_SPLIT_RE.replace("'", "''")
+    out["bpe_token_count"] = f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_bpe_pat}'))::int AS n_bpe_tokens
+        FROM documents
     """
     out["balanced_shards"] = f"""
         WITH s AS (

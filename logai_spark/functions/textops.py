@@ -157,6 +157,29 @@ def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
     return df.withColumn(out_col, F.size(tokenize_expr(text_col, lowercase=False)))
 
 
+# GPT-2-style pre-tokenizer split, lookahead-free so the same pattern text
+# runs on Java regex (Spark) and RE2 (DuckDB oracle): English contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. The published GPT-2 pattern's `\s+(?!\S)` lookahead only
+# re-splits trailing whitespace before non-space — dropping it changes
+# which side of a boundary interior spaces land on, not the match COUNT.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """Count BPE PRE-tokens (the units byte-pair merges start from) under a
+    GPT-2-style split — the standard budget proxy when the real tokenizer
+    (an external artifact) isn't on the cluster: a lower bound on the true
+    BPE token count (merges only ever split pre-tokens further) that tracks
+    it closely on natural text. Pure `regexp_count` codegen, zero shuffle,
+    zero Python."""
+    return df.withColumn(
+        out_col, F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE))
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, mean token length, stopword ratio,
     alpha ratio -> a 0..1 score. All ratios rounded to 4 dp so float math is

@@ -132,3 +132,25 @@ def test_keep_best_tie_breaks_to_min_id(spark):
     out = keep_best(df, bands=2, rows_per_band=1, shingle_n=3).collect()
     assert len(out) == 1
     assert out[0]["keeper_id"] == 3 and out[0]["n_members"] == 2
+
+
+def test_bpe_token_count(spark):
+    from logai_spark.functions.textops import bpe_token_count
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat's hat won't fit!"),
+            Row(doc_id=1, text=""),
+            Row(doc_id=2, text="abc123 déjà-vu"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(df).collect()
+    }
+    # "the|Ġcat|'s|Ġhat|Ġwon|'t|Ġfit|!" -> 8
+    assert got[0] == 8
+    assert got[1] == 0
+    # "abc|123|Ġdéjà|-|vu" -> 5
+    assert got[2] == 5
