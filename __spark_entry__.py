@@ -1316,6 +1316,62 @@ def _q_keep_best(spark, sf_dir):
     return keep_best(docs.unionByName(mut), bands=4, rows_per_band=3)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """Streaming incremental exact dedup driven to completion
+    (streaming/dedup.py): documents replayed as a 2-file stream — file a
+    the originals, file b full-content duplicates (new ids, +1 min, inside
+    the 10-min watermark) — through dropDuplicatesWithinWatermark keyed on
+    md5(text). The appended output must contain each distinct text exactly
+    once regardless of batch arrival order, so the comparable is the
+    distinct text-hash set (= batch DISTINCT md5(text)). A failed
+    cross-batch drop would emit duplicate hashes and break row count +
+    value hash. Real streaming execution, bounded state (16-byte keys,
+    watermark-scoped)."""
+    import shutil
+    import tempfile
+
+    from logai_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(dir="/dev/shm", prefix="stream_dedup_")
+    try:
+        src = os.path.join(tmp, "src")
+        t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        docs.withColumn("warc_ts", t0).coalesce(1).write.parquet(
+            os.path.join(src, "a.parquet")
+        )
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        ).withColumn(
+            "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:01:00"))
+        ).coalesce(1).write.parquet(os.path.join(src, "b.parquet"))
+        schema = spark.read.parquet(os.path.join(src, "a.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        out = streaming_exact_dedup(stream, ["text"], ts_col="warc_ts")
+        name = f"_stream_dedup_{os.getpid()}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        res = (
+            spark.sql(f"SELECT * FROM {name}")
+            .select(F.md5("text").alias("text_md5"))
+            .toPandas()
+        )
+        return spark.createDataFrame(res)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_bpe_token_count(spark, sf_dir):
     """GPT-2-style pre-tokenizer token counting (textops.bpe_token_count):
     one regexp_count projection, zero shuffle. Lookahead-free pattern runs
@@ -1417,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best": _q_keep_best,
         "balanced_shards": _q_balanced_shards,
         "bpe_token_count": _q_bpe_token_count,
+        "streaming_dedup": _q_streaming_dedup,
         "auc": _q_auc,
     }
 
@@ -2627,6 +2684,9 @@ def oracle_sql() -> dict[str, str]:
     from logai_spark.functions.textops import BPE_SPLIT_RE
 
     _bpe_pat = BPE_SPLIT_RE.replace("'", "''")
+    out["streaming_dedup"] = """
+        SELECT DISTINCT md5(text) AS text_md5 FROM documents
+    """
     out["bpe_token_count"] = f"""
         SELECT doc_id,
                len(regexp_extract_all(text, '{_bpe_pat}'))::int AS n_bpe_tokens

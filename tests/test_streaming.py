@@ -244,3 +244,46 @@ def test_streaming_sessionize_gap_boundary(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert batch_sizes == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path):
+    """A content duplicate arriving in a LATER micro-batch (within the
+    watermark) must be dropped by the state store, not just within-batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logai_spark.streaming.dedup import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, f"text {i % 3}") for i in range(6)], "doc_id long, text string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    late_dup = spark.createDataFrame(
+        [(100, "text 0")], "doc_id long, text string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:01:00")))
+    base.coalesce(1).write.parquet(os.path.join(src, "a.parquet"))
+    late_dup.coalesce(1).write.parquet(os.path.join(src, "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    out = streaming_exact_dedup(stream, ["text"], ts_col="warc_ts")
+    name = "_stream_dedup_test"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # 3 distinct texts survive; the 4 within-batch dups AND the
+    # cross-batch doc 100 are dropped
+    assert len(rows) == 3
+    assert sorted({r["text"] for r in rows}) == ["text 0", "text 1", "text 2"]
+    assert 100 not in {r["doc_id"] for r in rows}
