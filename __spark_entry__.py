@@ -2634,7 +2634,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, a[i] AS line, i AS pos
             FROM arrs, unnest(range(1, len(a) + 1)) AS u(i)),
         hot AS (
-            SELECT line FROM lines
+            SELECT line FROM lines WHERE trim(line) <> ''
             GROUP BY line HAVING count(DISTINCT doc_id) > 50),
         f AS (
             SELECT l.doc_id, l.line, l.pos, h.line IS NOT NULL AS is_hot

@@ -133,8 +133,22 @@ def run_curation(
         k: v for k, v in asdict(c).items()
         if k not in ("pack_budget", "n_shards", "resume")
     }
+    # the hash also fingerprints the INPUT (schema + the concrete file set
+    # behind the scan): a rerun pointed at a different snapshot dir — or
+    # the same dir after a rewrite/compaction changed its files —
+    # recomputes instead of silently joining new docs against a stale
+    # ledger. In-memory inputs list no files and fall back to schema-only
+    # (documented residual: such frames are test fixtures, not production
+    # sources). Failure direction is always a spurious recompute, never a
+    # wrong resume.
+    try:
+        input_fp = f"{docs.schema.json()}:{sorted(docs.inputFiles())}"
+    except Exception:
+        input_fp = docs.schema.json()
     cfg_hash = hashlib.md5(
-        json.dumps(stage_cfg, sort_keys=True, default=str).encode()
+        json.dumps(
+            {"cfg": stage_cfg, "input": input_fp}, sort_keys=True, default=str
+        ).encode()
     ).hexdigest()
     resumed = False
     if (
@@ -221,6 +235,11 @@ def run_curation(
     # relative to the corpus) and reload it from parquet: downstream
     # consumers read the frozen artifact, not live lineage, and a killed
     # run resumes from here without repeating any corpus pass
+    # invalidate the meta BEFORE overwriting the ledger: a crash between
+    # the two writes must leave a ledger that no meta validates, never a
+    # stale meta that validates the wrong ledger
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
     flags.write.mode("overwrite").parquet(ledger_dir)
     base.unpersist()
     with open(meta_path, "w") as fp:
@@ -241,6 +260,9 @@ def _finish_curation(
     """Stages downstream of the checkpointed ledger: counts, PII scrub,
     packing, (sharded) write, manifest."""
     pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    # the hygiene stat columns ride the LEDGER for accounting; they are
+    # internal and must not leak into the written training corpus
+    docs = docs.drop("_norm_changed", "_bp_removed")
 
     # ONE aggregate yields every stage count (ledger rows are id+booleans)
     aggs = [
@@ -298,16 +320,25 @@ def _finish_curation(
     if c.n_shards:
         # 7. balanced-token output shards as the physical layout: training
         #    readers get K ~equal-budget partition dirs in a deterministic
-        #    global (source, pack, id) order. Distributed two-phase cumsum —
-        #    see operators/shards.py for the no-single-task-window shape.
+        #    global (source, pack) order. Shards are assigned at PACK
+        #    granularity — a packed training sequence must never straddle
+        #    a shard boundary, or a reader consuming one shard dir holds
+        #    partial packs it cannot reassemble. The cumsum runs over the
+        #    (source, pack) token totals (a table ~pack_budget× smaller
+        #    than the corpus) via the same distributed two-phase shape —
+        #    see operators/shards.py.
         from logai_spark.operators.shards import balanced_shards
 
-        final = balanced_shards(
-            final,
-            c.n_shards,
-            size_col="n_tokens",
-            order_exprs=[F.asc(c.source_col), F.asc("pack_id"), F.asc(c.id_col)],
+        pack_sizes = final.groupBy(c.source_col, "pack_id").agg(
+            F.sum("n_tokens").alias("_pack_tokens")
         )
+        pack_shards = balanced_shards(
+            pack_sizes,
+            c.n_shards,
+            size_col="_pack_tokens",
+            order_exprs=[F.asc(c.source_col), F.asc("pack_id")],
+        ).select(c.source_col, "pack_id", "shard")
+        final = final.join(pack_shards, [c.source_col, "pack_id"])
         final.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     else:
         final.write.mode("overwrite").parquet(out_dir)

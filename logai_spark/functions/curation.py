@@ -79,7 +79,10 @@ def boilerplate_rm(
 
     Returns one row per input document: (id, clean_text, n_removed,
     n_lines). Documents whose every line is boilerplate come back with
-    ``clean_text = ''`` rather than vanishing.
+    ``clean_text = ''`` rather than vanishing, as do NULL-text documents.
+    Blank/whitespace-only lines are never treated as boilerplate (they are
+    paragraph separators; dropping them corpus-wide would merge every
+    paragraph in every document).
 
     ``sep`` is used both as the split REGEX and the re-join literal, so it
     must be a regex-neutral string (the default newline is; a "." would
@@ -90,15 +93,22 @@ def boilerplate_rm(
     set is bounded by total_lines / max_df regardless of corpus size,
     which is what makes the broadcast join below safe at 10^12 docs.
     """
+    # NULL text coalesces to '' so the doc still yields one (empty) line
+    # and survives to the output; blank/whitespace-only lines are exempt
+    # from the hot set — they are paragraph separators, not boilerplate,
+    # and stripping them corpus-wide would merge every paragraph.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "line"),
     )
     # df-count per line HASH: the shuffle for this aggregate carries
     # (8-byte hash, id) pairs, never the line text. countDistinct expands
     # to the standard two-phase partial-distinct plan.
     hot = (
-        lines.groupBy(F.xxhash64("line").alias("_lh"))
+        lines.filter(F.trim("line") != "")
+        .groupBy(F.xxhash64("line").alias("_lh"))
         .agg(F.count_distinct(id_col).alias("_df"))
         .filter(F.col("_df") > max_df)
         .select("_lh", F.lit(True).alias("_hot"))

@@ -160,9 +160,12 @@ def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
 # GPT-2-style pre-tokenizer split, lookahead-free so the same pattern text
 # runs on Java regex (Spark) and RE2 (DuckDB oracle): English contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs,
-# whitespace runs. The published GPT-2 pattern's `\s+(?!\S)` lookahead only
-# re-splits trailing whitespace before non-space — dropping it changes
-# which side of a boundary interior spaces land on, not the match COUNT.
+# whitespace runs. Divergence from the published GPT-2 pattern: its
+# `\s+(?!\S)` lookahead splits a whitespace run before a newline into two
+# pre-tokens ("a \nb" -> 'a',' ','\n','b'); this RE2-compatible variant
+# merges the run ('a',' \n','b') and so undercounts by one per
+# trailing-whitespace line — still a lower bound, and zero on text without
+# mid-run whitespace boundaries.
 BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 

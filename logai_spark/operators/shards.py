@@ -44,26 +44,17 @@ def balanced_shards(
     All-zero sizes degenerate to NULL shard (div by zero) — callers filter
     empty docs first, as the curation pipeline does.
     """
-    spark = df.sparkSession
+    from logai_spark.preprocess import ranged_with_offsets
+
     order_exprs = order_exprs or [F.asc("doc_id")]
-    n = buckets or spark.sparkContext.defaultParallelism * 4
     sized = df.withColumn("_sz", F.col(size_col).cast("long"))
-    # freeze the range assignment against retries (same rationale as
-    # distributed_order_ids: a recomputed spark_partition_id must never
-    # move a row between ranges after offsets are taken)
-    keys = (
-        sized.repartitionByRange(n, *order_exprs)
-        .withColumn("_range", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # shared two-phase skeleton (range-freeze + per-range exclusive prefix
+    # offsets) — same machinery distributed_order_ids uses for ranks,
+    # instantiated with sum-of-sizes instead of row count
+    keys, offsets = ranged_with_offsets(
+        sized, order_exprs, F.sum("_sz"), buckets
     )
-    per_range = keys.groupBy("_range").agg(F.sum("_sz").alias("_n"))
-    # exclusive prefix over the (#buckets)-row range table: bounded by the
-    # bucket count, not the data — the documented bounded-dim window case
-    w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_range.withColumn(
-        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
-    )
-    total = per_range.agg(F.sum("_n").alias("_total"))
+    total = offsets.agg(F.sum("_n").alias("_total"))
     w_in = (
         Window.partitionBy("_range")
         .orderBy(*order_exprs)

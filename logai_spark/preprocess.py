@@ -102,6 +102,39 @@ def distributed_dense_ids(
     return out.select(column, out_col)
 
 
+def ranged_with_offsets(
+    df: DataFrame, order_exprs: list, val_agg, buckets: int | None = None
+):
+    """Shared skeleton of the two-phase distributed rank/cumulative-sum:
+    range-repartition on the TOTAL ``order_exprs``, materialize the range
+    id (the eager localCheckpoint freezes the assignment against retries —
+    see distributed_dense_ids for the full rationale), and compute per-
+    range EXCLUSIVE prefix offsets of ``val_agg`` over the tiny
+    (#buckets)-row range table. Returns (keys_with_range, offsets), where
+    offsets has columns (_range, _n, _offset).
+
+    Consumers: :func:`distributed_order_ids` (val = row count → global
+    ranks) and ``operators.shards.balanced_shards`` (val = sum of sizes →
+    global running token sums). Either way, (offset from earlier ranges) +
+    (position within range) is invariant to where the range boundaries
+    fall, so results are identical at any parallelism."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = buckets or spark.sparkContext.defaultParallelism * 4
+    keys = (
+        df.repartitionByRange(n, *order_exprs)
+        .withColumn("_range", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per = keys.groupBy("_range").agg(val_agg.alias("_n"))
+    w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    )
+    return keys, offsets
+
+
 def distributed_order_ids(
     df: DataFrame, order_exprs: list, out_col: str, buckets: int | None = None
 ) -> DataFrame:
@@ -117,16 +150,9 @@ def distributed_order_ids(
     """
     from pyspark.sql import Window
 
-    spark = df.sparkSession
-    n = buckets or spark.sparkContext.defaultParallelism * 4
-    keys = (
-        df.repartitionByRange(n, *order_exprs)
-        .withColumn("_range", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    keys, offsets = ranged_with_offsets(
+        df, order_exprs, F.count(F.lit(1)), buckets
     )
-    offsets = keys.groupBy("_range").agg(F.count(F.lit(1)).alias("_n"))
-    w_off = Window.orderBy("_range").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = offsets.withColumn("_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
     w_in = Window.partitionBy("_range").orderBy(*order_exprs)
     ranked = keys.withColumn("_rank", F.row_number().over(w_in) - 1)
     out = ranked.join(F.broadcast(offsets.select("_range", "_offset")), "_range")

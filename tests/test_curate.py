@@ -139,6 +139,15 @@ def test_curation_balanced_shard_layout(spark, tmp_path):
     c = m["counts"]
     assert c["shards"] == 3
     written = spark.read.parquet(os.path.join(out, "curated"))
+    # packs never straddle shard boundaries: a reader of one shard dir
+    # must hold only whole training sequences
+    straddlers = (
+        written.groupBy("source", "pack_id")
+        .agg(F.count_distinct("shard").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
     per = (
         written.groupBy("shard")
         .agg(F.sum("n_tokens").alias("toks"))
@@ -147,8 +156,14 @@ def test_curation_balanced_shard_layout(spark, tmp_path):
     assert {r["shard"] for r in per} == {0, 1, 2}
     toks = [r["toks"] for r in per]
     total = sum(toks)
-    max_row = written.agg(F.max("n_tokens")).collect()[0][0]
-    assert all(abs(t - total / 3) <= max_row for t in toks)
+    max_pack = (
+        written.groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("t"))
+        .agg(F.max("t"))
+        .collect()[0][0]
+    )
+    # balance is now at pack granularity: within one max pack budget
+    assert all(abs(t - total / 3) <= max_pack for t in toks)
 
 
 def test_curation_resume_from_ledger(spark, tmp_path):
@@ -175,3 +190,21 @@ def test_curation_resume_from_ledger(spark, tmp_path):
         CurationConfig(keep_frac=0.5, pack_budget=60, resume=True),
     )
     assert m4["resumed_from_ledger"] is False
+
+
+def test_curation_resume_invalidated_by_input_change(spark, tmp_path):
+    src1 = str(tmp_path / "in1")
+    src2 = str(tmp_path / "in2")
+    _docs(spark).write.parquet(src1)
+    _docs(spark).limit(10).write.parquet(src2)
+    out = str(tmp_path / "cur_inp")
+    cfg = CurationConfig(keep_frac=0.75, pack_budget=60, resume=True)
+    m1 = run_curation(spark, spark.read.parquet(src1), out, cfg)
+    assert m1["resumed_from_ledger"] is False
+    # same config, same file set -> resumes
+    m2 = run_curation(spark, spark.read.parquet(src1), out, cfg)
+    assert m2["resumed_from_ledger"] is True
+    # same config, DIFFERENT input files -> must recompute
+    m3 = run_curation(spark, spark.read.parquet(src2), out, cfg)
+    assert m3["resumed_from_ledger"] is False
+    assert m3["counts"]["input"] == 10

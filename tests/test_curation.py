@@ -154,3 +154,31 @@ def test_bpe_token_count(spark):
     assert got[1] == 0
     # "abc|123|Ġdéjà|-|vu" -> 5
     assert got[2] == 5
+
+
+def test_boilerplate_rm_blank_lines_never_hot(spark):
+    # blank paragraph separators appear in EVERY doc but must survive —
+    # they are structure, not boilerplate
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"para one {i}\n\npara two {i}") for i in range(6)]
+    )
+    out = boilerplate_rm(df, max_df=2).filter(F.col("doc_id") == 0).collect()[0]
+    assert out["clean_text"] == "para one 0\n\npara two 0"
+    assert out["n_removed"] == 0
+
+
+def test_boilerplate_rm_null_text_survives(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(0, "real line"), (1, None)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("text", T.StringType(), True),
+            ]
+        ),
+    )
+    out = {r["doc_id"]: r for r in boilerplate_rm(df, max_df=5).collect()}
+    assert set(out) == {0, 1}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 0
