@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--max-rep", type=float, default=0.5)
     cur.add_argument("--pack-budget", type=int, default=2048)
     cur.add_argument("--near-dup", action="store_true")
+    cur.add_argument("--near-dup-keep", choices=["canonical", "best"],
+                     default="canonical",
+                     help="near-dup survivor: min id or highest quality")
     cur.add_argument("--normalize", action="store_true",
                      help="ftfy-lite text cleanup before dedup")
     cur.add_argument("--boilerplate-max-df", type=int, default=None,
@@ -90,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_top_bigram_frac=args.max_rep,
                 pack_budget=args.pack_budget,
                 near_dup=args.near_dup,
+                near_dup_keep=args.near_dup_keep,
                 normalize=args.normalize,
                 boilerplate_max_df=args.boilerplate_max_df,
                 n_shards=args.n_shards,

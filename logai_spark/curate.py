@@ -48,6 +48,7 @@ class CurationConfig:
     max_top_bigram_frac: float = 0.5  # Gopher-style repetition ceiling
     pack_budget: int = 2048         # tokens per packed training sequence
     near_dup: bool = False          # MinHash-LSH near-dup cluster removal
+    near_dup_keep: str = "canonical"  # "canonical" (min id) | "best" (quality)
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
     n_shards: int | None = None     # balanced-token output shards (None = flat)
@@ -203,10 +204,35 @@ def run_curation(
             bands=c.lsh_bands,
             rows_per_band=max(1, c.minhash_k // c.lsh_bands),
         )
-        canonical = clusters.filter(
-            F.col(c.id_col) == F.col("cluster_id")
-        ).select(c.id_col, F.lit(True).alias("_keep_near"))
-        flags = flags.join(canonical, c.id_col, "left").withColumn(
+        if c.near_dup_keep == "best":
+            # quality-aware retention: the kept member of each cluster is
+            # the highest-quality one (ties to smallest id), not the min
+            # id — mirrors and truncated scrapes usually differ in
+            # quality. Same partial-aggregatable struct-max shape as
+            # components.keep_best (no window over cluster members).
+            from logai_spark.functions.textops import quality_score
+
+            q = quality_score(survivors, c.text_col).select(c.id_col, "quality")
+            winners = (
+                clusters.join(q, c.id_col)
+                .groupBy("cluster_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("quality"), (-F.col(c.id_col)).alias("_n")
+                        )
+                    ).alias("_b")
+                )
+                .select(
+                    (-F.col("_b._n")).alias(c.id_col),
+                    F.lit(True).alias("_keep_near"),
+                )
+            )
+        else:
+            winners = clusters.filter(
+                F.col(c.id_col) == F.col("cluster_id")
+            ).select(c.id_col, F.lit(True).alias("_keep_near"))
+        flags = flags.join(winners, c.id_col, "left").withColumn(
             "_keep_near", F.coalesce("_keep_near", F.lit(False))
         )
     else:

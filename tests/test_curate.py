@@ -208,3 +208,22 @@ def test_curation_resume_invalidated_by_input_change(spark, tmp_path):
     m3 = run_curation(spark, spark.read.parquet(src2), out, cfg)
     assert m3["resumed_from_ledger"] is False
     assert m3["counts"]["input"] == 10
+
+
+def test_curation_near_dup_keep_best(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # doc 2 (larger id) is the LONGER, higher-quality near-dup — with
+    # keep="best" it must survive instead of the min-id canonical doc 1
+    rows = [(1, base, "en", "s0"),
+            (2, base + " plus detail", "en", "s0"),
+            (3, "completely different words about spark shuffles and joins", "en", "s0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    m = run_curation(
+        spark, df, str(tmp_path / "ndb"),
+        CurationConfig(keep_frac=1.0, near_dup=True, near_dup_keep="best",
+                       minhash_k=12, lsh_bands=4),
+    )
+    assert m["counts"]["after_near_dup"] == 2
+    written = spark.read.parquet(os.path.join(str(tmp_path / "ndb"), "curated"))
+    kept = {r.doc_id for r in written.select("doc_id").collect()}
+    assert 2 in kept and 1 not in kept and 3 in kept
