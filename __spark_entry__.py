@@ -1399,60 +1399,13 @@ def _q_balanced_shards(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
+    # 50 entries, so rows that have never had a driver-verified correctness
+    # row (the round-3 curation/streaming additions plus the four rows
+    # rotated out between r2 and r3) are front-loaded; the back 25 are rows
+    # already driver-green in BOTH earlier windows (r2 and/or r3).
     return {
-        "counter_vector": _q_counter_vector,
-        "group_counter_attrs": _q_group_counter_attrs,
-        "dedup_with_counts": _q_dedup_with_counts,
-        "session_concat": _q_session_concat,
-        "sliding_window": _q_sliding_window,
-        "chrono_split": _q_chrono_split,
-        "dense_ids": _q_dense_ids,
-        "enrich_broadcast": _q_enrich_broadcast,
-        "topk_per_group": _q_topk_per_group,
-        "tpch_q1": _q_tpch_q1,
-        "histogram": _q_histogram,
-        "token_count": _q_token_count,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "iplom_templates": _q_iplom_templates,
-        "exact_dedup": _q_exact_dedup,
-        "minhash": _q_minhash,
-        "simhash": _q_simhash,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "cosine_topk": _q_cosine_topk,
-        "ivf_topk": _q_ivf_topk,
-        "tfidf_idf": _q_tfidf_idf,
-        "tfidf_transform": _q_tfidf_transform,
-        "seasonal_dbl": _q_seasonal_dbl,
-        "hw_ets": _q_hw_ets,
-        "streaming_counts": _q_streaming_counts,
-        "streaming_sessions": _q_streaming_sessions,
-        "pad_trim": _q_pad_trim,
-        "sliding_window_step": _q_sliding_window_step,
-        "token_position_stats": _q_token_position_stats,
-        "feature_mean": _q_feature_mean,
-        "lsh_buckets": _q_lsh_buckets,
-        "pivot_counts": _q_pivot_counts,
-        "quantiles": _q_quantiles,
-        "set_ops": _q_set_ops,
-        "label_spans": _q_label_spans,
-        "event_index": _q_event_index,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "drain_parse": _q_drain_parse,
-        "ael_templates": _q_ael_templates,
-        "parameter_list": _q_parameter_list,
-        "eval_metrics": _q_eval_metrics,
-        "divergence": _q_divergence,
-        "lsh_dup_pairs": _q_lsh_dup_pairs,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_canonical": _q_dedup_canonical,
-        "regex_extract": _q_regex_extract,
-        "collapse_runs": _q_collapse_runs,
-        "split_by_span": _q_split_by_span,
-        "label_encode": _q_label_encode,
-        "sequential_ids": _q_sequential_ids,
-        "masked_pairs": _q_masked_pairs,
+        # -- never driver-verified (round-3 additions) --------------------
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "repetition_stats": _q_repetition_stats,
@@ -1474,7 +1427,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards": _q_balanced_shards,
         "bpe_token_count": _q_bpe_token_count,
         "streaming_dedup": _q_streaming_dedup,
+        # -- green in r2 but rotated out of the r3 window ------------------
+        "label_encode": _q_label_encode,
+        "sequential_ids": _q_sequential_ids,
+        "masked_pairs": _q_masked_pairs,
         "auc": _q_auc,
+        # -- r3-green rows worth re-verifying (signature / complex ops) ----
+        "drain_parse": _q_drain_parse,
+        "ael_templates": _q_ael_templates,
+        "iplom_templates": _q_iplom_templates,
+        "parameter_list": _q_parameter_list,
+        "exact_dedup": _q_exact_dedup,
+        "minhash": _q_minhash,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_dup_pairs": _q_lsh_dup_pairs,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
+        "cosine_topk": _q_cosine_topk,
+        "ivf_topk": _q_ivf_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lsh_buckets": _q_lsh_buckets,
+        "tfidf_idf": _q_tfidf_idf,
+        "tfidf_transform": _q_tfidf_transform,
+        "seasonal_dbl": _q_seasonal_dbl,
+        "hw_ets": _q_hw_ets,
+        "streaming_counts": _q_streaming_counts,
+        "streaming_sessions": _q_streaming_sessions,
+        "counter_vector": _q_counter_vector,
+        "sliding_window": _q_sliding_window,
+        "session_concat": _q_session_concat,
+        "eval_metrics": _q_eval_metrics,
+        # ------------------- position 51+ (past the driver window): ------
+        # all driver-green in r2 AND r3, simpler single-shuffle shapes.
+        "group_counter_attrs": _q_group_counter_attrs,
+        "dedup_with_counts": _q_dedup_with_counts,
+        "chrono_split": _q_chrono_split,
+        "dense_ids": _q_dense_ids,
+        "enrich_broadcast": _q_enrich_broadcast,
+        "topk_per_group": _q_topk_per_group,
+        "tpch_q1": _q_tpch_q1,
+        "histogram": _q_histogram,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "pad_trim": _q_pad_trim,
+        "sliding_window_step": _q_sliding_window_step,
+        "token_position_stats": _q_token_position_stats,
+        "feature_mean": _q_feature_mean,
+        "pivot_counts": _q_pivot_counts,
+        "quantiles": _q_quantiles,
+        "set_ops": _q_set_ops,
+        "label_spans": _q_label_spans,
+        "event_index": _q_event_index,
+        "divergence": _q_divergence,
+        "regex_extract": _q_regex_extract,
+        "collapse_runs": _q_collapse_runs,
+        "split_by_span": _q_split_by_span,
     }
 
 
