@@ -208,25 +208,15 @@ def run_curation(
             # quality-aware retention: the kept member of each cluster is
             # the highest-quality one (ties to smallest id), not the min
             # id — mirrors and truncated scrapes usually differ in
-            # quality. Same partial-aggregatable struct-max shape as
-            # components.keep_best (no window over cluster members).
+            # quality. Shares components.best_per_cluster (string-id-safe
+            # min_by, no window over cluster members).
+            from logai_spark.functions.components import best_per_cluster
             from logai_spark.functions.textops import quality_score
 
             q = quality_score(survivors, c.text_col).select(c.id_col, "quality")
-            winners = (
-                clusters.join(q, c.id_col)
-                .groupBy("cluster_id")
-                .agg(
-                    F.max(
-                        F.struct(
-                            F.col("quality"), (-F.col(c.id_col)).alias("_n")
-                        )
-                    ).alias("_b")
-                )
-                .select(
-                    (-F.col("_b._n")).alias(c.id_col),
-                    F.lit(True).alias("_keep_near"),
-                )
+            winners = best_per_cluster(clusters, q, id_col=c.id_col).select(
+                F.col("keeper_id").alias(c.id_col),
+                F.lit(True).alias("_keep_near"),
             )
         else:
             winners = clusters.filter(

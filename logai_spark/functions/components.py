@@ -60,6 +60,7 @@ def connected_components(
     labels = sym.select(F.col("_s").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    n_changed = 0
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["_s"] == labels["id"])
@@ -88,6 +89,17 @@ def connected_components(
         labels = jumped.select("id", "label")
         if n_changed == 0:
             break
+    if n_changed > 0:
+        # Exhausting max_iter without convergence would silently break the
+        # documented contract (component = MIN node id of the component);
+        # dup_clusters' keeper filter (id == cluster_id) would then keep
+        # NOTHING for the unconverged clusters. With pointer jumping,
+        # max_iter rounds cover components of diameter ~2^max_iter, so
+        # hitting this is a configuration error, not a data condition.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -134,6 +146,47 @@ def dedup_canonical(
     )
 
 
+def best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Resolve a cluster assignment + per-doc quality table into keepers:
+    one partial-aggregatable ``min_by`` over (-quality, id) structs per
+    cluster — keeper = highest quality, ties to the SMALLEST id. No window,
+    no sort of cluster members, and no arithmetic on the id column (string
+    doc ids — URLs, UUIDs — order lexicographically inside the struct;
+    negating them would cast to double and yield NULL keepers). NULL
+    quality sorts last (+inf after negation), so an all-NULL cluster still
+    keeps its min id.
+
+    ``quality`` must have columns (id_col, quality).
+    Output: (cluster_col, keeper_id, best_quality, n_members)."""
+    joined = clusters.join(quality, id_col)
+    order = F.struct(
+        (-F.coalesce(F.col("quality").cast("double"), F.lit(float("-inf"))))
+        .alias("_q"),
+        F.col(id_col).alias("_i"),
+    )
+    agg = joined.groupBy(cluster_col).agg(
+        F.min_by(
+            F.struct(
+                F.col(id_col).alias("keeper_id"),
+                F.col("quality").alias("best_quality"),
+            ),
+            order,
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return agg.select(
+        cluster_col,
+        F.col("_b.keeper_id").alias("keeper_id"),
+        F.col("_b.best_quality").alias("best_quality"),
+        "n_members",
+    )
+
+
 def keep_best(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -142,6 +195,7 @@ def keep_best(
     bands: int = 4,
     rows_per_band: int = 3,
     shingle_n: int = 3,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-cluster retention by QUALITY, not by min id.
 
@@ -150,33 +204,26 @@ def keep_best(
     truncated scrapes usually differ in quality), not an arbitrary
     canonical id. Pipeline: ``dup_clusters`` (MinHash-LSH pairs ->
     connected components) -> join per-doc quality (``quality_score`` from
-    textops unless ``quality_col`` names a precomputed column) -> one
-    shuffle on cluster_id with a partial-aggregatable ``max`` over
-    (quality, -id) structs: keeper = highest quality, ties to the SMALLEST
-    id — fully deterministic, no window, no sort of cluster members.
+    textops unless ``quality_col`` names a precomputed column) ->
+    ``best_per_cluster`` (one partial-aggregatable min_by per cluster; see
+    its docstring for the tie-break and string-id semantics).
+
+    Pass ``clusters`` (a (id_col, cluster_id) assignment, e.g. from a
+    prior ``dup_clusters`` call) to skip the MinHash+LSH+CC pass entirely —
+    a pipeline that needs clusters AND keepers should pay for the LSH scan
+    once, not twice.
 
     Output: (cluster_id, keeper_id, best_quality, n_members).
     """
-    clusters = dup_clusters(
-        df, id_col, text_col, bands=bands, rows_per_band=rows_per_band,
-        shingle_n=shingle_n,
-    )
+    if clusters is None:
+        clusters = dup_clusters(
+            df, id_col, text_col, bands=bands, rows_per_band=rows_per_band,
+            shingle_n=shingle_n,
+        )
     if quality_col is None:
         from logai_spark.functions.textops import quality_score
 
         q = quality_score(df, text_col).select(id_col, "quality")
     else:
         q = df.select(id_col, F.col(quality_col).alias("quality"))
-    joined = clusters.join(q, id_col)
-    agg = joined.groupBy("cluster_id").agg(
-        F.max(
-            F.struct(F.col("quality"), (-F.col(id_col)).alias("_n"))
-        ).alias("_b"),
-        F.count(F.lit(1)).alias("n_members"),
-    )
-    return agg.select(
-        "cluster_id",
-        (-F.col("_b._n")).alias("keeper_id"),
-        F.col("_b.quality").alias("best_quality"),
-        "n_members",
-    )
+    return best_per_cluster(clusters, q, id_col=id_col)

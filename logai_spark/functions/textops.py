@@ -266,6 +266,16 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     return df.withColumn(out_col, F.pmod(total, F.lit(MINHASH_P)).cast("long"))
 
 
+def _null_safe_key_hash(key_cols: list[str]) -> Column:
+    """128-bit md5 over a null-safe, injection-safe encoding of the key
+    columns. ``concat_ws`` would SKIP NULLs (NULL and '' collide; multi-
+    column keys are separator-injectable: (a\\x1fb, c) == (a, b\\x1fc)).
+    ``to_json(struct(...))`` instead JSON-escapes every value and omits
+    null fields by NAME, so NULL, '' and any separator-bearing value all
+    encode distinctly — and it stays a pure JVM codegen expression."""
+    return F.md5(F.to_json(F.struct(*[F.col(k) for k in key_cols])))
+
+
 def exact_dedup(
     df: DataFrame,
     key_cols: list[str],
@@ -274,8 +284,9 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: one row per distinct key, keeper = min id, n_dups kept.
 
-    ``hash_key=True`` groups by the 128-bit md5 of the concatenated key
-    columns instead of the raw values: the shuffle then carries a 16-byte
+    ``hash_key=True`` groups by the 128-bit md5 of a null-safe JSON
+    encoding of the key columns instead of the raw values: the shuffle
+    then carries a 16-byte
     key per row instead of the full document text (duplicate texts rarely
     share a map partition, so map-side combine cannot shrink it) — at
     corpus scale that is the difference between reshuffling the whole
@@ -286,7 +297,7 @@ def exact_dedup(
     ``hash_key=False``.
     """
     if hash_key:
-        key = F.md5(F.concat_ws("\x1f", *[F.col(k) for k in key_cols]))
+        key = _null_safe_key_hash(key_cols)
         return (
             df.groupBy(key.alias("_k"))
             .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
@@ -369,6 +380,13 @@ def lsh_duplicate_pairs(
     product."""
     k = bands * rows_per_band
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    # Docs with an empty shingle set (NULL text or < shingle_n tokens) have
+    # all-NULL signatures; concat_ws skips NULLs, so their band keys would
+    # collapse to the bare band index and pair EVERY such doc with every
+    # other (unrelated short docs then merge into one "duplicate" cluster
+    # and all but one get dropped downstream). They carry no MinHash
+    # evidence — leave them out of banding; they become singletons.
+    sigs = sigs.filter(F.col("sig_0").isNotNull())
     keys = [
         F.concat_ws(
             "_",

@@ -55,6 +55,12 @@ def asof_join(
     for c in value_cols:
         if c in left.columns:
             raise ValueError(f"value column {c!r} collides with a left column")
+    if right_ts_out is not None and right_ts_out in left.columns:
+        # without this, the carry loop would silently REPLACE the existing
+        # left column with the matched right timestamp
+        raise ValueError(
+            f"right_ts_out {right_ts_out!r} collides with a left column"
+        )
     carry = list(value_cols)
     r = right.select(*on, ts_col, *value_cols)
     # tolerance needs the matched right ts even when the caller didn't ask

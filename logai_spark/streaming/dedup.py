@@ -13,9 +13,10 @@ long-term snapshot) for dedup beyond the watermark horizon: the stream
 stage kills the burst duplicates (mirrors, reposts, crawler retries
 cluster in time), the batch stage the long-tail ones.
 
-Keys are 128-bit md5 of the key columns (same rationale as
-``exact_dedup(hash_key=True)``: state and shuffle carry 16-byte digests,
-never document bodies).
+Keys are 128-bit md5 of a null-safe JSON encoding of the key columns (same
+construction as ``exact_dedup(hash_key=True)``: state and shuffle carry
+16-byte digests, never document bodies; NULL, '' and separator-bearing
+values all encode distinctly).
 """
 
 from __future__ import annotations
@@ -34,9 +35,9 @@ def streaming_exact_dedup(
     the watermark ``delay`` are dropped by the state store. Rows whose key
     reappears AFTER the watermark horizon pass through (hand those to the
     batch ``incremental_dedup`` stage)."""
-    keyed = stream.withColumn(
-        "_k", F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
-    )
+    from logai_spark.functions.textops import _null_safe_key_hash
+
+    keyed = stream.withColumn("_k", _null_safe_key_hash(key_cols))
     return (
         keyed.withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["_k"])

@@ -182,3 +182,116 @@ def test_boilerplate_rm_null_text_survives(spark):
     out = {r["doc_id"]: r for r in boilerplate_rm(df, max_df=5).collect()}
     assert set(out) == {0, 1}
     assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 0
+
+
+# --- ADVICE-r3 regression tests ------------------------------------------
+
+
+def test_null_and_short_docs_do_not_lsh_cluster(spark):
+    """Docs with empty shingle sets (NULL text / < shingle_n tokens) have
+    all-NULL MinHash sigs; they must NOT band together (concat_ws skips
+    NULLs, collapsing their band keys) — each stays a singleton cluster."""
+    from logai_spark.functions.components import dup_clusters
+    from logai_spark.functions.textops import lsh_duplicate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "completely different"), (3, None)],
+        "doc_id long, text string",
+    )
+    assert lsh_duplicate_pairs(df, bands=2, rows_per_band=1).count() == 0
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_keep_best_string_ids(spark):
+    """String doc ids (URLs/UUIDs) must not be negated in the tie-break:
+    keeper_id must be a real id, ties to the lexicographically smallest."""
+    txt = "same exact text about the small wooden table in the hall"
+    df = spark.createDataFrame(
+        [Row(doc_id="https://b.example/x", text=txt),
+         Row(doc_id="https://a.example/x", text=txt)]
+    )
+    out = keep_best(df, bands=2, rows_per_band=1, shingle_n=3).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == "https://a.example/x"
+    assert out[0]["n_members"] == 2
+
+
+def test_keep_best_precomputed_clusters_skips_lsh(spark):
+    """Passing clusters= must reuse the assignment (no second LSH pass) and
+    produce the same keepers as the self-computed path."""
+    from logai_spark.functions.components import dup_clusters
+
+    long_txt = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "runs far away into the quiet green forest before the morning"
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the " + long_txt[4:]),
+         Row(doc_id=2, text=long_txt),
+         Row(doc_id=50, text="completely unrelated single document here entirely")]
+    )
+    clusters = dup_clusters(df, bands=2, rows_per_band=1, shingle_n=3)
+    a = sorted(
+        keep_best(df, bands=2, rows_per_band=1, shingle_n=3).collect(),
+        key=lambda r: r["cluster_id"],
+    )
+    b = sorted(keep_best(df, clusters=clusters).collect(), key=lambda r: r["cluster_id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # the reuse path's plan must not contain the LSH band self-join
+    plan = keep_best(df, clusters=clusters)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_band" not in plan
+
+
+def test_keep_best_all_null_quality_keeps_min_id(spark):
+    from logai_spark.functions.components import best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    q = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, quality double"
+    )
+    out = best_per_cluster(clusters, q).collect()
+    assert len(out) == 1 and out[0]["keeper_id"] == 1
+
+
+def test_exact_dedup_hash_key_null_safety(spark):
+    """hash_key=True must keep NULL and '' as distinct groups (parity with
+    hash_key=False) and must not be separator-injectable on multi-col keys."""
+    from logai_spark.functions.textops import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x"), (4, "x")], "doc_id long, text string"
+    )
+    hashed = {r["keeper_id"]: r["n_dups"] for r in exact_dedup(df, ["text"], hash_key=True).collect()}
+    raw = {r["keeper_id"]: r["n_dups"] for r in exact_dedup(df, ["text"]).collect()}
+    assert hashed == raw == {1: 1, 2: 1, 3: 2}
+
+    inj = spark.createDataFrame(
+        [(1, "a\x1fb", "c"), (2, "a", "b\x1fc")], "doc_id long, k1 string, k2 string"
+    )
+    assert exact_dedup(inj, ["k1", "k2"], hash_key=True).count() == 2
+
+
+def test_asof_join_right_ts_out_collision_raises(spark):
+    from logai_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "keepme")], "k long, ts double, note string"
+    )
+    right = spark.createDataFrame([(1, 5.0, 7.0)], "k long, ts double, v double")
+    with pytest.raises(ValueError, match="right_ts_out"):
+        asof_join(left, right, ["k"], "ts", ["v"], right_ts_out="note")
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    from logai_spark.functions.components import connected_components
+
+    # a 9-node path needs >1 hash-min+jump round; max_iter=1 must raise,
+    # never silently return non-minimum labels
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
