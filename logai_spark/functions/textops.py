@@ -462,15 +462,25 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(_shingles(F.col("_toks"), shingle_n))).alias("_sh"),
     )
     if max_shingle_df is not None:
-        # window count over the shingle key: one shuffle on _sh (which the
-        # self-join below shuffles on anyway), no extra aggregate+join round
-        sh = (
-            sh.withColumn(
-                "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
-            )
-            .filter(F.col("_df") <= max_shingle_df)
-            .drop("_df")
+        # Stop-shingle removal as a partial-aggregated count + shuffle-hash
+        # ANTI-join, not a count-window over _sh. The window shape is ~10%
+        # faster at sf0.1 (its one exchange is reused by the self-join
+        # below) but it must BUFFER every row of a shingle group in a
+        # single task before emitting — and the hot shingles this cap
+        # exists to kill (web boilerplate, df in the billions) are exactly
+        # the groups that turn that into an unsplittable spilling
+        # straggler. The anti-join streams hot rows through a hash lookup;
+        # the count combines map-side so reducers see O(mappers) rows per
+        # shingle, and AQE can split a skewed probe partition. Quiet-window
+        # A/B at sf0.1 (steal < 2.4%): window 2.14 s, this 2.35 s,
+        # broadcast-anti 4.06 s (bench_artifacts/ngram_cap_ab_r4.txt).
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_sh")
         )
+        sh = sh.join(hot.hint("shuffle_hash"), "_sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), "_sh")
