@@ -22,6 +22,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_lineage_manifest.json"
+LINEAGE_DIR = "_lineage_files"  # parquet sidecar: per-FILE lineage rows
+
+
+def _basename_expr(col):
+    return F.element_at(F.split(col, "/"), -1)
+
+
+def file_lineage(spark: SparkSession, path: str) -> DataFrame:
+    """The per-file lineage sidecar of a routed/checkpointed layout as a
+    DataFrame (one row per written data file with its row count, plus the
+    sink key for partitioned layouts). Lives at ``path/_lineage_files`` —
+    an underscore-prefixed dir, so data readers ignore it. Kept OUT of the
+    driver JSON manifest on purpose: at 10^12 docs the manifest would
+    otherwise carry millions of per-file keys; the JSON holds per-sink
+    totals only, the sidecar scales with the table like any other table."""
+    return spark.read.parquet(os.path.join(path, LINEAGE_DIR))
 
 
 def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 8) -> DataFrame:
@@ -128,23 +144,30 @@ def route_to_sinks(
         # Callers that aggregate the routed table anyway should pass
         # compute_counts=False and fill the manifest via write_manifest with
         # counts rolled up from their aggregate (saves a full scan).
-        written = df.sparkSession.read.parquet(path)
-        # one columnar scan gives both levels of lineage: per-sink row counts
-        # (the north_rule's per-sink aggregate equality) and per-FILE counts
-        # inside each sink (file == writer task -> per-partition lineage)
-        rows = (
-            written.groupBy(partition_col, F.input_file_name().alias("f"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+        spark = df.sparkSession
+        written = spark.read.parquet(path)
+        # one columnar scan gives both levels of lineage: per-FILE counts
+        # (file == writer task -> per-partition lineage) land in the
+        # parquet sidecar WITHOUT ever touching the driver; per-sink totals
+        # (the north_rule's per-sink aggregate equality, O(#templates)) are
+        # the only rows collected into the JSON manifest.
+        (
+            written.groupBy(
+                F.col(partition_col).cast("string").alias(partition_col),
+                _basename_expr(F.input_file_name()).alias("file"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, LINEAGE_DIR))
         )
-        counts: dict[str, int] = {}
-        files: dict[str, dict[str, int]] = {}
-        for r in rows:
-            k = str(r[partition_col])
-            counts[k] = counts.get(k, 0) + int(r["n"])
-            files.setdefault(k, {})[os.path.basename(r["f"])] = int(r["n"])
+        counts = {
+            str(r[partition_col]): int(r["n"])
+            for r in file_lineage(spark, path)
+            .groupBy(partition_col)
+            .agg(F.sum("n_rows").alias("n"))
+            .collect()
+        }
         manifest["sinks"] = counts
-        manifest["sink_files"] = files
         manifest["total_rows"] = int(sum(counts.values()))
         manifest["n_sinks"] = len(counts)
     write_manifest(path, manifest)
@@ -181,12 +204,13 @@ def checkpoint(
     Spark analog of the reference's write-CSV-then-reload-if-present stages
     (openset_anomaly_detection_workflow.py:260-321).
 
-    The manifest records PER-PARTITION lineage (north_rule): one entry per
-    written file (file == writer task/partition) with its row count, so a
-    resume can verify the checkpoint is complete and re-drive only missing
-    partitions, and an auditor can trace every output row to the task that
-    wrote it. The per-file counts come from one footer-cheap scan of the
-    freshly written columnar files.
+    PER-PARTITION lineage (north_rule): one row per written file (file ==
+    writer task/partition) with its row count, written to the
+    ``_lineage_files`` parquet sidecar (see :func:`file_lineage`) so a
+    resume can verify the checkpoint is complete and an auditor can trace
+    every output row to the task that wrote it; the JSON manifest keeps the
+    scalar totals, staying bounded at any file count. The per-file counts
+    come from one footer-cheap scan of the freshly written columnar files.
     """
     spark = df.sparkSession
     m = manifest_of(path)
@@ -195,18 +219,23 @@ def checkpoint(
     t0 = time.time()
     df.write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)
-    per_file = {
-        os.path.basename(r["f"]): int(r["n"])
-        for r in out.groupBy(F.input_file_name().alias("f"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # per-file lineage goes to the parquet sidecar (no driver collect —
+    # bounded manifest at any file count); the JSON keeps the two scalars a
+    # resume check needs.
+    (
+        out.groupBy(_basename_expr(F.input_file_name()).alias("file"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, LINEAGE_DIR))
+    )
+    total_rows, n_files = file_lineage(spark, path).agg(
+        F.sum("n_rows"), F.count(F.lit(1))
+    ).collect()[0]
     manifest = {
         "stage": stage,
         "path": path,
-        "total_rows": int(sum(per_file.values())),
-        "n_partitions": len(per_file),
-        "partitions": per_file,
+        "total_rows": int(total_rows or 0),
+        "n_partitions": int(n_files),
         "wall_sec": round(time.time() - t0, 3),
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
@@ -354,25 +383,34 @@ def compact_sinks(
     )
 
     # verify BEFORE swapping: per-sink rows in tmp == per-sink rows on disk.
-    # ONE scan of tmp yields both the per-sink totals for the gate and the
-    # per-file lineage (same files post-swap — only the directory renames),
-    # instead of re-scanning the live path afterwards.
-    per_file = (
+    # ONE scan of tmp yields both the per-sink totals for the gate (the
+    # only rows collected — O(#sinks)) and the per-file lineage, which goes
+    # to a staging parquet sidecar (same file basenames post-swap — only
+    # the directories rename), never to the driver.
+    tmp_lineage_path = os.path.join(path, "_compact_tmp_lineage")
+    shutil.rmtree(tmp_lineage_path, ignore_errors=True)
+    (
         spark.read.parquet(tmp)
-        .groupBy(partition_col, F.input_file_name().alias("f"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .groupBy(
+            F.col(partition_col).cast("string").alias(partition_col),
+            _basename_expr(F.input_file_name()).alias("file"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .write.mode("overwrite")
+        .parquet(tmp_lineage_path)
     )
-    new_counts: dict[str, int] = {}
-    new_files: dict[str, dict[str, int]] = {}
-    for r in per_file:
-        key = str(r[partition_col])
-        new_counts[key] = new_counts.get(key, 0) + int(r["n"])
-        new_files.setdefault(key, {})[os.path.basename(r["f"])] = int(r["n"])
+    new_lineage = spark.read.parquet(tmp_lineage_path)
+    new_counts = {
+        str(r[partition_col]): int(r["n"])
+        for r in new_lineage.groupBy(partition_col)
+        .agg(F.sum("n_rows").alias("n"))
+        .collect()
+    }
     for key in plan:
         before = old_counts.get(key)
         if before is not None and int(before) != new_counts.get(key, -1):
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(tmp_lineage_path, ignore_errors=True)
             raise RuntimeError(
                 f"compaction would change sink {key!r} rows "
                 f"{before} -> {new_counts.get(key)}; aborting before swap"
@@ -395,11 +433,24 @@ def compact_sinks(
         }
     shutil.rmtree(tmp, ignore_errors=True)
 
-    if manifest is not None and "sink_files" in manifest:
-        # per-file lineage for rewritten sinks, from the pre-swap tmp scan
-        # (file basenames survive the directory rename)
-        for key in plan:
-            manifest["sink_files"][key] = new_files.get(key, {})
+    # refresh the per-file lineage sidecar for the rewritten sinks: keep
+    # the untouched sinks' rows, splice in the pre-swap tmp lineage (file
+    # basenames survive the directory rename). Written to a staging dir
+    # then swapped — overwriting a parquet dir that is also a read source
+    # of the same plan is undefined.
+    lineage_path = os.path.join(path, LINEAGE_DIR)
+    if os.path.exists(lineage_path):
+        merged = (
+            file_lineage(spark, path)
+            .filter(~F.col(partition_col).isin(list(plan)))
+            .unionByName(new_lineage)
+        )
+        staging = lineage_path + ".new"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(lineage_path)
+        os.rename(staging, lineage_path)
+    shutil.rmtree(tmp_lineage_path, ignore_errors=True)
+    if manifest is not None:
         manifest["compactions"] = manifest.get("compactions", 0) + 1
         write_manifest(path, manifest)
     return {"compacted": result, "skipped": len(stats) - len(plan)}

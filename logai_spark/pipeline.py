@@ -189,13 +189,40 @@ def lang_dimension(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(LANG_DIM, ["lang", "lang_name", "script"])
 
 
-def verify_routed_write(spark: SparkSession, routed_path: str, expected_rows: int) -> int:
+def verify_routed_write(
+    spark: SparkSession,
+    routed_path: str,
+    expected_rows: int,
+    partition_col: str = "template_id",
+) -> int:
     """Write-audit gate: the manifest totals roll up from the in-memory
     aggregate — confirm the parquet actually written agrees before the
-    manifest lands (count(*) on parquet is footer/row-group metadata work,
-    not a data scan). A partial or faulty sink write must fail HERE, not get
-    certified by its own manifest. Returns the written row count."""
-    written = spark.read.parquet(routed_path).count()
+    manifest lands. A partial or faulty sink write must fail HERE, not get
+    certified by its own manifest. Returns the written row count.
+
+    The same pass emits the per-FILE lineage sidecar (route.file_lineage):
+    counting rows per (sink, file) reads an empty column schema plus two
+    virtual/partition columns — footer/row-group metadata work, not a data
+    scan — so the routed stage gets its per-partition lineage for free, and
+    the lineage stays out of the driver JSON (bounded manifest at any file
+    count)."""
+    import os as _os
+
+    from logai_spark.operators.route import LINEAGE_DIR, _basename_expr, file_lineage
+
+    written_df = spark.read.parquet(routed_path)
+    (
+        written_df.groupBy(
+            F.col(partition_col).cast("string").alias(partition_col),
+            _basename_expr(F.input_file_name()).alias("file"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(routed_path, LINEAGE_DIR))
+    )
+    written = int(
+        file_lineage(spark, routed_path).agg(F.sum("n_rows")).collect()[0][0] or 0
+    )
     if written != expected_rows:
         raise RuntimeError(
             f"routed write inconsistent: parquet has {written} rows, "

@@ -73,13 +73,24 @@ def test_compact_reduces_files_preserves_rows(spark, routed):
     )
     assert post == pre
 
-    # manifest lineage refreshed: per-sink file maps now list 1 file whose
-    # count equals the sink total
+    # lineage sidecar refreshed: per-sink file rows now list 1 file whose
+    # count equals the sink total (per-file lineage lives in the parquet
+    # sidecar, not the JSON manifest — bounded manifest at any file count)
+    from logai_spark.operators.route import file_lineage
+
     m = manifest_of(path)
     assert m["compactions"] == 1
-    for key, files in m["sink_files"].items():
-        assert len(files) == 1
-        assert sum(files.values()) == m["sinks"][key]
+    assert "sink_files" not in m
+    lineage = (
+        file_lineage(spark, path)
+        .groupBy("template_id")
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum("n_rows").alias("rows"))
+        .collect()
+    )
+    assert len(lineage) == len(m["sinks"])
+    for r in lineage:
+        assert r["n_files"] == 1
+        assert r["rows"] == m["sinks"][r["template_id"]]
 
 
 def test_compact_idempotent_and_skips_small(spark, routed):

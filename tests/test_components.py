@@ -115,3 +115,36 @@ def test_dedup_canonical_counts(spark, dup_docs):
     assert sum(rows.values()) == 40
     # keepers are exactly the cluster ids
     assert set(rows) == {r["cluster_id"] for r in clusters.collect()}
+
+
+def test_cc_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """With a reliable checkpoint dir configured, every round must persist
+    to it (executor loss mid-iteration is then recoverable) and labels must
+    still converge to the component minimum."""
+    import os
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "cc_ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        random.seed(11)
+        es = [(random.randint(0, 200), random.randint(0, 200)) for _ in range(150)]
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(es, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == _uf_components(es)
+        # reliable checkpoint files actually landed in the dir
+        found = [
+            f
+            for root, _, files in os.walk(ckpt)
+            for f in files
+            if not f.startswith(".")
+        ]
+        assert found, "no reliable checkpoint data written"
+    finally:
+        # unset so other tests keep the cheaper localCheckpoint path
+        # (Scala setter name contains '$', hence getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
