@@ -457,6 +457,46 @@ def _q_auc(spark, sf_dir):
     )
 
 
+_MEDIA_N = 24  # fixed-size synthetic media battery (seeded, sf-independent)
+_MEDIA_SEED = 7
+
+
+def _q_image_stats(spark, sf_dir):
+    """REAL image decode path (functions/multimodal.py decode_bmp): synth
+    deterministic pixel arrays -> encode as genuine 24-bit BMP bytes
+    (odd width exercises row padding) -> distributed mapInPandas decode +
+    per-channel means. The oracle recomputes the stats DIRECTLY from the
+    raw pixel arrays (never touching the encoder/decoder), so a round-trip
+    bug on either side breaks the value hash. Reference: none (multimodal
+    surface is builder-brief §2.13)."""
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, _MEDIA_N, seed=_MEDIA_SEED, kind="image")
+    return extract_image_stats(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
+    decode_wav): deterministic int16 PCM -> genuine WAV container ->
+    distributed decode + rms / zero-crossings / peak. Oracle recomputes
+    from the raw samples (int16/32768 is float32-exact, so the float64
+    feature math reproduces bit-for-bit without the codec)."""
+    from logai_spark.functions.multimodal import (
+        extract_audio_features,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, _MEDIA_N, seed=_MEDIA_SEED, kind="audio")
+    return extract_audio_features(media).select(
+        "media_id", "n_samples", "rms", "zcr", "peak"
+    )
+
+
 def _q_lsh_dup_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate duplicate pairs (SURVEY §2 dedup
     family): docs agreeing on ALL rows of any band pair via an equi-join on
@@ -1432,6 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
         "auc": _q_auc,
+        # -- new in round 4 (real BMP/WAV decode path) ----------------------
+        "image_stats": _q_image_stats,
+        "audio_features": _q_audio_features,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -1456,10 +1499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": _q_streaming_sessions,
         "counter_vector": _q_counter_vector,
         "sliding_window": _q_sliding_window,
-        "session_concat": _q_session_concat,
-        "eval_metrics": _q_eval_metrics,
         # ------------------- position 51+ (past the driver window): ------
         # all driver-green in r2 AND r3, simpler single-shuffle shapes.
+        "session_concat": _q_session_concat,
+        "eval_metrics": _q_eval_metrics,
         "group_counter_attrs": _q_group_counter_attrs,
         "dedup_with_counts": _q_dedup_with_counts,
         "chrono_split": _q_chrono_split,
@@ -1688,6 +1731,49 @@ def _lsh_buckets_sql(dim: int = 64, n_planes: int = 4) -> str:
         WITH b AS (SELECT {bucket} AS bucket FROM embeddings)
         SELECT bucket, count(*) AS n FROM b GROUP BY 1
     """
+
+
+def _media_oracle_sql(kind: str) -> str:
+    """Expected media stats as a VALUES table, computed from the RAW pixel/
+    sample arrays — deliberately independent of the BMP/WAV encoders and
+    decoders the Spark query exercises, so the oracle catches round-trip
+    bugs instead of mirroring them."""
+    import numpy as np
+
+    from logai_spark.functions.multimodal import (
+        audio_feature_tuple,
+        image_stat_tuple,
+        synth_audio_samples,
+        synth_image_pixels,
+    )
+
+    if kind == "image":
+        vals = ", ".join(
+            "({}, {}, {}, {!r}, {!r}, {!r})".format(
+                i, *image_stat_tuple(synth_image_pixels(i, _MEDIA_SEED))
+            )
+            for i in range(_MEDIA_N)
+        )
+        return (
+            "SELECT media_id::bigint AS media_id, width::int AS width, "
+            "height::int AS height, mean_r::double AS mean_r, "
+            "mean_g::double AS mean_g, mean_b::double AS mean_b "
+            f"FROM (VALUES {vals}) "
+            "AS t(media_id, width, height, mean_r, mean_g, mean_b)"
+        )
+    rows = []
+    for i in range(_MEDIA_N):
+        s = synth_audio_samples(i, _MEDIA_SEED)
+        # the decoder's exact value chain: int16 -> float32 /32768 -> float64
+        x = (s.astype(np.float64) / 32768.0).astype(np.float32).astype(np.float64)
+        n, rms, zcr, peak = audio_feature_tuple(x)
+        rows.append(f"({i}, {n}, {rms!r}, {zcr}, {peak!r})")
+    vals = ", ".join(rows)
+    return (
+        "SELECT media_id::bigint AS media_id, n_samples::bigint AS n_samples, "
+        "rms::double AS rms, zcr::bigint AS zcr, peak::double AS peak "
+        f"FROM (VALUES {vals}) AS t(media_id, n_samples, rms, zcr, peak)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2314,6 +2400,8 @@ def oracle_sql() -> dict[str, str]:
                        list_resize(ids, 8, (SELECT oov FROM nv)), ',') AS token_ids
             FROM agg
         """,
+        "image_stats": _media_oracle_sql("image"),
+        "audio_features": _media_oracle_sql("audio"),
         "auc": """
             WITH base AS (
                 SELECT value AS s, (user_id % 3 = 0)::int AS y FROM events),

@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this container —
-see brief): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, which substitutes a deterministic md5-seeded payload
-with the same shape contract. Everything AROUND the decode — schemas,
-Arrow batch shapes, mapInPandas plumbing, partitioning — is real and tested,
-so dropping in PIL/librosa later only changes the inner function.
+Two formats decode for REAL with zero extra dependencies:
+- BMP images (24-bit uncompressed BI_RGB, the format every encoder can
+  write): pure-struct parse in :func:`decode_bmp`;
+- WAV audio (PCM 8/16/32-bit): stdlib ``wave`` in :func:`decode_wav`.
+``decode_image``/``decode_audio`` sniff the payload magic and route to the
+real decoder; other containers (JPEG/PNG/MP3/…) still raise
+NotImplementedError unless ``fake=True`` substitutes the deterministic
+md5-seeded test double (no PIL/librosa in this container — see brief).
+Everything AROUND the decode — schemas, Arrow batch shapes, mapInPandas
+plumbing, partitioning — is identical across real and fake paths, so
+dropping in PIL later only widens the sniffing table.
 
 Design: media rows are (id, media:binary, meta:struct). Feature extraction
 is mapInPandas over (id, media) so one Python stage handles a whole Arrow
@@ -16,6 +21,9 @@ similarity/dedup operators in functions.similarity / functions.textops.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -43,13 +51,98 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode HxWx3 uint8 RGB as a 24-bit uncompressed BI_RGB BMP
+    (BITMAPINFOHEADER, bottom-up row order, rows padded to 4 bytes) —
+    pure struct, no libraries."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    pixel_bytes = (row_bytes + pad) * h
+    # pixel rows bottom-up, channels BGR
+    body = bytearray()
+    padding = b"\x00" * pad
+    for y in range(h - 1, -1, -1):
+        body += img[y, :, ::-1].tobytes() + padding
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BI_RGB BMP to HxWx3 uint8 RGB.
+    Handles bottom-up (positive height) and top-down (negative height)
+    row order; rejects compressed / palettized variants loudly."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BI_RGB supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_raw)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, :row_bytes]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_raw > 0:  # bottom-up
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM (mono 1-D or (n, channels) 2-D) as a WAV container
+    via stdlib ``wave``."""
+    samples = np.asarray(samples, dtype=np.int16)
+    n_channels = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV to (float32 mono in [-1, 1], sample_rate) via
+    stdlib ``wave``. Multi-channel input is averaged to mono; 8-bit
+    (unsigned), 16-bit and 32-bit PCM widths are handled."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch, width, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:  # 8-bit WAV PCM is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image to HxWx3 uint8. STUB: real decode needs PIL/opencv
-    (not in this container)."""
+    """Decode an image to HxWx3 uint8. REAL for BMP (magic-sniffed, pure
+    struct — :func:`decode_bmp`); other formats need PIL/opencv (not in
+    this container) and raise unless ``fake=True`` substitutes the
+    deterministic test double."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/opencv (not installed); pass fake=True "
-            "for the deterministic test double"
+            "only BMP decodes without PIL/opencv (not installed); pass "
+            "fake=True for the deterministic test double"
         )
     h = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
@@ -57,11 +150,15 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
 
 def decode_audio(payload: bytes, sample_rate: int = 16000, fake: bool = False) -> np.ndarray:
-    """Decode audio to float32 mono PCM. STUB (librosa/soundfile absent)."""
+    """Decode audio to float32 mono PCM in [-1, 1]. REAL for WAV
+    (magic-sniffed, stdlib ``wave`` — :func:`decode_wav`); compressed
+    codecs need librosa/soundfile (absent) and raise unless ``fake=True``."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)[0]
     if not fake:
         raise NotImplementedError(
-            "audio decode requires librosa/soundfile (not installed); pass "
-            "fake=True for the deterministic test double"
+            "only WAV PCM decodes without librosa/soundfile (not installed); "
+            "pass fake=True for the deterministic test double"
         )
     h = hashlib.md5(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
@@ -180,6 +277,149 @@ def sample_video_frames(
             )
 
     return df.select(id_col, media_col).mapInPandas(batches, schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas: decode (REAL for WAV) -> scalar audio features. Output
+    (media_id, n_samples, rms, zcr, peak) — root-mean-square level,
+    zero-crossing count, absolute peak, all computed in float64 over the
+    mono float32 PCM (every int16/32768 value is exactly representable in
+    float32, so the float64 math is reproducible bit-for-bit by an
+    independent replica working from the raw samples)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zcr", T.LongType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, m in zip(pdf[id_col], pdf[media_col]):
+                x = decode_audio(bytes(m), fake=fake_decode).astype(np.float64)
+                rows.append((int(mid), *audio_feature_tuple(x)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "rms", "zcr", "peak"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema)
+
+
+def audio_feature_tuple(x: np.ndarray) -> tuple[int, float, int, float]:
+    """(n_samples, rms, zero_crossings, peak) from float64 mono PCM —
+    shared by the Spark path and the independent oracle replica."""
+    n = int(x.size)
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    zcr = int(np.sum((x[1:] * x[:-1]) < 0)) if n > 1 else 0
+    peak = float(np.max(np.abs(x))) if n else 0.0
+    return n, round(rms, 6), zcr, round(peak, 6)
+
+
+def image_stat_tuple(img: np.ndarray) -> tuple[int, int, float, float, float]:
+    """(width, height, mean_r, mean_g, mean_b) from HxWx3 uint8 — shared by
+    the Spark path and the oracle replica (integer sums / n: exact in
+    float64)."""
+    h, w, _ = img.shape
+    means = img.reshape(-1, 3).astype(np.float64).mean(axis=0)
+    return w, h, round(float(means[0]), 6), round(float(means[1]), 6), round(float(means[2]), 6)
+
+
+def extract_image_stats(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas: decode (REAL for BMP) -> per-channel means + dims.
+    Output (media_id, width, height, mean_r, mean_g, mean_b)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, m in zip(pdf[id_col], pdf[media_col]):
+                img = decode_image(bytes(m), fake=fake_decode)
+                rows.append((int(mid), *image_stat_tuple(img)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            ).astype({"width": "int32", "height": "int32"})
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema)
+
+
+def _stable_seed(*parts) -> int:
+    return int.from_bytes(
+        hashlib.md5(":".join(map(str, parts)).encode()).digest()[:8], "big"
+    )
+
+
+def synth_image_pixels(media_id: int, seed: int = 7, h: int = 12, w: int = 17) -> np.ndarray:
+    """Deterministic per-id pixel array (md5-seeded PCG64). w=17 on purpose:
+    odd widths exercise BMP 4-byte row padding."""
+    rng = np.random.default_rng(_stable_seed(seed, "img", media_id))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def synth_audio_samples(media_id: int, seed: int = 7, n: int = 400) -> np.ndarray:
+    """Deterministic per-id int16 PCM (md5-seeded PCG64)."""
+    rng = np.random.default_rng(_stable_seed(seed, "wav", media_id))
+    return rng.integers(-32768, 32768, size=n, dtype=np.int16)
+
+
+def synth_real_media(
+    spark, n: int, seed: int = 7, kind: str = "image", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic media table whose payloads are REAL containers (BMP /
+    WAV bytes from the encoders above), generated distributed via
+    mapInPandas over ``spark.range`` — the scale path for synthesizing any
+    number of media rows without driver materialization."""
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                if kind == "image":
+                    px = synth_image_pixels(int(i), seed)
+                    payload = encode_bmp(px)
+                    meta = {
+                        "kind": "image",
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "duration_ms": 0,
+                        "codec": "bmp",
+                    }
+                else:
+                    s = synth_audio_samples(int(i), seed)
+                    payload = encode_wav(s, sample_rate)
+                    meta = {
+                        "kind": "audio",
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": int(len(s) * 1000 / sample_rate),
+                        "codec": "pcm_s16le",
+                    }
+                rows.append((int(i), payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "media", "meta"])
+
+    return spark.range(n).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int, seed: int = 42, kind: str = "image") -> DataFrame:

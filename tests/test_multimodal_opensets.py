@@ -79,3 +79,122 @@ def test_hdfs_preprocess_with_labels(spark):
     assert byline.loc["Receiving block blk_123 src: /1.2.3.4:5 dest: /1.2.3.4:6", "span_id"] == "blk_123"
     assert byline.loc["PacketResponder 1 for block blk_-99 terminating", "labels"] == 1
     assert byline.loc["Receiving block blk_123 src: /1.2.3.4:5 dest: /1.2.3.4:6", "labels"] == 0
+
+
+# --- real BMP/WAV decode path (round-4) -----------------------------------
+
+
+def test_bmp_roundtrip_with_padding():
+    from logai_spark.functions.multimodal import decode_bmp, encode_bmp
+    import numpy as np
+
+    # w=17 -> 51-byte rows padded to 52
+    img = np.arange(12 * 17 * 3, dtype=np.uint64).reshape(12, 17, 3) % 256
+    img = img.astype(np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_topdown_and_bad_formats():
+    from logai_spark.functions.multimodal import decode_bmp, encode_bmp
+    import numpy as np
+    import struct
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]  # top-left red
+    enc = bytearray(encode_bmp(img))
+    # flip to top-down: negate height, reverse row order in the body
+    (h,) = struct.unpack_from("<i", enc, 22)
+    struct.pack_into("<i", enc, 22, -h)
+    stride = (5 * 3 + 3) // 4 * 4
+    body = enc[54:]
+    rows = [bytes(body[i * stride:(i + 1) * stride]) for i in range(4)]
+    enc[54:] = b"".join(reversed(rows))
+    assert (decode_bmp(bytes(enc)) == img).all()
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG whatever")
+    gray = bytearray(encode_bmp(img))
+    struct.pack_into("<H", gray, 28, 8)  # claim 8bpp
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(gray))
+
+
+def test_wav_roundtrip_mono_stereo_8bit():
+    import io
+    import wave
+
+    import numpy as np
+
+    from logai_spark.functions.multimodal import decode_wav, encode_wav
+
+    mono = np.array([0, 16384, -16384, 32767, -32768], dtype=np.int16)
+    x, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and x.dtype == np.float32
+    assert np.allclose(x, mono.astype(np.float64) / 32768.0)
+
+    sym = np.array([0, 16384, -16384, 32767, -32767], dtype=np.int16)
+    stereo = np.stack([sym, -sym], axis=1)  # (-32768 would overflow negation)
+    xs, _ = decode_wav(encode_wav(stereo, 8000))
+    assert np.allclose(xs, 0.0)  # L/R cancel
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(1); wf.setframerate(8000)
+        wf.writeframes(bytes([0, 128, 255]))
+    x8, _ = decode_wav(buf.getvalue())
+    assert np.allclose(x8, [(0 - 128) / 128, 0.0, (255 - 128) / 128])
+
+
+def test_decode_sniffing_routes_real_formats():
+    import numpy as np
+
+    from logai_spark.functions.multimodal import (
+        decode_audio,
+        decode_image,
+        encode_bmp,
+        encode_wav,
+    )
+
+    img = np.full((2, 2, 3), 7, dtype=np.uint8)
+    assert (decode_image(encode_bmp(img)) == img).all()  # no fake= needed
+    wav = encode_wav(np.array([100, -100], dtype=np.int16))
+    assert decode_audio(wav).shape == (2,)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3 mp3 payload")
+
+
+def test_real_media_stats_match_raw_arrays(spark):
+    """End-to-end: synth pixels/samples -> encode -> Spark mapInPandas
+    decode+features == features computed directly from the raw arrays
+    (independent of the encode/decode round-trip)."""
+    import numpy as np
+
+    from logai_spark.functions.multimodal import (
+        audio_feature_tuple,
+        extract_audio_features,
+        extract_image_stats,
+        image_stat_tuple,
+        synth_audio_samples,
+        synth_image_pixels,
+        synth_real_media,
+    )
+
+    imgs = synth_real_media(spark, 10, seed=7, kind="image")
+    got = {r["media_id"]: r for r in extract_image_stats(imgs).collect()}
+    for i in range(10):
+        w, h, mr, mg, mb = image_stat_tuple(synth_image_pixels(i, 7))
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
+
+    auds = synth_real_media(spark, 10, seed=7, kind="audio")
+    got_a = {r["media_id"]: r for r in extract_audio_features(auds).collect()}
+    for i in range(10):
+        s = synth_audio_samples(i, 7)
+        x = (s.astype(np.float64) / 32768.0).astype(np.float32).astype(np.float64)
+        n, rms, zcr, peak = audio_feature_tuple(x)
+        r = got_a[i]
+        assert (r["n_samples"], r["zcr"]) == (n, zcr)
+        assert (r["rms"], r["peak"]) == (rms, peak)
