@@ -497,6 +497,61 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+_WP_VOCAB_SIZE = 300
+
+
+def _q_wordpiece_tokens(spark, sf_dir):
+    """Learned WordPiece subword merges, torch-free (functions/wordpiece.py;
+    reference trains this via HF tokenizers, vectorization_algo/logbert.py:
+    87-146): distributed word-count aggregate -> driver merge loop over the
+    aggregate (exactly what HF's trainer does after reducing the corpus to
+    word counts) -> distributed broadcast-vocab greedy encode. Output:
+    per-doc token count under the trained vocab. The oracle re-trains and
+    re-encodes single-process from the raw text (pretokenize_py + the same
+    merge loop over a Counter), so the distributed aggregate and Arrow
+    encode path are what's actually under test."""
+    from logai_spark.functions.wordpiece import fit_wordpiece, wordpiece_token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = fit_wordpiece(docs, vocab_size=_WP_VOCAB_SIZE, max_words=None)
+    return wordpiece_token_count(docs, vocab).select("doc_id", "n_wp_tokens")
+
+
+def _wordpiece_oracle_sql() -> str:
+    import duckdb
+
+    from logai_spark.functions.wordpiece import (
+        encode_word,
+        pretokenize_py,
+        train_wordpiece_from_counts,
+    )
+
+    con = duckdb.connect()
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    rows = con.execute(f"SELECT doc_id, text FROM '{path}'").fetchall()
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    pre = {}
+    for doc_id, text in rows:
+        pre[doc_id] = pretokenize_py(text)
+        cnt.update(pre[doc_id])
+    vocab = set(train_wordpiece_from_counts(cnt.items(), vocab_size=_WP_VOCAB_SIZE))
+    memo: dict[str, int] = {}
+    vals = []
+    for doc_id, _ in rows:
+        n = 0
+        for w in pre[doc_id]:
+            if w not in memo:
+                memo[w] = len(encode_word(w, vocab))
+            n += memo[w]
+        vals.append(f"({doc_id}, {n})")
+    return (
+        "SELECT doc_id::bigint AS doc_id, n_wp_tokens::bigint AS n_wp_tokens "
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, n_wp_tokens)"
+    )
+
+
 def _q_lsh_dup_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate duplicate pairs (SURVEY §2 dedup
     family): docs agreeing on ALL rows of any band pair via an equi-join on
@@ -1472,9 +1527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
         "auc": _q_auc,
-        # -- new in round 4 (real BMP/WAV decode path) ----------------------
+        # -- new in round 4 --------------------------------------------------
         "image_stats": _q_image_stats,
         "audio_features": _q_audio_features,
+        "wordpiece_tokens": _q_wordpiece_tokens,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2402,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_stats": _media_oracle_sql("image"),
         "audio_features": _media_oracle_sql("audio"),
+        "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """
             WITH base AS (
                 SELECT value AS s, (user_id % 3 = 0)::int AS y FROM events),

@@ -498,9 +498,10 @@ def _register_builtins() -> None:
     class LogBERTVectorizerConfig:
         """LogBERT vectorizer capability (vectorization_algo/logbert.py:
         24-49): frequency-built vocab capped at ``max_vocab_size``, OOV
-        mapping, truncation/padding to ``max_token_len``. The WordPiece
-        subword merge itself is HF-tokenizers-specific; subword capability
-        lives in the fasttext vectorizer's char-ngram path."""
+        mapping, truncation/padding to ``max_token_len``. The learned
+        WordPiece subword merges live in the 'wordpiece' vectorizer
+        (functions/wordpiece.py, torch-free re-expression of the HF
+        training the reference delegates to)."""
 
         max_token_len: int = 384
         max_vocab_size: int = 5000
@@ -534,6 +535,42 @@ def _register_builtins() -> None:
                 df, self.vocab, line_col, self.cfg.max_token_len,
                 oov_id=self.oov,
             )
+
+    @dataclass
+    class WordPieceVectorizerConfig:
+        """Learned-subword tokenizer capability (the WordPiece training the
+        reference delegates to HF — vectorization_algo/logbert.py:87-146 /
+        nn_model/logbert/tokenizer_utils.py — re-expressed torch-free in
+        functions/wordpiece.py: distributed word-count aggregate + driver
+        merge loop + broadcast-vocab distributed encode)."""
+
+        vocab_size: int = 5000
+        lowercase: bool = True
+        min_frequency: int = 1
+        max_words: int | None = 1_000_000
+
+    class _WordPieceVecAlgo:
+        def __init__(self, cfg: WordPieceVectorizerConfig):
+            self.cfg = cfg
+            self.vocab: list[str] | None = None
+
+        def fit(self, df, line_col="logline"):
+            from logai_spark.functions.wordpiece import fit_wordpiece
+
+            self.vocab = fit_wordpiece(
+                df,
+                text_col=line_col,
+                vocab_size=self.cfg.vocab_size,
+                lowercase=self.cfg.lowercase,
+                min_frequency=self.cfg.min_frequency,
+                max_words=self.cfg.max_words,
+            )
+            return self
+
+        def transform(self, df, line_col="logline"):
+            from logai_spark.functions.wordpiece import wordpiece_encode
+
+            return wordpiece_encode(df, self.vocab, text_col=line_col)
 
     @dataclass
     class ForecastNNVectorizerConfig:
@@ -704,6 +741,9 @@ def _register_builtins() -> None:
     )
     factory.register("vectorization", "forecast_nn", ForecastNNVectorizerConfig)(
         _ForecastNNVecAlgo
+    )
+    factory.register("vectorization", "wordpiece", WordPieceVectorizerConfig)(
+        _WordPieceVecAlgo
     )
 
 
