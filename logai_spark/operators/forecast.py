@@ -252,6 +252,118 @@ class MLPNextEventModel(NextEventModel):
         return self
 
 
+def torch_available() -> bool:
+    try:
+        import torch  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TorchLSTMNextEventModel(NextEventModel):
+    """Reference-shaped LSTM next-event predictor, ACTIVE only when torch
+    is importable (it is not in this container — the adapter exists so a
+    real deployment gets the reference's model family without code
+    changes). Architecture mirrors nn_model/forecast_nn/lstm.py:72-106:
+    event-id embedding -> (optionally bidirectional) LSTM -> linear head
+    over the vocab; trained with Adam on the weighted distinct
+    (window, next, count) table — the same data flow as the from-scratch
+    models, so fit/probs/rank_of_next are drop-in. Deterministic: seeded
+    torch.manual_seed, full-batch steps.
+    """
+
+    def __init__(
+        self,
+        vocab_size: int,
+        embedding_dim: int = 32,
+        hidden_size: int = 64,
+        num_layers: int = 1,
+        bidirectional: bool = False,
+        lr: float = 1e-2,
+        iters: int = 200,
+        seed: int = 0,
+    ):
+        if not torch_available():
+            raise ImportError(
+                "TorchLSTMNextEventModel requires torch; use the default "
+                "linear/MLP next-event models in this environment"
+            )
+        self.vocab_size = int(vocab_size)
+        self.embedding_dim = embedding_dim
+        self.hidden_size = hidden_size
+        self.num_layers = num_layers
+        self.bidirectional = bidirectional
+        self.lr = lr
+        self.iters = iters
+        self.seed = seed
+        self._net = None
+
+    def _build(self):
+        import torch
+        from torch import nn
+
+        torch.manual_seed(self.seed)
+        dirs = 2 if self.bidirectional else 1
+
+        class _Net(nn.Module):
+            def __init__(self, v, e, h, layers, bidi):
+                super().__init__()
+                self.emb = nn.Embedding(v, e)
+                self.lstm = nn.LSTM(
+                    input_size=e,
+                    hidden_size=h,
+                    num_layers=layers,
+                    batch_first=True,
+                    bidirectional=bidi,
+                )
+                self.head = nn.Linear(h * dirs, v)
+
+            def forward(self, idx):
+                x = self.emb(idx)
+                out, _ = self.lstm(x)
+                return self.head(out[:, -1, :])
+
+        return _Net(
+            self.vocab_size,
+            self.embedding_dim,
+            self.hidden_size,
+            self.num_layers,
+            self.bidirectional,
+        )
+
+    def fit(self, windows: np.ndarray, nexts: np.ndarray, counts: np.ndarray):
+        import torch
+
+        self._check_ids(np.asarray(windows), "window ids")
+        self._check_ids(np.asarray(nexts), "next ids")
+        net = self._build()
+        opt = torch.optim.Adam(net.parameters(), lr=self.lr)
+        X = torch.as_tensor(np.asarray(windows), dtype=torch.long)
+        y = torch.as_tensor(np.asarray(nexts), dtype=torch.long)
+        w = torch.as_tensor(np.asarray(counts), dtype=torch.float32)
+        w = w / w.sum()
+        loss_fn = torch.nn.CrossEntropyLoss(reduction="none")
+        net.train()
+        for _ in range(self.iters):
+            opt.zero_grad()
+            loss = (loss_fn(net(X), y) * w).sum()
+            loss.backward()
+            opt.step()
+        net.eval()
+        self._net = net
+        return self
+
+    def probs(self, windows: np.ndarray) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            logits = self._net(
+                torch.as_tensor(np.asarray(windows), dtype=torch.long)
+            )
+            return torch.softmax(logits, dim=1).numpy().astype(np.float64)
+
+
 def fit_next_event_model(
     pairs: DataFrame,
     vocab_size: int,
@@ -261,6 +373,7 @@ def fit_next_event_model(
     lr: float = 2.0,
     iters: int = 200,
     hidden: int | None = None,
+    arch: str = "auto",
 ) -> NextEventModel:
     """Fit on the deduplicated (window_ids, next_id) table with counts —
     log windows repeat heavily, so the weighted distinct table is orders of
@@ -269,7 +382,12 @@ def fit_next_event_model(
 
     ``hidden``: None fits the linear model; an int fits the one-hidden-layer
     MLP (MLPNextEventModel) with that width at lr/4 (tanh nets need the
-    smaller step) and 2x the iteration count."""
+    smaller step) and 2x the iteration count.
+
+    ``arch``: 'auto' (default) keeps the hidden-driven linear/MLP choice —
+    the torch-free stand-ins that run everywhere; 'torch_lstm' fits the
+    reference-shaped LSTM (TorchLSTMNextEventModel) and raises ImportError
+    where torch is absent."""
     dedup = pairs.groupBy(window_col, next_col).agg(F.count(F.lit(1)).alias("_cnt"))
     pdf = (
         dedup.orderBy(F.xxhash64(window_col, next_col))
@@ -277,11 +395,16 @@ def fit_next_event_model(
         .toPandas()
     )
     windows = np.array(pdf[window_col].tolist(), dtype=int)
-    model = (
-        NextEventModel(vocab_size, lr, iters)
-        if hidden is None
-        else MLPNextEventModel(vocab_size, hidden, lr / 4.0, iters * 2)
-    )
+    if arch == "torch_lstm":
+        model: NextEventModel = TorchLSTMNextEventModel(vocab_size, iters=iters)
+    elif arch == "auto":
+        model = (
+            NextEventModel(vocab_size, lr, iters)
+            if hidden is None
+            else MLPNextEventModel(vocab_size, hidden, lr / 4.0, iters * 2)
+        )
+    else:
+        raise ValueError(f"unknown arch {arch!r} (auto|torch_lstm)")
     return model.fit(windows, pdf[next_col].to_numpy(), pdf["_cnt"].to_numpy())
 
 

@@ -331,6 +331,9 @@ def _register_builtins() -> None:
         lr: float = 2.0
         iters: int = 200
         hidden: int | None = None  # MLP width; None = linear
+        # 'auto' = torch-free linear/MLP stand-ins; 'torch_lstm' = the
+        # reference-shaped LSTM adapter (needs torch installed)
+        arch: str = "auto"
 
     @dataclass
     class MLPForecastConfig(ForecastConfig):
@@ -351,6 +354,7 @@ def _register_builtins() -> None:
             self.model = fit_next_event_model(
                 df, self.cfg.vocab_size, window_col, next_col,
                 lr=self.cfg.lr, iters=self.cfg.iters, hidden=self.cfg.hidden,
+                arch=getattr(self.cfg, "arch", "auto"),
             )
             return self
 

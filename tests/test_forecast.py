@@ -174,3 +174,27 @@ def test_mlp_spark_fit_learns_grammar(spark):
     scored = score_next_event(df, m, g=2)
     frac_ok = scored.filter(F.col("is_anomaly") == 0).count() / df.count()
     assert frac_ok > 0.95
+
+
+def test_torch_lstm_adapter_gated():
+    """The torch LSTM adapter must raise cleanly without torch and train a
+    usable next-event model with it (gated: skips where torch is absent)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logai_spark.operators.forecast import (
+        TorchLSTMNextEventModel,
+        torch_available,
+    )
+
+    if not torch_available():
+        with _pytest.raises(ImportError, match="torch"):
+            TorchLSTMNextEventModel(vocab_size=5)
+        return
+    m = TorchLSTMNextEventModel(vocab_size=5, iters=300)
+    # grammar: next id = (last window id + 1) % 5 — learnable by an LSTM
+    wins = np.array([[i % 5, (i + 1) % 5, (i + 2) % 5] for i in range(40)])
+    nxt = (wins[:, -1] + 1) % 5
+    m.fit(wins, nxt, np.ones(len(wins)))
+    P = m.probs(wins)
+    assert (P.argmax(axis=1) == nxt).mean() > 0.9
