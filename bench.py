@@ -75,6 +75,24 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
+    # keep_best's battery row above re-mines MinHash+LSH+CC by design (the
+    # oracle query is self-contained). Pipelines that need clusters AND
+    # keepers reuse one cluster pass via keep_best(clusters=...); this row
+    # measures that marginal cost: the keeper aggregate alone over a
+    # persisted cluster assignment.
+    from logai_spark.functions.components import dup_clusters, keep_best
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    clusters = dup_clusters(docs).persist()
+    clusters.count()
+    t0 = time.perf_counter()
+    n = keep_best(docs, clusters=clusters).count()
+    per_query["keep_best_marginal"] = round(time.perf_counter() - t0, 3)
+    clusters.unpersist()
+    assert n >= 0
+
     # end-to-end parse -> enrich -> route -> aggregate over synthetic
     # webpages, under the engine's tuned conditions (tmpfs scratch — models
     # per-executor local storage; page-sampled mining — the 10^12-doc design

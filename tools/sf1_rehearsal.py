@@ -1,0 +1,149 @@
+"""sf1 rehearsal: the document-operator battery + curation pipeline at 10x
+the per-round bench scale, to catch operators whose constants hide at sf0.1
+(VERDICT-r3 suspects: the ngram_jaccard df-cap and the balanced_shards
+range repartition).
+
+Input synthesis (deterministic, no external data): the sf0.1 documents
+table (5,000 rows) replicated 10x — replica r keeps doc_id + r*10^7 and
+appends a per-replica suffix token to the text, preserving the corpus'
+length/quality profile while keeping replicas near- (not exact-)
+duplicates, so the dedup family sees realistic cluster structure at 50k
+docs. The curation pipeline leg runs synth_webpages at 10x the bench's
+20k docs.
+
+Protocol (memory: host-steal-bench-protocol): /proc/stat steal sampled
+around every timed region; runs with steal > 2% are flagged in the
+artifact rather than silently averaged. Output: one JSON artifact under
+bench_artifacts/ plus a stdout summary for the BASELINE.md table.
+
+Run: python tools/sf1_rehearsal.py [replicas=10] [out=bench_artifacts/sf1_rehearsal_r4.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOC_QUERIES = [
+    "exact_dedup",
+    "minhash",
+    "simhash",
+    "ngram_jaccard",
+    "lsh_dup_pairs",
+    "dup_clusters",
+    "keep_best",
+    "quality_floor",
+    "decontaminate",
+    "bigram_lm",
+    "domain_cap",
+    "text_normalize",
+    "boilerplate_rm",
+    "balanced_shards",
+    "bpe_token_count",
+    "wordpiece_tokens",
+    "top_ngrams",
+]
+
+
+def _steal() -> tuple[int, int]:
+    parts = open("/proc/stat").readline().split()
+    vals = list(map(int, parts[1:]))
+    return vals[7], sum(vals)
+
+
+def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt else 0.0
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "bench_artifacts/sf1_rehearsal_r4.json"
+    )
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from logai_spark.session import get_spark
+
+    scratch = tempfile.mkdtemp(prefix="sf1_", dir="/dev/shm")
+    sf1_dir = os.path.join(scratch, "sf1")
+    os.makedirs(sf1_dir)
+    spark = get_spark(
+        "sf1_rehearsal",
+        extra_conf={"spark.local.dir": os.path.join(scratch, "spark_local")},
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    reps = None
+    for r in range(replicas):
+        part = base.select(
+            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.concat_ws(" ", F.col("text"), F.lit(f"rep{r}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        reps = part if reps is None else reps.unionByName(part)
+    reps.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(sf1_dir, "documents.parquet")
+    )
+    n_docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet")).count()
+
+    qs = entrymod.queries()
+    results: dict[str, dict] = {}
+    for name in DOC_QUERIES:
+        s0 = _steal()
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf1_dir).count()
+        wall = round(time.perf_counter() - t0, 3)
+        sp = steal_pct(s0, _steal())
+        results[name] = {"sec": wall, "rows": n, "steal_pct": sp}
+        print(f"{name}: {wall}s rows={n} steal={sp}%", flush=True)
+
+    # curation pipeline at 10x the bench's 20k synthetic webpages
+    from logai_spark.curate import CurationConfig, run_curation
+    from logai_spark.sources.webpages import synth_webpages
+
+    pages = synth_webpages(spark, 200_000).select(
+        F.col("url").alias("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.lit("synth").alias("source"),
+    )
+    cur_out = os.path.join(scratch, "curated")
+    s0 = _steal()
+    t0 = time.perf_counter()
+    counts = run_curation(
+        spark, pages, cur_out, CurationConfig(near_dup=True)
+    )
+    cur_wall = round(time.perf_counter() - t0, 3)
+    cur_steal = steal_pct(s0, _steal())
+    print(f"curate 200k: {cur_wall}s steal={cur_steal}% counts={counts}", flush=True)
+
+    artifact = {
+        "n_docs_battery": n_docs,
+        "replicas": replicas,
+        "queries": results,
+        "curate_200k": {"sec": cur_wall, "steal_pct": cur_steal, "counts": counts},
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(json.dumps({"artifact": out_path}))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
