@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--near-dup-keep", choices=["canonical", "best"],
                      default="canonical",
                      help="near-dup survivor: min id or highest quality")
+    cur.add_argument("--lsh-max-band-bucket", type=int, default=1000,
+                     help="drop LSH band buckets larger than this (0 = no cap); "
+                          "guards the quadratic pair blowup from boilerplate-"
+                          "saturated bands")
     cur.add_argument("--normalize", action="store_true",
                      help="ftfy-lite text cleanup before dedup")
     cur.add_argument("--boilerplate-max-df", type=int, default=None,
@@ -94,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
                 pack_budget=args.pack_budget,
                 near_dup=args.near_dup,
                 near_dup_keep=args.near_dup_keep,
+                lsh_max_band_bucket=args.lsh_max_band_bucket or None,
                 normalize=args.normalize,
                 boilerplate_max_df=args.boilerplate_max_df,
                 n_shards=args.n_shards,

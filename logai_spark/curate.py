@@ -55,6 +55,12 @@ class CurationConfig:
     resume: bool = False            # reuse a checkpointed ledger if present
     minhash_k: int = 16
     lsh_bands: int = 4
+    # hot-band-bucket guardrail (textops.lsh_duplicate_pairs docstring):
+    # web boilerplate saturates whole MinHash bands — a single 27k-doc
+    # bucket measured at 200k synthetic pages means 3.6e8 candidate pairs
+    # in one task without this cap. Exact dedup upstream owns the
+    # identical-text mass, so capped buckets only shed LSH noise.
+    lsh_max_band_bucket: int | None = 1000
     id_col: str = "doc_id"
     text_col: str = "text"
     lang_col: str = "lang"
@@ -203,6 +209,7 @@ def run_curation(
             text_col=c.text_col,
             bands=c.lsh_bands,
             rows_per_band=max(1, c.minhash_k // c.lsh_bands),
+            max_band_bucket=c.lsh_max_band_bucket,
         )
         if c.near_dup_keep == "best":
             # quality-aware retention: the kept member of each cluster is

@@ -122,6 +122,7 @@ def dup_clusters(
     bands: int = 4,
     rows_per_band: int = 3,
     shingle_n: int = 3,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate clusters over a document table: MinHash-LSH candidate
     pairs -> connected components -> (id, cluster_id). Documents with no
@@ -132,7 +133,7 @@ def dup_clusters(
 
     pairs = lsh_duplicate_pairs(
         df, id_col, text_col, bands=bands, rows_per_band=rows_per_band,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, max_band_bucket=max_band_bucket,
     )
     comp = connected_components(pairs)
     return (

@@ -370,6 +370,7 @@ def lsh_duplicate_pairs(
     bands: int = 4,
     rows_per_band: int = 3,
     shingle_n: int = 3,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate duplicate pairs (banding: k = bands*rows sigs;
     docs agreeing on ALL rows of any band become a pair). All bands share
@@ -377,7 +378,20 @@ def lsh_duplicate_pairs(
     index is baked into the key, so the single join is exactly the union of
     the per-band joins but with one shuffle of a bands*rows table instead
     of 2*bands exchanges of the signature table. Linear shuffle, no cross
-    product."""
+    product — EXCEPT within a band bucket, where the join output is
+    quadratic in bucket size by design.
+
+    ``max_band_bucket`` is the guardrail for that quadratic: band buckets
+    holding more than this many docs are dropped from pairing. On web-like
+    corpora the MinHash of heavily shared boilerplate shingles saturates
+    whole bands — measured on 200k synthetic pages: ONE bucket of 27,004
+    docs = 3.6e8 pairs ground through a single task's pair-dedup sort
+    (bench_artifacts/sf1_rehearsal_r4.json provenance) — and such
+    mega-buckets are LSH false-positive storms, not true near-dup
+    clusters (members merely share hot shingles' min-hashes; their actual
+    Jaccard is low). Identical-text mass belongs to exact_dedup upstream.
+    The cap bounds per-bucket work at cap^2 while leaving real (small)
+    near-dup clusters intact; None preserves exact banding semantics."""
     k = bands * rows_per_band
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
     # Docs with an empty shingle set (NULL text or < shingle_n tokens) have
@@ -396,6 +410,17 @@ def lsh_duplicate_pairs(
         for b in range(bands)
     ]
     bandtbl = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("_band"))
+    if max_band_bucket is not None:
+        # same skew-safe shape as the ngram df-cap: partial-agg count of
+        # the few hot buckets + shuffle-hash anti-join that streams the
+        # probe side (no per-bucket buffering, AQE-splittable)
+        hot = (
+            bandtbl.groupBy("_band")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_bucket)
+            .select("_band")
+        )
+        bandtbl = bandtbl.join(hot.hint("shuffle_hash"), "_band", "left_anti")
     left = bandtbl.select(F.col(id_col).alias("id_a"), "_band")
     right = bandtbl.select(F.col(id_col).alias("id_b"), "_band")
     return (

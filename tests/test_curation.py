@@ -295,3 +295,23 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_lsh_hot_band_bucket_cap(spark):
+    """A band bucket larger than max_band_bucket must be dropped (bounded
+    quadratic work); small genuine near-dup clusters survive."""
+    from logai_spark.functions.textops import lsh_duplicate_pairs
+
+    txt = "the quick brown fox jumps over the lazy dog again and again today"
+    big = [(i, txt) for i in range(50)]  # 50 identical docs: one hot bucket
+    pair_txt = "an entirely different pair of documents that nearly match here"
+    small = [(1000, pair_txt), (1001, pair_txt)]
+    df = spark.createDataFrame(big + small, "doc_id long, text string")
+
+    capped = lsh_duplicate_pairs(
+        df, bands=2, rows_per_band=1, max_band_bucket=10
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+
+    uncapped = lsh_duplicate_pairs(df, bands=2, rows_per_band=1).count()
+    assert uncapped == 50 * 49 // 2 + 1

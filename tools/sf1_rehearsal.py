@@ -17,6 +17,10 @@ artifact rather than silently averaged. Output: one JSON artifact under
 bench_artifacts/ plus a stdout summary for the BASELINE.md table.
 
 Run: python tools/sf1_rehearsal.py [replicas=10] [out=bench_artifacts/sf1_rehearsal_r4.json]
+Legs can run in separate (fresh) JVMs — recommended, a long battery
+session leaves block-manager/GC residue that pollutes the pipeline leg:
+     SF1_LEG=battery python tools/sf1_rehearsal.py
+     SF1_LEG=curate  python tools/sf1_rehearsal.py   # merges into the artifact
 """
 
 from __future__ import annotations
@@ -69,6 +73,7 @@ def main() -> None:
         if len(sys.argv) > 2
         else "bench_artifacts/sf1_rehearsal_r4.json"
     )
+    leg = os.environ.get("SF1_LEG", "both")
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
@@ -81,6 +86,21 @@ def main() -> None:
         "sf1_rehearsal",
         extra_conf={"spark.local.dir": os.path.join(scratch, "spark_local")},
     )
+
+    def _flush(artifact):
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            artifact = json.load(f)
+    else:
+        artifact = {"replicas": replicas, "queries": {}}
+
+    if leg == "curate":
+        _curate_leg(spark, scratch, artifact, _flush, _steal)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return
 
     base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     reps = None
@@ -103,7 +123,8 @@ def main() -> None:
     n_docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet")).count()
 
     qs = entrymod.queries()
-    results: dict[str, dict] = {}
+    results = artifact["queries"]
+    artifact["n_docs_battery"] = n_docs
     for name in DOC_QUERIES:
         s0 = _steal()
         t0 = time.perf_counter()
@@ -112,8 +133,18 @@ def main() -> None:
         sp = steal_pct(s0, _steal())
         results[name] = {"sec": wall, "rows": n, "steal_pct": sp}
         print(f"{name}: {wall}s rows={n} steal={sp}%", flush=True)
+        _flush(artifact)  # survive a crash in a later leg
 
-    # curation pipeline at 10x the bench's 20k synthetic webpages
+    if leg in ("both", "curate"):
+        _curate_leg(spark, scratch, artifact, _flush, _steal)
+    print(json.dumps({"artifact": out_path}))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _curate_leg(spark, scratch, artifact, _flush, _steal) -> None:
+    """Curation pipeline at 10x the bench's 20k synthetic webpages."""
+    from pyspark.sql import functions as F
+
     from logai_spark.curate import CurationConfig, run_curation
     from logai_spark.sources.webpages import synth_webpages
 
@@ -123,26 +154,24 @@ def main() -> None:
         F.col("lang"),
         F.lit("synth").alias("source"),
     )
+    # materialize the pages table first so page synthesis (the html
+    # generator, not a curation stage) isn't charged to the pipeline wall
+    pages_path = os.path.join(scratch, "pages")
+    pages.write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
     cur_out = os.path.join(scratch, "curated")
     s0 = _steal()
     t0 = time.perf_counter()
-    counts = run_curation(
-        spark, pages, cur_out, CurationConfig(near_dup=True)
-    )
+    counts = run_curation(spark, pages, cur_out, CurationConfig(near_dup=True))
     cur_wall = round(time.perf_counter() - t0, 3)
     cur_steal = steal_pct(s0, _steal())
     print(f"curate 200k: {cur_wall}s steal={cur_steal}% counts={counts}", flush=True)
-
-    artifact = {
-        "n_docs_battery": n_docs,
-        "replicas": replicas,
-        "queries": results,
-        "curate_200k": {"sec": cur_wall, "steal_pct": cur_steal, "counts": counts},
+    artifact["curate_200k"] = {
+        "sec": cur_wall,
+        "steal_pct": cur_steal,
+        "counts": counts,
     }
-    with open(out_path, "w") as f:
-        json.dump(artifact, f, indent=1, sort_keys=True)
-    print(json.dumps({"artifact": out_path}))
-    shutil.rmtree(scratch, ignore_errors=True)
+    _flush(artifact)
 
 
 if __name__ == "__main__":
