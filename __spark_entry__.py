@@ -1497,7 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
     # row (the round-3 curation/streaming additions plus the four rows
-    # rotated out between r2 and r3) are front-loaded; the back 25 are rows
+    # rotated out between r2 and r3) are front-loaded; the back 28 are rows
     # already driver-green in BOTH earlier windows (r2 and/or r3).
     return {
         # -- never driver-verified (round-3 additions) --------------------
@@ -1554,9 +1554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counts": _q_streaming_counts,
         "streaming_sessions": _q_streaming_sessions,
         "counter_vector": _q_counter_vector,
-        "sliding_window": _q_sliding_window,
         # ------------------- position 51+ (past the driver window): ------
         # all driver-green in r2 AND r3, simpler single-shuffle shapes.
+        "sliding_window": _q_sliding_window,
         "session_concat": _q_session_concat,
         "eval_metrics": _q_eval_metrics,
         "group_counter_attrs": _q_group_counter_attrs,

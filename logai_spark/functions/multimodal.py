@@ -136,33 +136,40 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image to HxWx3 uint8. REAL for BMP (magic-sniffed, pure
     struct — :func:`decode_bmp`); other formats need PIL/opencv (not in
     this container) and raise unless ``fake=True`` substitutes the
-    deterministic test double."""
+    deterministic test double.
+
+    ``fake=True`` ALWAYS returns the md5-seeded double, even for payloads
+    that happen to start with the BMP magic: the fake path is documented to
+    accept arbitrary bytes, and a payload that merely begins with ``BM``
+    (e.g. text) would otherwise hit the real parser and crash the task."""
+    if fake:
+        h = hashlib.md5(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    if not fake:
-        raise NotImplementedError(
-            "only BMP decodes without PIL/opencv (not installed); pass "
-            "fake=True for the deterministic test double"
-        )
-    h = hashlib.md5(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    raise NotImplementedError(
+        "only BMP decodes without PIL/opencv (not installed); pass "
+        "fake=True for the deterministic test double"
+    )
 
 
 def decode_audio(payload: bytes, sample_rate: int = 16000, fake: bool = False) -> np.ndarray:
     """Decode audio to float32 mono PCM in [-1, 1]. REAL for WAV
     (magic-sniffed, stdlib ``wave`` — :func:`decode_wav`); compressed
-    codecs need librosa/soundfile (absent) and raise unless ``fake=True``."""
+    codecs need librosa/soundfile (absent) and raise unless ``fake=True``.
+    As with :func:`decode_image`, ``fake=True`` always returns the
+    deterministic double without attempting a real parse."""
+    if fake:
+        h = hashlib.md5(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        return rng.normal(0, 0.1, size=sample_rate).astype(np.float32)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)[0]
-    if not fake:
-        raise NotImplementedError(
-            "only WAV PCM decodes without librosa/soundfile (not installed); "
-            "pass fake=True for the deterministic test double"
-        )
-    h = hashlib.md5(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    return rng.normal(0, 0.1, size=sample_rate).astype(np.float32)
+    raise NotImplementedError(
+        "only WAV PCM decodes without librosa/soundfile (not installed); "
+        "pass fake=True for the deterministic test double"
+    )
 
 
 def _image_features(img: np.ndarray, bins: int = 8) -> np.ndarray:

@@ -26,9 +26,14 @@ training Spark-first:
 
 Semantics (documented deviations from HF, all deliberate):
 - Pre-tokenization: ``[A-Za-z0-9]+`` words plus single non-ASCII-word
-  chars (``[^\\sA-Za-z0-9]``), optional lowercasing — expressible
-  identically in Java regex (Spark side) and Python ``re`` (replica side),
-  unlike BertPreTokenizer's Unicode punctuation classes.
+  chars, optional lowercasing — the whitespace set is written as the
+  EXPLICIT char class ``[ \\t\\n\\x0B\\f\\r]`` (Java's default ``\\s``),
+  never as ``\\s`` itself: Python ``\\s`` matches Unicode whitespace
+  (U+00A0, U+2028, U+3000, ...) while Java's is ASCII-only, so a bare
+  ``\\s`` silently diverges between the Spark path and the Python
+  replica on any corpus with Unicode whitespace. Explicit chars are
+  expressible identically in both engines, unlike BertPreTokenizer's
+  Unicode punctuation classes.
 - Merge scoring: the WordPiece objective score(a,b) = count(ab) /
   (count(a)*count(b)); ties break on (higher pair count, lexicographically
   smaller merged token) so training is fully deterministic regardless of
@@ -46,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-PRETOKEN_RE = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
+PRETOKEN_RE = "[A-Za-z0-9]+|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]"
 SPECIAL_TOKENS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
 UNK = "[UNK]"
 CONT = "##"
@@ -120,28 +125,50 @@ def train_wordpiece_from_counts(
     def pair_merge(a: str, b: str) -> str:
         return a + b[len(CONT):] if b.startswith(CONT) else a + b
 
+    # Incremental trainer state, built once: recomputing sym/pair counts
+    # from every word's full symbol sequence on every merge is
+    # O(merges x total symbols) driver work — hours at the shipped
+    # defaults (vocab 5000, 1M words). Only words containing the merged
+    # pair change, so counts are maintained by per-word deltas (the
+    # standard incremental BPE/WordPiece trainer); best-pair selection is
+    # a single O(distinct pairs) scan per merge, no sort.
+    sym_count: dict[str, int] = {}
+    pair_count: dict[tuple[str, str], int] = {}
+    # pair -> words that contained it when last touched (lazily cleaned:
+    # membership may be stale after other merges re-segment a word).
+    pair_words: dict[tuple[str, str], set[str]] = {}
+    for w, n in words.items():
+        seq = segs[w]
+        for s in seq:
+            sym_count[s] = sym_count.get(s, 0) + n
+        for p in zip(seq, seq[1:]):
+            pair_count[p] = pair_count.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(w)
+
     while len(vocab) < vocab_size:
-        sym_count: dict[str, int] = {}
-        pair_count: dict[tuple[str, str], int] = {}
-        for w, n in words.items():
-            seq = segs[w]
-            for s in seq:
-                sym_count[s] = sym_count.get(s, 0) + n
-            for a, b in zip(seq, seq[1:]):
-                pair_count[(a, b)] = pair_count.get((a, b), 0) + n
         best, best_score, best_c = None, -1.0, -1
-        for (a, b), c in sorted(pair_count.items()):
+        for (a, b), c in pair_count.items():
+            if c <= 0:
+                continue
             tok = pair_merge(a, b)
             if tok in have:
                 continue
             score = c / (sym_count[a] * sym_count[b])
-            # deterministic: higher score, then higher pair count, then the
-            # lexicographically smallest merged token (the sorted iteration
-            # makes 'first seen' == 'smallest (a, b)')
+            # deterministic total order: higher score, then higher pair
+            # count, then lexicographically smallest merged token, then
+            # smallest (a, b) — two distinct pairs CAN merge to the same
+            # token, and the final key makes the winner independent of
+            # dict iteration order (matches the previous sorted() scan).
             if (
                 score > best_score
                 or (score == best_score and c > best_c)
                 or (score == best_score and c == best_c and tok < best[2])
+                or (
+                    score == best_score
+                    and c == best_c
+                    and tok == best[2]
+                    and (a, b) < (best[0], best[1])
+                )
             ):
                 best, best_score, best_c = (a, b, tok), score, c
         if best is None:
@@ -149,10 +176,19 @@ def train_wordpiece_from_counts(
         a, b, tok = best
         vocab.append(tok)
         have.add(tok)
-        for w in segs:
+        for w in sorted(pair_words.get((a, b), ())):
             seq = segs[w]
-            if len(seq) < 2:
+            # stale membership: the word may have been re-segmented by a
+            # later merge and no longer contain (a, b)
+            if not any(
+                seq[i] == a and seq[i + 1] == b for i in range(len(seq) - 1)
+            ):
                 continue
+            n = words[w]
+            for s in seq:
+                sym_count[s] -= n
+            for p in zip(seq, seq[1:]):
+                pair_count[p] -= n
             out, i = [], 0
             while i < len(seq):
                 if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
@@ -162,6 +198,13 @@ def train_wordpiece_from_counts(
                     out.append(seq[i])
                     i += 1
             segs[w] = out
+            for s in out:
+                sym_count[s] = sym_count.get(s, 0) + n
+            for p in zip(out, out[1:]):
+                pair_count[p] = pair_count.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(w)
+        pair_count.pop((a, b), None)
+        pair_words.pop((a, b), None)
     return vocab
 
 

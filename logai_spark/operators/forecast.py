@@ -289,7 +289,9 @@ class TorchLSTMNextEventModel(NextEventModel):
                 "TorchLSTMNextEventModel requires torch; use the default "
                 "linear/MLP next-event models in this environment"
             )
-        self.vocab_size = int(vocab_size)
+        # Same id contract as NextEventModel: ids in [0, vocab_size] with
+        # OOV id = vocab_size, so the embedding/head are sized v = vocab+1.
+        self.v = int(vocab_size) + 1
         self.embedding_dim = embedding_dim
         self.hidden_size = hidden_size
         self.num_layers = num_layers
@@ -325,7 +327,7 @@ class TorchLSTMNextEventModel(NextEventModel):
                 return self.head(out[:, -1, :])
 
         return _Net(
-            self.vocab_size,
+            self.v,
             self.embedding_dim,
             self.hidden_size,
             self.num_layers,
@@ -370,7 +372,7 @@ def fit_next_event_model(
     window_col: str = "window_ids",
     next_col: str = "next_id",
     max_fit_rows: int = 100_000,
-    lr: float = 2.0,
+    lr: float | None = None,
     iters: int = 200,
     hidden: int | None = None,
     arch: str = "auto",
@@ -395,13 +397,21 @@ def fit_next_event_model(
         .toPandas()
     )
     windows = np.array(pdf[window_col].tolist(), dtype=int)
+    # lr default depends on arch (full-batch GD wants 2.0; Adam wants 1e-2),
+    # so None = per-arch default and an explicit value is always honored.
     if arch == "torch_lstm":
-        model: NextEventModel = TorchLSTMNextEventModel(vocab_size, iters=iters)
+        model: NextEventModel = TorchLSTMNextEventModel(
+            vocab_size,
+            hidden_size=hidden if hidden is not None else 64,
+            lr=lr if lr is not None else 1e-2,
+            iters=iters,
+        )
     elif arch == "auto":
+        base_lr = lr if lr is not None else 2.0
         model = (
-            NextEventModel(vocab_size, lr, iters)
+            NextEventModel(vocab_size, base_lr, iters)
             if hidden is None
-            else MLPNextEventModel(vocab_size, hidden, lr / 4.0, iters * 2)
+            else MLPNextEventModel(vocab_size, hidden, base_lr / 4.0, iters * 2)
         )
     else:
         raise ValueError(f"unknown arch {arch!r} (auto|torch_lstm)")

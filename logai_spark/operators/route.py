@@ -326,6 +326,8 @@ def compact_sinks(
                 shutil.rmtree(backup)
             else:
                 os.rename(backup, live)
+    # stale lineage staging from a crash before its swap window
+    shutil.rmtree(os.path.join(path, LINEAGE_DIR + ".new"), ignore_errors=True)
 
     stats = sink_file_stats(path, partition_col)
     plan: dict[str, int] = {}
@@ -447,8 +449,16 @@ def compact_sinks(
         )
         staging = lineage_path + ".new"
         merged.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(lineage_path)
+        # same two-rename swap as the data dirs (never rmtree-then-rename:
+        # a crash between those would lose the whole sidecar with no
+        # recovery hook). A crash inside THIS window leaves a
+        # ``_lineage_files._pre_compact`` entry that the recovery preamble
+        # at the top of this function restores on the next run.
+        backup = lineage_path + "._pre_compact"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(lineage_path, backup)
         os.rename(staging, lineage_path)
+        shutil.rmtree(backup)
     shutil.rmtree(tmp_lineage_path, ignore_errors=True)
     if manifest is not None:
         manifest["compactions"] = manifest.get("compactions", 0) + 1

@@ -328,7 +328,7 @@ def _register_builtins() -> None:
 
         vocab_size: int = 100
         g: int = 3
-        lr: float = 2.0
+        lr: float | None = None  # None = per-arch default (2.0 GD / 1e-2 Adam)
         iters: int = 200
         hidden: int | None = None  # MLP width; None = linear
         # 'auto' = torch-free linear/MLP stand-ins; 'torch_lstm' = the

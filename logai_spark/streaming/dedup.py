@@ -17,6 +17,17 @@ Keys are 128-bit md5 of a null-safe JSON encoding of the key columns (same
 construction as ``exact_dedup(hash_key=True)``: state and shuffle carry
 16-byte digests, never document bodies; NULL, '' and separator-bearing
 values all encode distinctly).
+
+UPGRADE NOTE (key-format change): before round 4 the key was
+``md5(concat_ws(0x1f, cols))``, which collapsed NULL with '' and was
+separator-injectable; it is now the null-safe ``to_json(struct(...))``
+hash above. The two formats hash the same document differently, so a
+streaming query RESTARTED FROM AN EXISTING CHECKPOINT after the upgrade
+will not match pre-restart state entries: duplicates of keys first seen
+before the restart pass through until the watermark expires that old
+state. Start upgraded queries from a fresh checkpoint (or accept one
+watermark window of weakened dedup across the boundary); the batch
+``incremental_dedup`` stage downstream catches what slips through.
 """
 
 from __future__ import annotations

@@ -19,6 +19,20 @@ def test_decode_stub_raises_without_fake():
         decode_image(b"xx")
 
 
+def test_fake_decode_never_attempts_real_parse():
+    """fake=True is documented to accept ARBITRARY bytes; a payload that
+    merely starts with the BMP/WAV magic (e.g. text 'BMW...') must yield
+    the md5-seeded double, not crash in the real struct parser."""
+    from logai_spark.functions.multimodal import decode_audio
+
+    img = decode_image(b"BMW is not a bitmap", fake=True)
+    assert img.shape == (16, 16, 3)
+    aud = decode_audio(b"RIFFxxxxWAVEgarbage", fake=True)
+    assert aud.dtype.name == "float32" and aud.ndim == 1
+    # deterministic per payload
+    assert (decode_image(b"BMW is not a bitmap", fake=True) == img).all()
+
+
 def test_image_features_shape_and_determinism(spark):
     media = synth_media(spark, 20)
     feats = extract_image_features(media, fake_decode=True).toPandas()

@@ -73,6 +73,28 @@ def test_pretokenize_spark_matches_python(spark):
         assert (row["t"] or []) == expect
 
 
+def test_pretokenize_unicode_whitespace_parity(spark):
+    """Java \\s is ASCII-only while Python \\s is Unicode-aware, so the
+    pattern must use an explicit whitespace char class: NBSP / LINE SEP /
+    IDEOGRAPHIC SPACE / NEL must tokenize IDENTICALLY on both paths
+    (as single non-word tokens, the Java-side behavior)."""
+    from logai_spark.functions.wordpiece import pretokenize_expr
+
+    rows = [
+        ("foo\u00a0bar",),      # NBSP
+        ("a\u2028b",),          # LINE SEPARATOR
+        ("x\u3000y",),          # IDEOGRAPHIC SPACE
+        ("p\x85q",),            # NEL
+        ("tab\tok nl\nok",),   # ASCII ws still splits
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(pretokenize_expr("text").alias("t")).collect()
+    for (txt,), row in zip(rows, got):
+        assert (row["t"] or []) == pretokenize_py(txt)
+    # the non-ASCII whitespace chars surface as tokens, not separators
+    assert pretokenize_py("foo\u00a0bar") == ["foo", "\u00a0", "bar"]
+
+
 def test_hdfs_fixture_distributed_matches_local(spark):
     """Full parity on the reference HDFS fixture: distributed word counts +
     driver merge loop == pure-Python Counter + the same loop; distributed
