@@ -634,30 +634,67 @@ def _register_builtins() -> None:
         min_n: int = 3
         max_n: int = 5
         max_token_len: int = 100
+        # trained=True (default) runs the real subword skip-gram trainer
+        # (functions/fasttext.py: per-partition SGNS + parameter averaging,
+        # learned ngram-bucket vectors — the fastText capability the
+        # reference gets from gensim, fasttext.py:45-117). trained=False
+        # keeps the cheaper round-3 approximation (Spark-ML Word2Vec word
+        # vectors + per-ngram averages composed AFTER training).
+        trained: bool = True
+        window: int = 5
+        negative: int = 5
+        epochs: int = 3
+        bucket: int = 20_000
+        lr: float = 0.05
+        # parameter-averaging fan-out; None = input partitioning. Scale
+        # with corpus size, not cluster size (see train_fasttext docstring).
+        num_partitions: int | None = None
 
     class _FastTextAlgo:
-        """FastText-capability vectorizer (reference fasttext.py:45-117):
-        word vectors from Spark-ML Word2Vec plus char-ngram subword buckets
-        for OOV composition — see vectorizers.fasttext_subword_vectors for
-        the documented scope (no gensim training loop)."""
+        """FastText vectorizer (reference fasttext.py:45-117). Default path
+        TRAINS subword skip-gram from scratch (functions/fasttext.py);
+        word vectors surface as the same (word, vector) table the Word2Vec
+        algo produces, so transform shares word2vec_transform. OOV words
+        compose from the LEARNED ngram buckets."""
 
         def __init__(self, cfg: FastTextConfig):
             self.cfg = cfg
             self.vectors = None
             self.subwords = None
+            self.model = None
 
         def fit(self, df, line_col="logline"):
             from pyspark.sql import functions as F
+
+            toks = F.filter(
+                F.split(F.lower(F.col(line_col)), " "),
+                lambda t: (t != "") & (t != "*"),
+            )
+            if self.cfg.trained:
+                from logai_spark.functions.fasttext import (
+                    fasttext_vectors_df,
+                    train_fasttext,
+                )
+
+                self.model = train_fasttext(
+                    df.select(toks.alias("_toks")), "_toks",
+                    dim=self.cfg.dim, window=self.cfg.window,
+                    negative=self.cfg.negative, epochs=self.cfg.epochs,
+                    lr=self.cfg.lr, min_count=self.cfg.min_count,
+                    min_n=self.cfg.min_n, max_n=self.cfg.max_n,
+                    bucket=self.cfg.bucket, seed=self.cfg.seed,
+                    num_partitions=self.cfg.num_partitions,
+                )
+                self.vectors = fasttext_vectors_df(
+                    self.model, df.sparkSession
+                ).cache()
+                return self
 
             from logai_spark.functions.vectorizers import (
                 fasttext_subword_vectors,
                 word2vec_embeddings,
             )
 
-            toks = F.filter(
-                F.split(F.lower(F.col(line_col)), " "),
-                lambda t: (t != "") & (t != "*"),
-            )
             _, vecs = word2vec_embeddings(
                 df.select(toks.alias("_toks")), "_toks",
                 dim=self.cfg.dim, min_count=self.cfg.min_count, seed=self.cfg.seed,
@@ -680,6 +717,10 @@ def _register_builtins() -> None:
             )
 
         def oov_vectors(self, words):
+            if self.cfg.trained:
+                from logai_spark.functions.fasttext import fasttext_oov_vectors_df
+
+                return fasttext_oov_vectors_df(words, self.model)
             from logai_spark.functions.vectorizers import compose_oov_vectors
 
             return compose_oov_vectors(
