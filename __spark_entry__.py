@@ -1159,6 +1159,20 @@ def _q_hash_sample(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Mixture sampling to target language proportions (50% en / 25% de /
+    25% fr — exactly-representable fracs so the quota arithmetic is
+    bit-identical across engines): largest subsample matching the mix,
+    per-group winners by deterministic hash rank. One bounded count collect
+    + one group-key shuffle with a WindowGroupLimit-capped rank window."""
+    from logai_spark.functions.textops import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        targets={"en": 0.5, "de": 0.25, "fr": 0.25},
+    ).orderBy("doc_id")
+
+
 def _q_top_ngrams(spark, sf_dir):
     """Corpus-level most-frequent bigrams (boilerplate detection): explode →
     partial-agg count → TakeOrderedAndProject top-20."""
@@ -1506,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "hash_sample": _q_hash_sample,
+        "mixture_sample": _q_mixture_sample,
         "top_ngrams": _q_top_ngrams,
         "incremental_dedup": _q_incremental_dedup,
         "pack_sequences": _q_pack_sequences,
@@ -2901,6 +2916,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, doc_id, n_tokens, pack_id FROM r
     """
     key = "'s42|' || source || '|' || doc_id"
+    _mix_key = "'s42|' || lang || '|' || CAST(doc_id AS varchar)"
+    out["mixture_sample"] = f"""
+        WITH f AS (SELECT * FROM (VALUES ('en', 0.5::double),
+                                         ('de', 0.25::double),
+                                         ('fr', 0.25::double)) t(lang, frac)),
+        c AS (SELECT d.lang, count(*) AS n
+              FROM documents d JOIN f USING (lang) GROUP BY 1),
+        ns AS (SELECT min(CAST(floor(c.n / f.frac) AS bigint)) AS n_star
+               FROM c JOIN f USING (lang)),
+        q AS (SELECT f.lang, CAST(floor(f.frac * ns.n_star) AS bigint) AS quota
+              FROM f, ns),
+        r AS (SELECT d.doc_id, d.lang,
+                     row_number() OVER (
+                         PARTITION BY d.lang
+                         ORDER BY {_DD_H32.format(x=_mix_key)}, d.doc_id) AS rk
+              FROM documents d JOIN f USING (lang))
+        SELECT doc_id, lang FROM r JOIN q USING (lang)
+        WHERE rk <= quota ORDER BY doc_id
+    """
     out["hash_sample"] = f"""
         SELECT doc_id, source FROM documents
         WHERE {_DD_H32.format(x=key)} % 10000 < 2000

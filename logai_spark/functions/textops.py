@@ -918,6 +918,72 @@ def domain_cap(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """Mixture sampling to TARGET GROUP PROPORTIONS (training-data mixture
+    construction: "the corpus must be 60% en / 30% de / 10% fr", the knob
+    every LLM data recipe exposes per language/domain/source). Returns the
+    LARGEST subsample whose group shares match ``targets`` exactly (to
+    integer rounding), selecting within each group by deterministic hash
+    rank — reproducible across runs, cluster sizes and partitionings, like
+    :func:`hash_sample`.
+
+    Semantics: ``targets`` is normalized to sum 1. Feasibility bound
+    N* = min_g floor(count_g / frac_g) (the classic mixture constraint:
+    the scarcest group caps the total); quota_g = floor(frac_g * N*).
+    Per group, the quota_g rows with the smallest (hash32(salt|group|id),
+    id) win. Groups absent from ``targets`` are dropped; a target group
+    with zero rows makes the mixture infeasible -> empty result (loud in
+    counts, never a silently skewed mix).
+
+    Scale shape: one partial-aggregated count of len(targets) groups to the
+    driver (bounded by the targets dict, never by corpus cardinality),
+    quotas re-enter the plan as a literal map (no join), then ONE hash
+    shuffle on the group key + a rank window. The filter carries a
+    CONSTANT ``row_number <= max(quota)`` conjunct so Spark's
+    InferWindowGroupLimit caps each group's sort buffer at the largest
+    quota (the same WindowGroupLimit plan domain_cap gets), with the exact
+    per-group quota applied on top.
+    """
+    total = sum(targets.values())
+    if not targets or total <= 0:
+        raise ValueError("targets must be a non-empty dict of positive fracs")
+    fracs = {g: f / total for g, f in targets.items() if f > 0}
+    counts = {
+        r["g"]: r["n"]
+        for r in df.filter(F.col(group_col).isin(*fracs))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_star = min(int(counts.get(g, 0) / f) for g, f in fracs.items())
+    quotas = {g: int(f * n_star) for g, f in fracs.items()}
+    max_quota = max(quotas.values(), default=0)
+    if max_quota == 0:
+        return df.filter(F.lit(False))
+    quota_map = F.create_map(
+        *[x for g, q in sorted(quotas.items()) for x in (F.lit(g), F.lit(q))]
+    )
+    key = F.concat_ws(
+        "|", F.lit(salt), F.col(group_col).cast("string"), F.col(id_col).cast("string")
+    )
+    w = Window.partitionBy(group_col).orderBy(_hash32(key), F.col(id_col))
+    return (
+        df.filter(F.col(group_col).isin(*fracs))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(
+            (F.col("_rk") <= F.lit(max_quota))
+            & (F.col("_rk") <= F.element_at(quota_map, F.col(group_col)))
+        )
+        .drop("_rk")
+    )
+
+
 #: Query parameters that carry tracking state, not content identity. A
 #: param is dropped when its NAME matches (utm_* family or the exact ids).
 TRACKING_PARAM_RE = r"^(utm_[a-zA-Z_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=|$)"

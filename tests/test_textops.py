@@ -396,3 +396,48 @@ def test_vocab_drift_js_bounds(spark):
     disjoint = vocab_drift(a, b).collect()[0]
     assert abs(disjoint.js_divergence - math.log(2)) < 1e-4  # JS max = ln 2
     assert (disjoint.n_words_a, disjoint.n_words_b) == (4, 4)
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    from logai_spark.functions.textops import mixture_sample
+
+    rows = [(i, "en") for i in range(100)]
+    rows += [(1000 + i, "de") for i in range(30)]
+    rows += [(2000 + i, "fr") for i in range(50)]
+    rows += [(3000 + i, "xx") for i in range(40)]  # untargeted -> dropped
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, {"en": 0.5, "de": 0.25, "fr": 0.25})
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    # N* = min(100/.5, 30/.25, 50/.25) = 120 -> quotas 60/30/30
+    assert counts == {"en": 60, "de": 30, "fr": 30}
+    # deterministic: same winners on any partitioning
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            df.repartition(13), {"en": 0.5, "de": 0.25, "fr": 0.25}
+        ).collect()
+    )
+    assert ids1 == ids2
+    # rank-limit pushdown: constant max-quota conjunct caps the sort buffer
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_mixture_sample_normalizes_and_guards(spark):
+    import pytest
+
+    from logai_spark.functions.textops import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    # targets normalize (2:1:1 == 0.5:0.25:0.25); missing group 'fr' with
+    # positive frac makes the mixture infeasible -> empty, never skewed
+    assert mixture_sample(df, {"en": 2.0, "de": 1.0, "fr": 1.0}).count() == 0
+    out = mixture_sample(df, {"en": 2.0, "de": 2.0})
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"en": 20, "de": 20}
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, {})
