@@ -1511,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
     # row (the round-3 curation/streaming additions plus the four rows
-    # rotated out between r2 and r3) are front-loaded; the back 28 are rows
+    # rotated out between r2 and r3) are front-loaded; the back 29 are rows
     # already driver-green in BOTH earlier windows (r2 and/or r3).
     return {
         # -- never driver-verified (round-3 additions) --------------------

@@ -261,17 +261,18 @@ def torch_available() -> bool:
         return False
 
 
-class TorchLSTMNextEventModel(NextEventModel):
-    """Reference-shaped LSTM next-event predictor, ACTIVE only when torch
-    is importable (it is not in this container — the adapter exists so a
-    real deployment gets the reference's model family without code
-    changes). Architecture mirrors nn_model/forecast_nn/lstm.py:72-106:
-    event-id embedding -> (optionally bidirectional) LSTM -> linear head
-    over the vocab; trained with Adam on the weighted distinct
-    (window, next, count) table — the same data flow as the from-scratch
-    models, so fit/probs/rank_of_next are drop-in. Deterministic: seeded
-    torch.manual_seed, full-batch steps.
-    """
+class _TorchNextEventBase(NextEventModel):
+    """Shared machinery for the reference-shaped torch next-event models,
+    ACTIVE only when torch is importable (it is not in this container — the
+    adapters exist so a real deployment gets the reference's
+    nn_model/forecast_nn family without code changes). All three share the
+    reference's data flow (event-id embedding -> encoder -> linear head
+    over the vocab) and this repo's: Adam on the weighted distinct
+    (window, next, count) table, so fit/probs/rank_of_next are drop-in for
+    the torch-free models. Deterministic: seeded torch.manual_seed,
+    full-batch steps. Subclasses implement ``_build()``."""
+
+    _arch = "torch"
 
     def __init__(
         self,
@@ -286,7 +287,7 @@ class TorchLSTMNextEventModel(NextEventModel):
     ):
         if not torch_available():
             raise ImportError(
-                "TorchLSTMNextEventModel requires torch; use the default "
+                f"{type(self).__name__} requires torch; use the default "
                 "linear/MLP next-event models in this environment"
             )
         # Same id contract as NextEventModel: ids in [0, vocab_size] with
@@ -300,6 +301,47 @@ class TorchLSTMNextEventModel(NextEventModel):
         self.iters = iters
         self.seed = seed
         self._net = None
+
+    def _build(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def fit(self, windows: np.ndarray, nexts: np.ndarray, counts: np.ndarray):
+        import torch
+
+        self._check_ids(np.asarray(windows), "window ids")
+        self._check_ids(np.asarray(nexts), "next ids")
+        net = self._build()
+        opt = torch.optim.Adam(net.parameters(), lr=self.lr)
+        X = torch.as_tensor(np.asarray(windows), dtype=torch.long)
+        y = torch.as_tensor(np.asarray(nexts), dtype=torch.long)
+        w = torch.as_tensor(np.asarray(counts), dtype=torch.float32)
+        w = w / w.sum()
+        loss_fn = torch.nn.CrossEntropyLoss(reduction="none")
+        net.train()
+        for _ in range(self.iters):
+            opt.zero_grad()
+            loss = (loss_fn(net(X), y) * w).sum()
+            loss.backward()
+            opt.step()
+        net.eval()
+        self._net = net
+        return self
+
+    def probs(self, windows: np.ndarray) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            logits = self._net(
+                torch.as_tensor(np.asarray(windows), dtype=torch.long)
+            )
+            return torch.softmax(logits, dim=1).numpy().astype(np.float64)
+
+
+class TorchLSTMNextEventModel(_TorchNextEventBase):
+    """Reference nn_model/forecast_nn/lstm.py:72-106: embedding ->
+    (optionally bidirectional) LSTM -> linear head on the LAST position."""
+
+    _arch = "torch_lstm"
 
     def _build(self):
         import torch
@@ -334,36 +376,94 @@ class TorchLSTMNextEventModel(NextEventModel):
             self.bidirectional,
         )
 
-    def fit(self, windows: np.ndarray, nexts: np.ndarray, counts: np.ndarray):
+
+class TorchCNNNextEventModel(_TorchNextEventBase):
+    """Reference nn_model/forecast_nn/cnn.py:27-81: embedding -> one
+    Conv2d(1, hidden, (K, emb_dim)) per kernel size (default [2, 3, 4]) ->
+    relu + max-pool over the sequence -> concat -> linear head.
+    ``hidden_size`` is the per-kernel channel count, as in the reference."""
+
+    _arch = "torch_cnn"
+
+    def __init__(self, *args, kernel_sizes: tuple[int, ...] = (2, 3, 4), **kw):
+        super().__init__(*args, **kw)
+        self.kernel_sizes = tuple(kernel_sizes)
+
+    def _build(self):
         import torch
+        from torch import nn
 
-        self._check_ids(np.asarray(windows), "window ids")
-        self._check_ids(np.asarray(nexts), "next ids")
-        net = self._build()
-        opt = torch.optim.Adam(net.parameters(), lr=self.lr)
-        X = torch.as_tensor(np.asarray(windows), dtype=torch.long)
-        y = torch.as_tensor(np.asarray(nexts), dtype=torch.long)
-        w = torch.as_tensor(np.asarray(counts), dtype=torch.float32)
-        w = w / w.sum()
-        loss_fn = torch.nn.CrossEntropyLoss(reduction="none")
-        net.train()
-        for _ in range(self.iters):
-            opt.zero_grad()
-            loss = (loss_fn(net(X), y) * w).sum()
-            loss.backward()
-            opt.step()
-        net.eval()
-        self._net = net
-        return self
+        torch.manual_seed(self.seed)
 
-    def probs(self, windows: np.ndarray) -> np.ndarray:
+        class _Net(nn.Module):
+            def __init__(self, v, e, h, ks):
+                super().__init__()
+                self.emb = nn.Embedding(v, e)
+                self.convs = nn.ModuleList(
+                    [nn.Conv2d(1, h, (k, e)) for k in ks]
+                )
+                self.ks = ks
+                self.head = nn.Linear(h * len(ks), v)
+
+            def forward(self, idx):
+                # windows shorter than the largest kernel pad with the PAD
+                # row 0 on the left so every conv yields >=1 position
+                need = max(self.ks) - idx.shape[1]
+                if need > 0:
+                    idx = nn.functional.pad(idx, (need, 0))
+                x = self.emb(idx).unsqueeze(1)  # (B, 1, seq, emb)
+                pooled = [
+                    torch.relu(c(x)).squeeze(3).max(dim=2).values
+                    for c in self.convs
+                ]  # [(B, hidden)] * len(ks), cf. cnn.py:78-81
+                return self.head(torch.cat(pooled, dim=1))
+
+        return _Net(self.v, self.embedding_dim, self.hidden_size, self.kernel_sizes)
+
+
+class TorchTransformerNextEventModel(_TorchNextEventBase):
+    """Reference nn_model/forecast_nn/transformer.py:40-69: embedding ->
+    TransformerEncoder(emb_dim, nhead, ff=hidden_size) x num_layers ->
+    MEAN-pool over positions -> linear head (the reference pools with
+    ``.mean(dim=1)``, transformer.py:67)."""
+
+    _arch = "torch_transformer"
+
+    def __init__(self, *args, nhead: int = 4, **kw):
+        super().__init__(*args, **kw)
+        self.nhead = nhead
+
+    def _build(self):
         import torch
+        from torch import nn
 
-        with torch.no_grad():
-            logits = self._net(
-                torch.as_tensor(np.asarray(windows), dtype=torch.long)
-            )
-            return torch.softmax(logits, dim=1).numpy().astype(np.float64)
+        torch.manual_seed(self.seed)
+
+        class _Net(nn.Module):
+            def __init__(self, v, e, h, layers, nhead):
+                super().__init__()
+                self.emb = nn.Embedding(v, e)
+                layer = nn.TransformerEncoderLayer(
+                    e, nhead, h, batch_first=True
+                )
+                self.enc = nn.TransformerEncoder(layer, num_layers=layers)
+                self.head = nn.Linear(e, v)
+
+            def forward(self, idx):
+                x = self.enc(self.emb(idx))
+                return self.head(x.mean(dim=1))
+
+        return _Net(
+            self.v, self.embedding_dim, self.hidden_size,
+            self.num_layers, self.nhead,
+        )
+
+
+_TORCH_ARCHS = {
+    "torch_lstm": TorchLSTMNextEventModel,
+    "torch_cnn": TorchCNNNextEventModel,
+    "torch_transformer": TorchTransformerNextEventModel,
+}
 
 
 def fit_next_event_model(
@@ -387,8 +487,9 @@ def fit_next_event_model(
     smaller step) and 2x the iteration count.
 
     ``arch``: 'auto' (default) keeps the hidden-driven linear/MLP choice —
-    the torch-free stand-ins that run everywhere; 'torch_lstm' fits the
-    reference-shaped LSTM (TorchLSTMNextEventModel) and raises ImportError
+    the torch-free stand-ins that run everywhere; 'torch_lstm' /
+    'torch_cnn' / 'torch_transformer' fit the reference-shaped deep models
+    (nn_model/forecast_nn/{lstm,cnn,transformer}.py) and raise ImportError
     where torch is absent."""
     dedup = pairs.groupBy(window_col, next_col).agg(F.count(F.lit(1)).alias("_cnt"))
     pdf = (
@@ -399,8 +500,8 @@ def fit_next_event_model(
     windows = np.array(pdf[window_col].tolist(), dtype=int)
     # lr default depends on arch (full-batch GD wants 2.0; Adam wants 1e-2),
     # so None = per-arch default and an explicit value is always honored.
-    if arch == "torch_lstm":
-        model: NextEventModel = TorchLSTMNextEventModel(
+    if arch in _TORCH_ARCHS:
+        model: NextEventModel = _TORCH_ARCHS[arch](
             vocab_size,
             hidden_size=hidden if hidden is not None else 64,
             lr=lr if lr is not None else 1e-2,
@@ -414,7 +515,9 @@ def fit_next_event_model(
             else MLPNextEventModel(vocab_size, hidden, base_lr / 4.0, iters * 2)
         )
     else:
-        raise ValueError(f"unknown arch {arch!r} (auto|torch_lstm)")
+        raise ValueError(
+            f"unknown arch {arch!r} (auto|{'|'.join(sorted(_TORCH_ARCHS))})"
+        )
     return model.fit(windows, pdf[next_col].to_numpy(), pdf["_cnt"].to_numpy())
 
 

@@ -331,8 +331,9 @@ def _register_builtins() -> None:
         lr: float | None = None  # None = per-arch default (2.0 GD / 1e-2 Adam)
         iters: int = 200
         hidden: int | None = None  # MLP width; None = linear
-        # 'auto' = torch-free linear/MLP stand-ins; 'torch_lstm' = the
-        # reference-shaped LSTM adapter (needs torch installed)
+        # 'auto' = torch-free linear/MLP stand-ins; 'torch_lstm' /
+        # 'torch_cnn' / 'torch_transformer' = the reference-shaped deep
+        # adapters, nn_model/forecast_nn/* (need torch installed)
         arch: str = "auto"
 
     @dataclass

@@ -198,3 +198,44 @@ def test_torch_lstm_adapter_gated():
     m.fit(wins, nxt, np.ones(len(wins)))
     P = m.probs(wins)
     assert (P.argmax(axis=1) == nxt).mean() > 0.9
+
+
+def test_torch_cnn_transformer_adapters_gated():
+    """CNN / Transformer adapters mirror the reference forecast_nn family
+    (cnn.py:27-81, transformer.py:40-69); without torch they must raise the
+    same clean ImportError as the LSTM adapter; with it they must learn the
+    same next-id grammar. fit_next_event_model routes by arch name."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logai_spark.operators.forecast import (
+        _TORCH_ARCHS,
+        TorchCNNNextEventModel,
+        TorchTransformerNextEventModel,
+        torch_available,
+    )
+
+    assert set(_TORCH_ARCHS) == {"torch_lstm", "torch_cnn", "torch_transformer"}
+    if not torch_available():
+        for cls in (TorchCNNNextEventModel, TorchTransformerNextEventModel):
+            with _pytest.raises(ImportError, match="torch"):
+                cls(vocab_size=5)
+        return
+    wins = np.array([[i % 5, (i + 1) % 5, (i + 2) % 5] for i in range(40)])
+    nxt = (wins[:, -1] + 1) % 5
+    for cls in (TorchCNNNextEventModel, TorchTransformerNextEventModel):
+        m = cls(vocab_size=5, iters=300)
+        m.fit(wins, nxt, np.ones(len(wins)))
+        assert (m.probs(wins).argmax(axis=1) == nxt).mean() > 0.9
+
+
+def test_unknown_arch_raises(spark):
+    import pytest as _pytest
+
+    from logai_spark.operators.forecast import fit_next_event_model
+
+    pairs = spark.createDataFrame(
+        [([0, 1], 2)], "window_ids array<int>, next_id int"
+    )
+    with _pytest.raises(ValueError, match="unknown arch"):
+        fit_next_event_model(pairs, vocab_size=3, arch="nope")
