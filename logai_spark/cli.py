@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="drop lines shared by more than this many docs")
     cur.add_argument("--n-shards", type=int, default=None,
                      help="write K balanced-token-budget output shards")
+    cur.add_argument("--mixture", default=None,
+                     help="target language proportions for the written "
+                          "corpus, e.g. en=0.5,de=0.25,fr=0.25 (largest "
+                          "feasible subsample matching the mix)")
     cur.add_argument("--resume", action="store_true",
                      help="reuse the checkpointed stage ledger if config matches")
 
@@ -102,6 +106,16 @@ def main(argv: list[str] | None = None) -> int:
                 normalize=args.normalize,
                 boilerplate_max_df=args.boilerplate_max_df,
                 n_shards=args.n_shards,
+                mixture=(
+                    {
+                        k: float(v)
+                        for k, v in (
+                            kv.split("=", 1) for kv in args.mixture.split(",")
+                        )
+                    }
+                    if args.mixture
+                    else None
+                ),
                 resume=args.resume,
             ),
         )

@@ -52,6 +52,11 @@ class CurationConfig:
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
     n_shards: int | None = None     # balanced-token output shards (None = flat)
+    # target language proportions for the written corpus (e.g.
+    # {"en": 0.5, "de": 0.25, "fr": 0.25}); None = keep every survivor.
+    # Applied POST-ledger over the thin (id, lang) table — the sampling
+    # window shuffles ids, never text — so resume still skips stages 1-4.
+    mixture: dict | None = None
     resume: bool = False            # reuse a checkpointed ledger if present
     minhash_k: int = 16
     lsh_bands: int = 4
@@ -138,7 +143,7 @@ def run_curation(
     meta_path = os.path.join(output, "_ledger_meta.json")
     stage_cfg = {
         k: v for k, v in asdict(c).items()
-        if k not in ("pack_budget", "n_shards", "resume")
+        if k not in ("pack_budget", "n_shards", "mixture", "resume")
     }
     # the hash also fingerprints the INPUT (schema + the concrete file set
     # behind the scan): a rerun pointed at a different snapshot dir — or
@@ -315,6 +320,23 @@ def _finish_curation(
         flags.filter(pre_quality & F.col("_keep_quality")).select(c.id_col, "quality"),
         c.id_col,
     )
+
+    # 4b. optional mixture sampling to target language proportions,
+    #     computed ENTIRELY on the thin ledger (id + lang — the rank window
+    #     shuffles ids, never document text) and applied as a semi-join
+    if c.mixture:
+        from logai_spark.functions.textops import mixture_sample
+
+        sel = mixture_sample(
+            flags.filter(pre_quality & F.col("_keep_quality")).select(
+                c.id_col, c.lang_col
+            ),
+            targets=dict(c.mixture),
+            group_col=c.lang_col,
+            id_col=c.id_col,
+        ).select(c.id_col)
+        counts["after_mixture"] = sel.count()
+        cur = cur.join(sel, c.id_col, "left_semi")
 
     # 5. PII scrub (row-local) — redacted text replaces the original
     cur = (

@@ -227,3 +227,37 @@ def test_curation_near_dup_keep_best(spark, tmp_path):
     written = spark.read.parquet(os.path.join(str(tmp_path / "ndb"), "curated"))
     kept = {r.doc_id for r in written.select("doc_id").collect()}
     assert 2 in kept and 1 not in kept and 3 in kept
+
+
+def test_curation_mixture_stage(spark, tmp_path):
+    """--mixture resamples the quality survivors to target language
+    proportions on the thin ledger (ids + lang, never text); the written
+    corpus matches the mix and the manifest accounts for the cut."""
+    rows = []
+    for i in range(12):
+        rows.append((i, "the a of to and is in it " + "alpha beta " * (i + 2), "en", "s0"))
+    for i in range(12, 18):
+        rows.append((i, "der die das und ist ein " + "wort satz " * (i - 9), "de", "s1"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "mix")
+    m = run_curation(
+        spark,
+        docs,
+        out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            mixture={"en": 0.5, "de": 0.5},
+        ),
+    )
+    c = m["counts"]
+    # all 18 survive the filters; mixture: N* = min(12/.5, 6/.5) = 12 -> 6+6
+    assert c["after_quality_floor"] == 18
+    assert c["after_mixture"] == 12
+    assert c["written"] == 12
+    import pyspark.sql.functions as SF
+
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    got = {r["lang"]: r["n"] for r in written.groupBy("lang").agg(SF.count("*").alias("n")).collect()}
+    assert got == {"en": 6, "de": 6}
