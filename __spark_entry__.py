@@ -517,6 +517,64 @@ def _q_wordpiece_tokens(spark, sf_dir):
     return wordpiece_token_count(docs, vocab).select("doc_id", "n_wp_tokens")
 
 
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle (Rae et al. 2021 App. A.1.1; not a
+    reference op — webclean.py): word-count band, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    required stopwords — ONE zero-shuffle whole-stage-codegen projection."""
+    from logai_spark.functions.webclean import gopher_rules
+
+    return (
+        gopher_rules(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            min_words=30,
+        )
+        .drop("text")
+        .orderBy("doc_id")
+    )
+
+
+def _q_span_dedup(spark, sf_dir):
+    """C4-style three-sentence span dedup (Raffel et al. 2020 §2.2;
+    webclean.span_dedup): sentence punctuation is injected every 6 words
+    (the corpus is single-line word soup) so repeated spans actually occur;
+    each duplicated span keeps its first (doc, pos) occurrence and every
+    other occurrence's sentences are removed. Only 16-byte span hashes and
+    integer positions shuffle — never text."""
+    from logai_spark.functions.webclean import span_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\w+ ){5}\w+) ", "$1. ").alias("text"),
+    )
+    return (
+        span_dedup(docs)
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_sentences",
+            "n_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023; selection.dsir_select):
+    hashed unigram+bigram bucket model fit on the en-language slice as the
+    target vs the whole corpus as raw; top-200 docs by 4-dp-rounded log
+    importance weight, ties broken by id. Both bucket-count aggregations
+    are bounded by the bucket count (512) so the model table broadcasts;
+    selection plans as TakeOrderedAndProject."""
+    from logai_spark.functions.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_select(
+        docs.select("doc_id", "text"), target, k=200, buckets=512
+    ).orderBy("doc_id")
+
+
 def _wordpiece_oracle_sql() -> str:
     import duckdb
 
@@ -1546,6 +1604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": _q_image_stats,
         "audio_features": _q_audio_features,
         "wordpiece_tokens": _q_wordpiece_tokens,
+        "gopher_rules": _q_gopher_rules,
+        "span_dedup": _q_span_dedup,
+        "dsir_select": _q_dsir_select,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2938,6 +2999,149 @@ def oracle_sql() -> dict[str, str]:
     out["hash_sample"] = f"""
         SELECT doc_id, source FROM documents
         WHERE {_DD_H32.format(x=key)} % 10000 < 2000
+    """
+    # Gopher rule bundle: same stats + rule booleans as webclean.gopher_rules
+    # (min_words lowered to 30 to match the synthetic doc lengths)
+    out["gopher_rules"] = """
+        WITH w AS (
+            SELECT doc_id, text,
+                   CASE WHEN length(trim(text)) = 0 THEN []::varchar[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS words,
+                   list_filter(string_split(text, chr(10)),
+                               l -> length(trim(l)) > 0) AS lines
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(words)::int AS n_words,
+                   greatest(len(words), 1) AS nw,
+                   greatest(len(lines), 1) AS nl,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS nchars,
+                   len(regexp_extract_all(text, '#', 0))
+                     + len(regexp_extract_all(text, '(\\.\\.\\.|…)', 0)) AS nsym,
+                   len(list_filter(lines,
+                                   l -> regexp_matches(l, '^\\s*[-*•]'))) AS nbul,
+                   len(list_filter(lines,
+                                   l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS nell,
+                   len(list_filter(words,
+                                   x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+                   len(list_filter(['the','be','to','of','and','that','have','with'],
+                                   s -> list_contains(
+                                       list_transform(words, x -> lower(x)), s)
+                                   ))::int AS stopword_hits
+            FROM w)
+        SELECT doc_id, n_words,
+               floor(nchars / nw * 10000 + 0.5) / 10000 AS mean_word_len,
+               floor(nsym / nw * 10000 + 0.5) / 10000 AS symbol_word_ratio,
+               floor(nbul / nl * 10000 + 0.5) / 10000 AS bullet_line_frac,
+               floor(nell / nl * 10000 + 0.5) / 10000 AS ellipsis_line_frac,
+               floor(nalpha / nw * 10000 + 0.5) / 10000 AS alpha_word_frac,
+               stopword_hits,
+               (n_words >= 30 AND n_words <= 100000) AS rule_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+               (symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+               (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+               (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+               (alpha_word_frac >= 0.8) AS rule_alpha_words,
+               (stopword_hits >= 2) AS rule_stopwords,
+               (rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                AND rule_bullet_lines AND rule_ellipsis_lines
+                AND rule_alpha_words AND rule_stopwords) AS gopher_keep
+        FROM m ORDER BY doc_id
+    """
+    # C4 three-sentence span dedup over punctuation-injected word soup:
+    # rank-1 occurrence per span hash survives, covered sentences of every
+    # later occurrence are removed, docs reassemble in sentence order
+    out["span_dedup"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((\\w+ ){5}\\w+) ', '\\1. ', 'g') AS t
+            FROM documents),
+        arrs AS (
+            SELECT doc_id,
+                   list_filter(
+                       list_transform(
+                           regexp_extract_all(t, '[^.!?]+(?:[.!?]+|$)', 0),
+                           s -> trim(s)),
+                       s -> length(s) > 0) AS a
+            FROM p),
+        sents AS (
+            SELECT doc_id, a[i] AS sent, i - 1 AS pos
+            FROM arrs, unnest(range(1, len(a) + 1)) AS u(i)),
+        spans AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(a[i:i+2], ' ')) AS h
+            FROM arrs, unnest(range(1, len(a) - 1)) AS u(i)
+            WHERE len(a) >= 3),
+        ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, pos) AS rk
+            FROM spans),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + o AS spos
+            FROM ranked, unnest(range(0, 3)) AS u(o)
+            WHERE rk > 1),
+        kept AS (
+            SELECT s.doc_id, s.sent, s.pos
+            FROM sents s LEFT JOIN covered c
+                 ON c.doc_id = s.doc_id AND c.spos = s.pos
+            WHERE c.doc_id IS NULL),
+        agg AS (
+            SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_sentences FROM sents GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(coalesce(a.clean_text, '')) AS clean_md5,
+               coalesce(t.n_sentences, 0)::bigint AS n_sentences,
+               coalesce(a.n_kept, 0)::bigint AS n_kept
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    # DSIR: hashed unigram+bigram bucket model (en slice = target, whole
+    # corpus = raw), add-one smoothing over 512 buckets, 4-dp-rounded log
+    # ratio summed per doc, deterministic top-200
+    _dsir_g = _DD_H32.format(x="g") + " % 512"
+    out["dsir_select"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter({_DD_TOKS}, t -> length(t) > 0) AS t
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS g FROM d),
+        bi AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM d, unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2),
+        g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        gb AS (SELECT doc_id, {_dsir_g} AS bucket FROM g),
+        t_gb AS (
+            SELECT bucket FROM gb JOIN documents USING (doc_id)
+            WHERE lang = 'en'),
+        tc AS (SELECT bucket, count(*) AS t_cnt FROM t_gb GROUP BY 1),
+        rc AS (SELECT bucket, count(*) AS r_cnt FROM gb GROUP BY 1),
+        tt AS (SELECT count(*) AS t_tot FROM t_gb),
+        rt AS (SELECT count(*) AS r_tot FROM gb),
+        spine AS (SELECT unnest(range(0, 512)) AS bucket),
+        ratio AS (
+            SELECT bucket,
+                   floor((ln((coalesce(t_cnt, 0) + 1) / (t_tot + 512))
+                        - ln((coalesce(r_cnt, 0) + 1) / (r_tot + 512)))
+                         * 10000 + 0.5) / 10000 AS log_ratio
+            FROM spine
+            LEFT JOIN tc USING (bucket)
+            LEFT JOIN rc USING (bucket)
+            CROSS JOIN tt CROSS JOIN rt),
+        sc AS (
+            SELECT doc_id,
+                   floor(sum(log_ratio) * 10000 + 0.5) / 10000 AS dsir_score
+            FROM gb JOIN ratio USING (bucket) GROUP BY doc_id),
+        all_s AS (
+            SELECT d0.doc_id, coalesce(sc.dsir_score, 0.0) AS dsir_score
+            FROM documents d0 LEFT JOIN sc USING (doc_id))
+        SELECT doc_id, dsir_score FROM all_s
+        ORDER BY dsir_score DESC, doc_id ASC LIMIT 200
     """
     out["top_ngrams"] = f"""
         WITH d AS (SELECT doc_id, {_DD_TOKS} AS t FROM documents),

@@ -1,0 +1,141 @@
+"""Data selection via importance resampling (DSIR).
+
+Implements Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (NeurIPS 2023): score every raw-corpus document by
+the log importance weight of a hashed n-gram bag-of-words model fit on a
+small target corpus vs the raw corpus, then take the top-k (optionally
+Gumbel-perturbed, which is the paper's sampling-without-replacement trick).
+Not a reference operator — /root/reference has no data-selection surface —
+this belongs to the training-data-pipeline extension set next to
+textops.bigram_lm_score and textops.decontaminate.
+
+Scale shape (the reason this works at 100 TB raw / small target):
+- Featurization is a row-local explode of unigrams+bigrams into
+  ``buckets`` hash buckets — no Python, pure codegen.
+- Both bucket-count aggregations partial-aggregate map-side, so each
+  exchange carries at most ``buckets`` rows per mapper, and the final
+  count tables are bounded by ``buckets`` (default 4096) REGARDLESS of
+  corpus size.
+- The log-ratio table is therefore always broadcastable: the raw corpus is
+  scanned twice (once to count, once to score) and shuffles only
+  (bucket, count) pairs and the final per-doc score aggregation.
+- Selection is orderBy(...).limit(k) which Spark plans as
+  TakeOrderedAndProject: per-partition top-k then a k-row driver merge —
+  no global sort, no single-task window.
+
+Hashing is the repo-standard md5-prefix 32-bit formula (textops._hash32),
+which has a bit-identical DuckDB spelling — that is what makes the oracle
+row possible for a two-corpus trained model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logai_spark.functions.textops import _hash32, round4, tokenize_expr
+
+
+def _grams(text_col: str) -> Column:
+    """Lowercased unigrams + adjacent bigrams (DSIR §3.2 hashed n-gram
+    features), as one array column. Blank text -> empty array."""
+    toks = F.filter(tokenize_expr(text_col), lambda t: F.length(t) > 0)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def _bucket_counts(df: DataFrame, text_col: str, buckets: int) -> DataFrame:
+    """(bucket, cnt) aggregate over a corpus — at most ``buckets`` rows out."""
+    return (
+        df.select(F.explode(_grams(text_col)).alias("gram"))
+        .select(F.pmod(_hash32(F.col("gram")), F.lit(buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    gumbel: bool = False,
+    seed: int = 0,
+) -> DataFrame:
+    """Select the ``k`` raw documents whose hashed-n-gram distribution is
+    most target-like: log w(x) = sum over x's gram buckets of
+    log p_target(b) - log p_raw(b), with add-one smoothing over ``buckets``.
+
+    Returns (id, dsir_score[, dsir_key]) for the selected rows, ordered
+    deterministically by (key desc, id asc) — ties cannot make the result
+    engine-dependent.
+
+    ``gumbel=True`` adds the paper's Gumbel perturbation for sampling
+    without replacement, but DETERMINISTICALLY: uniform u is derived from
+    md5(id, seed) rather than an RNG, so the same (corpus, seed) selects
+    the same k documents on any cluster size — and the oracle can replay
+    it. Per-bucket log-ratios and per-doc sums are 4-dp rounded
+    (textops.round4) for engine-stable float comparison.
+    """
+    t_counts = _bucket_counts(target, text_col, buckets)
+    r_counts = _bucket_counts(raw, text_col, buckets)
+    t_tot = target.select(
+        F.coalesce(F.sum(F.size(_grams(text_col))), F.lit(0)).alias("t_tot")
+    )
+    r_tot = raw.select(
+        F.coalesce(F.sum(F.size(_grams(text_col))), F.lit(0)).alias("r_tot")
+    )
+
+    # dense bucket spine so unseen buckets still get the smoothed ratio
+    spine = raw.sparkSession.range(buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    ratios = (
+        spine.join(F.broadcast(t_counts.withColumnRenamed("cnt", "t_cnt")), "bucket", "left")
+        .join(F.broadcast(r_counts.withColumnRenamed("cnt", "r_cnt")), "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            round4(
+                F.log((F.coalesce("t_cnt", F.lit(0)) + 1) / (F.col("t_tot") + buckets))
+                - F.log((F.coalesce("r_cnt", F.lit(0)) + 1) / (F.col("r_tot") + buckets))
+            ).alias("log_ratio"),
+        )
+    )
+
+    doc_buckets = raw.select(
+        F.col(id_col), F.explode(_grams(text_col)).alias("gram")
+    ).select(id_col, F.pmod(_hash32(F.col("gram")), F.lit(buckets)).alias("bucket"))
+    scores = (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(round4(F.sum("log_ratio")).alias("dsir_score"))
+    )
+    # gram-less docs score 0 (empty sum), matching the smoothed model's
+    # indifference rather than silently vanishing from the candidate set
+    scores = (
+        raw.select(id_col)
+        .join(scores, id_col, "left")
+        .select(id_col, F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score"))
+    )
+
+    if gumbel:
+        u = (
+            _hash32(F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed))))
+            + F.lit(0.5)
+        ) / F.lit(float(2**32))
+        key = round4(F.col("dsir_score") - F.log(-F.log(u)))
+        scores = scores.withColumn("dsir_key", key)
+        order = [F.col("dsir_key").desc(), F.col(id_col).asc()]
+    else:
+        order = [F.col("dsir_score").desc(), F.col(id_col).asc()]
+    return scores.orderBy(*order).limit(k)
