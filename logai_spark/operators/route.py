@@ -25,10 +25,6 @@ MANIFEST = "_lineage_manifest.json"
 LINEAGE_DIR = "_lineage_files"  # parquet sidecar: per-FILE lineage rows
 
 
-def _basename_expr(col):
-    return F.element_at(F.split(col, "/"), -1)
-
-
 def file_lineage(spark: SparkSession, path: str) -> DataFrame:
     """The per-file lineage sidecar of a routed/checkpointed layout as a
     DataFrame (one row per written data file with its row count, plus the
@@ -38,6 +34,59 @@ def file_lineage(spark: SparkSession, path: str) -> DataFrame:
     otherwise carry millions of per-file keys; the JSON holds per-sink
     totals only, the sidecar scales with the table like any other table."""
     return spark.read.parquet(os.path.join(path, LINEAGE_DIR))
+
+
+def footer_lineage_scan(
+    spark: SparkSession, path: str, partition_col: str | None = None
+) -> DataFrame:
+    """Per-file row counts from parquet FOOTER metadata, distributed:
+    list the layout's data files (the same driver-side listing every scan's
+    planning performs), fan the paths out to executors, and read each
+    footer's ``num_rows`` with pyarrow. No row-group data is ever read, so
+    the cost scales with FILE COUNT, not table bytes — unlike an
+    empty-schema ``spark.read.parquet(path).groupBy(input_file_name())``
+    scan, which still iterates every row as an empty InternalRow (measured
+    ~3 s of fixed wall per pipeline run at 6.45M rows; footers take
+    milliseconds per file). Trust base is unchanged: parquet ``count(*)``
+    answers from the same footer row counts, and a truncated file fails
+    the footer read loudly.
+
+    Returns ([partition_col,] file, n_rows); the sink key is decoded from
+    the ``partition_col=value`` path segment (hive layout), percent-escapes
+    unquoted exactly as Spark's partition reader does. Local/posix paths
+    here; on an object store pyarrow opens s3://... URIs natively — only
+    the file:// prefix needs stripping."""
+    files = sorted(spark.read.parquet(path).inputFiles())
+    par = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(par)
+    pcol = partition_col
+
+    def _read_footers(batches):
+        import re as _re
+        from urllib.parse import unquote
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["path"]:
+                local = _re.sub(r"^file:(//)?", "", uri)
+                rec = {
+                    "file": uri.rsplit("/", 1)[-1],
+                    "n_rows": _pq.read_metadata(local).num_rows,
+                }
+                if pcol is not None:
+                    m = _re.search(_re.escape(pcol) + r"=([^/]+)/", uri)
+                    rec[pcol] = unquote(m.group(1)) if m else None
+                rows.append(rec)
+            cols = ([pcol] if pcol else []) + ["file", "n_rows"]
+            yield _pd.DataFrame(rows, columns=cols)
+
+    schema = (f"`{pcol}` string, " if pcol else "") + "file string, n_rows long"
+    return paths_df.mapInPandas(_read_footers, schema=schema)
 
 
 def salted_repartition(df: DataFrame, key: str, salt_buckets: int = 8) -> DataFrame:
@@ -139,24 +188,19 @@ def route_to_sinks(
         **(extra_meta or {}),
     }
     if compute_counts:
-        # derive per-sink counts from the WRITTEN data (one columnar scan):
+        # derive per-sink counts from the WRITTEN data's parquet footers
+        # (footer_lineage_scan — file-count-proportional, no row scan):
         # avoids recomputing the upstream plan and verifies what landed.
         # Callers that aggregate the routed table anyway should pass
         # compute_counts=False and fill the manifest via write_manifest with
-        # counts rolled up from their aggregate (saves a full scan).
+        # counts rolled up from their aggregate.
         spark = df.sparkSession
-        written = spark.read.parquet(path)
-        # one columnar scan gives both levels of lineage: per-FILE counts
-        # (file == writer task -> per-partition lineage) land in the
-        # parquet sidecar WITHOUT ever touching the driver; per-sink totals
-        # (the north_rule's per-sink aggregate equality, O(#templates)) are
-        # the only rows collected into the JSON manifest.
+        # per-FILE counts (file == writer task -> per-partition lineage)
+        # land in the parquet sidecar WITHOUT ever touching the driver;
+        # per-sink totals (the north_rule's per-sink aggregate equality,
+        # O(#templates)) are the only rows collected into the JSON manifest.
         (
-            written.groupBy(
-                F.col(partition_col).cast("string").alias(partition_col),
-                _basename_expr(F.input_file_name()).alias("file"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_rows"))
+            footer_lineage_scan(spark, path, partition_col)
             .write.mode("overwrite")
             .parquet(os.path.join(path, LINEAGE_DIR))
         )
@@ -221,10 +265,9 @@ def checkpoint(
     out = spark.read.parquet(path)
     # per-file lineage goes to the parquet sidecar (no driver collect —
     # bounded manifest at any file count); the JSON keeps the two scalars a
-    # resume check needs.
+    # resume check needs. Footer metadata only — no row scan.
     (
-        out.groupBy(_basename_expr(F.input_file_name()).alias("file"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        footer_lineage_scan(spark, path)
         .write.mode("overwrite")
         .parquet(os.path.join(path, LINEAGE_DIR))
     )
@@ -385,19 +428,14 @@ def compact_sinks(
     )
 
     # verify BEFORE swapping: per-sink rows in tmp == per-sink rows on disk.
-    # ONE scan of tmp yields both the per-sink totals for the gate (the
-    # only rows collected — O(#sinks)) and the per-file lineage, which goes
-    # to a staging parquet sidecar (same file basenames post-swap — only
-    # the directories rename), never to the driver.
+    # One footer-metadata pass over tmp yields both the per-sink totals for
+    # the gate (the only rows collected — O(#sinks)) and the per-file
+    # lineage, which goes to a staging parquet sidecar (same file basenames
+    # post-swap — only the directories rename), never to the driver.
     tmp_lineage_path = os.path.join(path, "_compact_tmp_lineage")
     shutil.rmtree(tmp_lineage_path, ignore_errors=True)
     (
-        spark.read.parquet(tmp)
-        .groupBy(
-            F.col(partition_col).cast("string").alias(partition_col),
-            _basename_expr(F.input_file_name()).alias("file"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        footer_lineage_scan(spark, tmp, partition_col)
         .write.mode("overwrite")
         .parquet(tmp_lineage_path)
     )
