@@ -28,10 +28,10 @@ _BULLET_RE = r"^\s*[-*•]"           # -, *, • bullets
 _ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"  # ... or … at end of line
 
 
-def _words(text_col: str) -> Column:
+def _words(text: Column) -> Column:
     """Whitespace word split; empty/blank text -> empty array (split('')
     would yield [''], which inflates every count by one)."""
-    t = F.trim(F.col(text_col))
+    t = F.trim(text)
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -64,25 +64,24 @@ def gopher_rules(
     shuffle, no UDF, whole-stage codegen end to end; at 100 TB this runs at
     scan speed and pushes nothing to the driver.
     """
-    words = _words(text_col)
+    # NULL text behaves as empty (count 0, all rules evaluated) rather than
+    # poisoning every downstream column with NULL booleans
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = _words(txt)
     n_words = F.size(words)
     n_words_nz = F.greatest(n_words, F.lit(1))
 
     # total non-whitespace chars / word count (sum of word lengths without
     # a higher-order aggregate)
-    mean_word_len = round4(
-        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_words_nz
-    )
+    mean_word_len = round4(F.length(F.regexp_replace(txt, r"\s+", "")) / n_words_nz)
 
-    n_hash = F.coalesce(F.regexp_count(F.col(text_col), F.lit("#")), F.lit(0))
+    n_hash = F.coalesce(F.regexp_count(txt, F.lit("#")), F.lit(0))
     n_ellipsis = F.coalesce(
-        F.regexp_count(F.col(text_col), F.lit(r"(\.\.\.|…)")), F.lit(0)
+        F.regexp_count(txt, F.lit(r"(\.\.\.|…)")), F.lit(0)
     )
     symbol_word_ratio = round4((n_hash + n_ellipsis) / n_words_nz)
 
-    lines = F.filter(
-        F.split(F.col(text_col), r"\n"), lambda l: F.length(F.trim(l)) > 0
-    )
+    lines = F.filter(F.split(txt, r"\n"), lambda l: F.length(F.trim(l)) > 0)
     n_lines_nz = F.greatest(F.size(lines), F.lit(1))
     bullet_line_frac = round4(
         F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))) / n_lines_nz

@@ -20,6 +20,7 @@ def test_gopher_rules_pass_and_flags(spark):
         (4, "\n".join([_doc(12) + "..."] * 5)),      # all ellipsis-end lines
         (5, " ".join(["12345"] * 60)),               # no alpha words
         (6, ""),                                     # empty text
+        (7, None),                                   # NULL text == empty
     ]
     out = {
         r["doc_id"]: r.asDict()
@@ -36,6 +37,7 @@ def test_gopher_rules_pass_and_flags(spark):
     assert out[4]["rule_ellipsis_lines"] is False
     assert out[5]["rule_alpha_words"] is False and out[5]["alpha_word_frac"] == 0.0
     assert out[6]["n_words"] == 0 and out[6]["gopher_keep"] is False
+    assert out[7]["n_words"] == 0 and out[7]["gopher_keep"] is False
 
 
 def test_gopher_mean_word_len_band(spark):
