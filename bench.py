@@ -46,6 +46,9 @@ HEADLINE = [
     "text_normalize",
     "boilerplate_rm",
     "keep_best",
+    "gopher_rules",
+    "span_dedup",
+    "dsir_select",
 ]
 
 
