@@ -37,7 +37,10 @@ def file_lineage(spark: SparkSession, path: str) -> DataFrame:
 
 
 def footer_lineage_scan(
-    spark: SparkSession, path: str, partition_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    driver_threshold: int = 4096,
 ) -> DataFrame:
     """Per-file row counts from parquet FOOTER metadata, distributed:
     list the layout's data files (the same driver-side listing every scan's
@@ -55,37 +58,47 @@ def footer_lineage_scan(
     the ``partition_col=value`` path segment (hive layout), percent-escapes
     unquoted exactly as Spark's partition reader does. Local/posix paths
     here; on an object store pyarrow opens s3://... URIs natively — only
-    the file:// prefix needs stripping."""
+    the file:// prefix needs stripping.
+
+    Small layouts (<= ``driver_threshold`` files) read their footers on the
+    DRIVER in a plain loop: at ~1 ms per footer that beats spinning up
+    Arrow python workers and a Spark job by seconds, the same
+    small-side-goes-local reasoning as a broadcast join. Big layouts fan
+    out with mapInPandas so lineage cost stays file-count-proportional and
+    never concentrates on the driver."""
     files = sorted(spark.read.parquet(path).inputFiles())
+    pcol = partition_col
+    schema = (f"`{pcol}` string, " if pcol else "") + "file string, n_rows long"
+
+    def _footer_row(uri: str) -> tuple:
+        import re as _re
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as _pq
+
+        local = _re.sub(r"^file:(//)?", "", uri)
+        rec: list = [uri.rsplit("/", 1)[-1], _pq.read_metadata(local).num_rows]
+        if pcol is not None:
+            m = _re.search(_re.escape(pcol) + r"=([^/]+)/", uri)
+            rec.insert(0, unquote(m.group(1)) if m else None)
+        return tuple(rec)
+
+    if len(files) <= driver_threshold:
+        return spark.createDataFrame([_footer_row(u) for u in files], schema)
+
     par = max(1, min(len(files), spark.sparkContext.defaultParallelism))
     paths_df = spark.createDataFrame(
         [(p,) for p in files], "path string"
     ).repartition(par)
-    pcol = partition_col
 
     def _read_footers(batches):
-        import re as _re
-        from urllib.parse import unquote
-
         import pandas as _pd
-        import pyarrow.parquet as _pq
 
+        cols = ([pcol] if pcol else []) + ["file", "n_rows"]
         for pdf in batches:
-            rows = []
-            for uri in pdf["path"]:
-                local = _re.sub(r"^file:(//)?", "", uri)
-                rec = {
-                    "file": uri.rsplit("/", 1)[-1],
-                    "n_rows": _pq.read_metadata(local).num_rows,
-                }
-                if pcol is not None:
-                    m = _re.search(_re.escape(pcol) + r"=([^/]+)/", uri)
-                    rec[pcol] = unquote(m.group(1)) if m else None
-                rows.append(rec)
-            cols = ([pcol] if pcol else []) + ["file", "n_rows"]
+            rows = [_footer_row(uri) for uri in pdf["path"]]
             yield _pd.DataFrame(rows, columns=cols)
 
-    schema = (f"`{pcol}` string, " if pcol else "") + "file string, n_rows long"
     return paths_df.mapInPandas(_read_footers, schema=schema)
 
 
