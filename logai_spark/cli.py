@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
                      help="drop lines shared by more than this many docs")
     cur.add_argument("--n-shards", type=int, default=None,
                      help="write K balanced-token-budget output shards")
+    cur.add_argument("--gopher", action="store_true",
+                     help="apply the Gopher quality-rule bundle "
+                          "(webclean.gopher_rules) as a pre-filter")
+    cur.add_argument("--gopher-min-words", type=int, default=50,
+                     help="word-count floor for the Gopher rule (default 50)")
+    cur.add_argument("--gopher-min-stopwords", type=int, default=2,
+                     help="required-stopword floor (paper default 2; set 0 "
+                          "for corpora the English stopword list can't judge)")
     cur.add_argument("--mixture", default=None,
                      help="target language proportions for the written "
                           "corpus, e.g. en=0.5,de=0.25,fr=0.25 (largest "
@@ -105,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
                 lsh_max_band_bucket=args.lsh_max_band_bucket or None,
                 normalize=args.normalize,
                 boilerplate_max_df=args.boilerplate_max_df,
+                gopher=args.gopher,
+                gopher_min_words=args.gopher_min_words,
+                gopher_min_stopwords=args.gopher_min_stopwords,
                 n_shards=args.n_shards,
                 mixture=(
                     {

@@ -51,6 +51,11 @@ class CurationConfig:
     near_dup_keep: str = "canonical"  # "canonical" (min id) | "best" (quality)
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
+    # Gopher quality-rule bundle (webclean.gopher_rules) as an absolute
+    # pre-filter next to the repetition ceiling; False = skip the stage
+    gopher: bool = False
+    gopher_min_words: int = 50
+    gopher_min_stopwords: int = 2
     n_shards: int | None = None     # balanced-token output shards (None = flat)
     # target language proportions for the written corpus (e.g.
     # {"en": 0.5, "de": 0.25, "fr": 0.25}); None = keep every survivor.
@@ -185,17 +190,37 @@ def run_curation(
     # 2. repetition ceiling (row-local — computed in the SAME scan that
     #    seeds the ledger, with lang carried through keep_cols: the ledger
     #    base costs one corpus scan + one join to the dedup keepers, never
-    #    an extra id-keyed shuffle to glue stats back on)
+    #    an extra id-keyed shuffle to glue stats back on). The optional
+    #    Gopher rule bundle is row-local too, so it rides the same scan:
+    #    gopher_rules' verdict column joins the keep_cols, its stat columns
+    #    never leave the projection.
+    base_src = docs
+    gopher_cols: list[str] = []
+    if c.gopher:
+        from logai_spark.functions.webclean import gopher_rules
+
+        base_src = gopher_rules(
+            docs,
+            text_col=c.text_col,
+            min_words=c.gopher_min_words,
+            min_stopword_hits=c.gopher_min_stopwords,
+        ).select(*docs.columns, "gopher_keep")
+        gopher_cols = ["gopher_keep"]
     flags = (
         repetition_stats(
-            docs, text_col=c.text_col, id_col=c.id_col,
-            keep_cols=[c.lang_col, *pre_cols],
+            base_src, text_col=c.text_col, id_col=c.id_col,
+            keep_cols=[c.lang_col, *pre_cols, *gopher_cols],
         )
         .select(
             c.id_col,
             c.lang_col,
             *pre_cols,
             (F.col("top_bigram_frac") <= c.max_top_bigram_frac).alias("_keep_rep"),
+            *(
+                [F.col("gopher_keep").alias("_keep_gopher")]
+                if c.gopher
+                else []
+            ),
         )
         .join(keepers, c.id_col, "left")
         .withColumn("_keep_exact", F.coalesce("_keep_exact", F.lit(False)))
@@ -247,6 +272,8 @@ def run_curation(
     # the most expensive row-local expression in the pipeline.
     base = flags.persist()
     pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    if c.gopher:
+        pre_quality = pre_quality & F.col("_keep_gopher")
 
     # 4. per-language quality cut computed over the survivors of 1-3
     qsurv = docs.join(
@@ -287,7 +314,11 @@ def _finish_curation(
 ) -> dict:
     """Stages downstream of the checkpointed ledger: counts, PII scrub,
     packing, (sharded) write, manifest."""
-    pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    # column presence (not config) decides: a resumed ledger carries
+    # _keep_gopher iff it was written with the stage on
+    has_gopher = "_keep_gopher" in flags.columns
+    rep_only = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    pre_quality = rep_only & F.col("_keep_gopher") if has_gopher else rep_only
     # the hygiene stat columns ride the LEDGER for accounting; they are
     # internal and must not leak into the written training corpus
     docs = docs.drop("_norm_changed", "_bp_removed")
@@ -297,7 +328,8 @@ def _finish_curation(
         F.count(F.lit(1)).alias("input"),
         F.sum(F.col("_keep_exact").cast("long")).alias("exact"),
         F.sum((F.col("_keep_exact") & F.col("_keep_near")).cast("long")).alias("near"),
-        F.sum(pre_quality.cast("long")).alias("rep"),
+        F.sum(rep_only.cast("long")).alias("rep"),
+        F.sum(pre_quality.cast("long")).alias("gopher"),
         F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
     ]
     if "_norm_changed" in pre_cols:
@@ -314,6 +346,8 @@ def _finish_curation(
     if c.near_dup:
         counts["after_near_dup"] = int(row["near"] or 0)
     counts["after_repetition_filter"] = int(row["rep"] or 0)
+    if has_gopher:
+        counts["after_gopher_rules"] = int(row["gopher"] or 0)
     counts["after_quality_floor"] = int(row["qual"] or 0)
 
     cur = docs.join(

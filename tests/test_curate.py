@@ -229,6 +229,37 @@ def test_curation_near_dup_keep_best(spark, tmp_path):
     assert 2 in kept and 1 not in kept and 3 in kept
 
 
+def test_curation_gopher_stage(spark, tmp_path):
+    """--gopher filters on the Rae-et-al rule bundle inside the same
+    ledger-seeding scan as the repetition ceiling: the manifest gets an
+    after_gopher_rules count and failing docs never reach the corpus."""
+    good = ("the data of pipeline and scale that works with spark " * 4).strip()
+    rows = [
+        (0, good, "en", "s0"),                      # passes every rule
+        (1, "short the of and", "en", "s0"),        # fails word-count floor
+        (2, " ".join(["#tag"] * 40), "en", "s0"),   # fails symbol ratio
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "gopher")
+    m = run_curation(
+        spark,
+        docs,
+        out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            gopher=True, gopher_min_words=30,
+        ),
+    )
+    c = m["counts"]
+    assert c["after_repetition_filter"] == 3
+    assert c["after_gopher_rules"] == 1
+    assert c["written"] == 1
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    assert {r.doc_id for r in written.select("doc_id").collect()} == {0}
+
+
 def test_curation_mixture_stage(spark, tmp_path):
     """--mixture resamples the quality survivors to target language
     proportions on the thin ledger (ids + lang, never text); the written
