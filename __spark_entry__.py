@@ -1344,6 +1344,59 @@ def _q_bigram_lm(spark, sf_dir):
     return bigram_lm_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def _q_perplexity_bucket(spark, sf_dir):
+    """CCNet head/middle/tail bucketing: bigram-LM avg-logp terciles via one
+    2-scalar exact-percentile aggregate broadcast back — no global sort; the
+    bucket label is a codegen projection (Wenzek et al. 2020)."""
+    from logai_spark.functions.textops import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_cross_near_dup(spark, sf_dir):
+    """Cross-corpus near-dup flags: docs whose MinHash-LSH band keys collide
+    with the reference slice (doc_id % 7 == 0). The ref side reduces to
+    distinct band keys; one left-semi equi-join — no within-corpus pairing,
+    no connected components."""
+    from logai_spark.functions.textops import cross_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_near_dup(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    ).orderBy("doc_id")
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over embeddings: drop vectors whose earlier LSH-collided
+    neighbor has cosine >= threshold (banded hyperplane buckets stand in for
+    the paper's k-means clusters — deterministic, never all-pairs)."""
+    from logai_spark.functions.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(
+        emb, dim=64, threshold=_ND_THRESHOLD, bands=_ND_BANDS, rows_per_band=_ND_ROWS
+    ).orderBy("vec_id")
+
+
+_TB_BUDGET = 20000
+
+
+def _q_token_budget(spark, sf_dir):
+    """Token-budget selection: best-quality docs first until the cumulative
+    token budget is spent — the two-phase distributed cumsum (range
+    repartition + per-range window + broadcast offsets), never a
+    single-task global window."""
+    from logai_spark.functions.selection import token_budget_select
+    from logai_spark.functions.textops import quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scored = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    return token_budget_select(scored, budget=_TB_BUDGET).orderBy("doc_id")
+
+
 def _q_domain_cap(spark, sf_dir):
     """Per-domain quota (hot-domain crawl curation): keep at most 30 docs per
     registered host, longest first. One hash shuffle on the domain key; the
@@ -1568,9 +1621,10 @@ def _q_balanced_shards(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
-    # row (the round-3 curation/streaming additions plus the four rows
-    # rotated out between r2 and r3) are front-loaded; the back 29 are rows
-    # already driver-green in BOTH earlier windows (r2 and/or r3).
+    # row (the round-3 curation/streaming additions, the four rows rotated
+    # out between r2 and r3, and the ten round-4 additions) are
+    # front-loaded; everything past position 50 is a row already
+    # driver-green in an earlier round's window.
     return {
         # -- never driver-verified (round-3 additions) --------------------
         "sessionize": _q_sessionize,
@@ -1607,6 +1661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "span_dedup": _q_span_dedup,
         "dsir_select": _q_dsir_select,
+        "perplexity_bucket": _q_perplexity_bucket,
+        "cross_near_dup": _q_cross_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
+        "token_budget": _q_token_budget,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -1789,7 +1847,9 @@ def _near_dup_sql(
     """
 
 
-def _dd_minhash_cte(k: int, shingle_n: int = 3, table: str = "documents") -> str:
+def _dd_minhash_cte(
+    k: int, shingle_n: int = 3, table: str = "documents", suffix: str = ""
+) -> str:
     from logai_spark.functions.textops import _A, _B
 
     sig_cols = ", ".join(
@@ -1797,17 +1857,36 @@ def _dd_minhash_cte(k: int, shingle_n: int = 3, table: str = "documents") -> str
         for i in range(k)
     )
     return f"""
-        toks AS (
+        toks{suffix} AS (
             SELECT doc_id, {_DD_TOKS} AS t FROM {table}
         ),
-        sh AS (
+        sh{suffix} AS (
             SELECT doc_id,
                    {_DD_H32.format(x=f"array_to_string(t[i:i+{shingle_n - 1}], ' ')")} AS h
-            FROM toks, unnest(range(1, len(t) - {shingle_n - 2})) AS u(i)
+            FROM toks{suffix}, unnest(range(1, len(t) - {shingle_n - 2})) AS u(i)
             WHERE len(t) >= {shingle_n}
         ),
-        sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)
+        sigs{suffix} AS (SELECT doc_id, {sig_cols} FROM sh{suffix} GROUP BY doc_id)
     """
+
+
+def _dd_lsh_bands_cte(suffix: str = "", bands: int = 4, rows_per_band: int = 3) -> str:
+    """Band-key CTE over sigs{suffix} — mirrors textops._band_table's keys."""
+    selects = "\n                UNION ALL\n                ".join(
+        "SELECT doc_id, concat_ws('_', {b}, {sigs}) {alias}FROM sigs{sfx}".format(
+            b=b,
+            sigs=", ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+            alias="AS key " if b == 0 else "",
+            sfx=suffix,
+        )
+        for b in range(bands)
+    )
+    return f"""
+            bands{suffix} AS (
+                {selects})
+"""
 
 
 # 4-band x 3-row banding over the 12-sig minhash CTE (mirrors
@@ -2714,6 +2793,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*)::bigint AS n_bigrams,
                floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_logp
         FROM pos JOIN model USING (bg) GROUP BY doc_id
+    """
+    # terciles over the bigram-LM scores; quantile_cont is the same type-7
+    # continuous quantile Spark's exact percentile computes, and the 4-dp
+    # score grid makes boundary comparisons engine-stable
+    out["perplexity_bucket"] = f"""
+        WITH d AS (SELECT doc_id, {_dtoks} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS bg
+            FROM d, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        bgc AS (SELECT w1, bg, count(*) AS c_bg FROM pos GROUP BY 1, 2),
+        w1c AS (SELECT w1, sum(c_bg) AS c_w1 FROM bgc GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM d)),
+        model AS (SELECT bg, ln((c_bg + 1) / (c_w1 + v)) AS lp
+                  FROM bgc JOIN w1c USING (w1) CROSS JOIN v),
+        scored AS (
+            SELECT doc_id, count(*)::bigint AS n_bigrams,
+                   floor(avg(lp) * 10000 + 0.5) / 10000 AS avg_logp
+            FROM pos JOIN model USING (bg) GROUP BY doc_id),
+        c AS (SELECT quantile_cont(avg_logp, {1.0 / 3.0!r}) AS c0,
+                     quantile_cont(avg_logp, {2.0 / 3.0!r}) AS c1
+              FROM scored)
+        SELECT doc_id, n_bigrams, avg_logp,
+               CASE WHEN avg_logp >= c1 THEN 'head'
+                    WHEN avg_logp >= c0 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored CROSS JOIN c
+    """
+    out["cross_near_dup"] = f"""
+        WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        {_dd_minhash_cte(12, table="newd", suffix="_n")},
+        {_dd_minhash_cte(12, table="refd", suffix="_r")},
+        {_dd_lsh_bands_cte("_n")},
+        {_dd_lsh_bands_cte("_r")},
+        refkeys AS (SELECT DISTINCT key FROM bands_r),
+        hits AS (SELECT DISTINCT doc_id FROM bands_n JOIN refkeys USING (key))
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS ref_dup
+        FROM newd d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+    out["semantic_dedup"] = f"""
+        WITH nd AS ({_near_dup_sql()}),
+        rm AS (SELECT DISTINCT id_b FROM nd)
+        SELECT e.vec_id, (rm.id_b IS NULL) AS kept
+        FROM embeddings e LEFT JOIN rm ON e.vec_id = rm.id_b
+    """
+    out["token_budget"] = f"""
+        WITH q AS (
+            SELECT doc_id,
+                   len({_DD_TOKS}) AS n_tokens,
+                   floor((least(len({_DD_TOKS}) / 64.0, 1.0) * 0.4
+                          + least(len(list_intersect({_DD_TOKS},
+                                                     [{stop_list}])) / 8.0,
+                                  1.0) * 0.3
+                          + floor(len(regexp_replace(text, '[^A-Za-z]', '',
+                                                     'g'))
+                                  / greatest(length(text), 1) * 10000 + 0.5)
+                            / 10000 * 0.3) * 10000 + 0.5) / 10000 AS quality
+            FROM documents WHERE text IS NOT NULL),
+        c AS (
+            SELECT doc_id, n_tokens, quality,
+                   sum(n_tokens) OVER (
+                       ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM q)
+        SELECT doc_id, n_tokens, quality FROM c WHERE cum <= {_TB_BUDGET}
     """
     out["domain_cap"] = """
         WITH u AS (

@@ -49,6 +49,10 @@ HEADLINE = [
     "gopher_rules",
     "span_dedup",
     "dsir_select",
+    "cross_near_dup",
+    "semantic_dedup",
+    "perplexity_bucket",
+    "token_budget",
 ]
 
 

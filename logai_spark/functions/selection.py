@@ -144,3 +144,53 @@ def dsir_select(
     else:
         order = [F.col("dsir_score").desc(), F.col(id_col).asc()]
     return scores.orderBy(*order).limit(k)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    quality_col: str = "quality",
+    order_exprs: list | None = None,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Fill a token budget with the best documents: order the corpus by
+    quality (descending, id tie-break) and keep the longest prefix whose
+    cumulative ``size_col`` still fits in ``budget`` — the final "pick the
+    top N tokens' worth of data" step of a pre-training pipeline (the
+    budget-constrained complement of quality_floor's fraction cut: here the
+    knob is the token count the training run can afford, not a quantile).
+
+    A doc is kept iff its INCLUSIVE running token sum <= budget, so the
+    selection never overshoots; one straddling doc is dropped rather than
+    truncated (document-level selection).
+
+    Scale shape: the two-phase distributed cumulative sum shared with
+    operators.shards.balanced_shards (preprocess.ranged_with_offsets):
+    range-repartition on the total order, per-range window over each
+    sorted range, broadcast per-range offsets — no single-task global
+    window; the budget test is then a pure filter. Deterministic at any
+    parallelism provided ``order_exprs`` is a TOTAL order (the default
+    tie-breaks on the id; quality values are 4-dp grid floats, bit-stable
+    across engines).
+
+    Returns the kept rows with all of ``df``'s columns.
+    """
+    from pyspark.sql import Window
+
+    from logai_spark.preprocess import ranged_with_offsets
+
+    order_exprs = order_exprs or [F.desc(quality_col), F.asc(id_col)]
+    sized = df.withColumn("_sz", F.col(size_col).cast("long"))
+    keys, offsets = ranged_with_offsets(sized, order_exprs, F.sum("_sz"), buckets)
+    w_in = (
+        Window.partitionBy("_range")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = keys.withColumn("_cb", F.coalesce(F.sum("_sz").over(w_in), F.lit(0)))
+    out = cum.join(F.broadcast(offsets.select("_range", "_offset")), "_range")
+    return out.filter(
+        F.col("_cb") + F.col("_offset") + F.col("_sz") <= F.lit(int(budget))
+    ).select(*df.columns)

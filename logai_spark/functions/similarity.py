@@ -157,6 +157,55 @@ def near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style embedding-level deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — remove semantically redundant documents, not just
+    lexical near-copies): a vector is REMOVED iff some earlier vector
+    (smaller id) LSH-collides with it and has cosine >= threshold; the
+    earliest member of every semantic neighborhood survives. This is the
+    deterministic bucketed re-expression of the paper's
+    cluster-then-dedup-within-cluster rule — hyperplane-LSH bands play the
+    role of the k-means clusters, so the result is reproducible at any
+    parallelism with no RNG/iteration state.
+
+    Scale shape: candidate generation is :func:`near_dup_pairs`' banded
+    equi-join (never all-pairs); the removed-id set is one DISTINCT
+    projection of the pair table (partial-agg, stays distributed); the
+    keep flag is a left join of ids against it. Nothing collects.
+
+    Returns one row per input vector: (id_col, kept boolean).
+    """
+    pairs = near_dup_pairs(
+        vectors,
+        dim=dim,
+        threshold=threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+        vec_col=vec_col,
+        method=method,
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        vectors.select(id_col)
+        .join(removed, id_col, "left")
+        .select(id_col, F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"))
+    )
+
+
 def _det_coeff(p: int, j: int) -> int:
     import hashlib
 

@@ -363,6 +363,43 @@ def minhash_signatures(
     return work.select(F.col(id_col), *sigs)
 
 
+def _band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int,
+    rows_per_band: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band_key) table for MinHash-LSH banding — the shared candidate-
+    generation front half of lsh_duplicate_pairs and cross_near_dup. Zero
+    shuffle: per-row signatures + an explode.
+
+    Docs with an empty shingle set (NULL text or < shingle_n tokens) have
+    all-NULL signatures; concat_ws skips NULLs, so their band keys would
+    collapse to the bare band index and pair EVERY such doc with every
+    other (unrelated short docs then merge into one "duplicate" cluster
+    and all but one get dropped downstream). They carry no MinHash
+    evidence — leave them out of banding; they become singletons.
+    The eligibility test runs BEFORE signature computation on the cheap
+    token count (NULL text yields NULL size and is dropped too):
+    filtering on sig_0 AFTER would substitute the full k-permutation
+    min-hash expression into the predicate and recompute it per row —
+    measured 4-5x slower on the sf0.1 LSH pass."""
+    k = bands * rows_per_band
+    eligible = df.filter(F.size(tokenize_expr(text_col)) >= shingle_n)
+    sigs = minhash_signatures(eligible, id_col, text_col, k=k, shingle_n=shingle_n)
+    keys = [
+        F.concat_ws(
+            "_",
+            F.lit(b),
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("_band"))
+
+
 def lsh_duplicate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -392,29 +429,7 @@ def lsh_duplicate_pairs(
     Jaccard is low). Identical-text mass belongs to exact_dedup upstream.
     The cap bounds per-bucket work at cap^2 while leaving real (small)
     near-dup clusters intact; None preserves exact banding semantics."""
-    k = bands * rows_per_band
-    # Docs with an empty shingle set (NULL text or < shingle_n tokens) have
-    # all-NULL signatures; concat_ws skips NULLs, so their band keys would
-    # collapse to the bare band index and pair EVERY such doc with every
-    # other (unrelated short docs then merge into one "duplicate" cluster
-    # and all but one get dropped downstream). They carry no MinHash
-    # evidence — leave them out of banding; they become singletons.
-    # The eligibility test runs BEFORE signature computation on the cheap
-    # token count (NULL text yields NULL size and is dropped too):
-    # filtering on sig_0 AFTER would substitute the full k-permutation
-    # min-hash expression into the predicate and recompute it per row —
-    # measured 4-5x slower on the sf0.1 LSH pass.
-    eligible = df.filter(F.size(tokenize_expr(text_col)) >= shingle_n)
-    sigs = minhash_signatures(eligible, id_col, text_col, k=k, shingle_n=shingle_n)
-    keys = [
-        F.concat_ws(
-            "_",
-            F.lit(b),
-            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
-        )
-        for b in range(bands)
-    ]
-    bandtbl = sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("_band"))
+    bandtbl = _band_table(df, id_col, text_col, bands, rows_per_band, shingle_n)
     if max_band_bucket is not None:
         # same skew-safe shape as the ngram df-cap: partial-agg count of
         # the few hot buckets + shuffle-hash anti-join that streams the
@@ -433,6 +448,57 @@ def lsh_duplicate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def cross_near_dup(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+    out_col: str = "ref_dup",
+) -> DataFrame:
+    """Cross-corpus near-duplicate flagging: mark every doc of ``df`` whose
+    MinHash-LSH band keys collide with ANY document of the reference corpus
+    ``ref`` (a previous crawl snapshot, an already-trained-on corpus, an
+    eval benchmark). The near-dup member of the decontamination family:
+    ``decontaminate`` catches n-gram overlap and ``incremental_dedup``
+    exact text matches; this catches whole-document near duplicates
+    WITHOUT clustering the union corpus (no connected components, no
+    pairing within either side).
+
+    Scale shape: both corpora map to (id, band_key) tables with zero
+    shuffle (per-row signatures + explode); the reference side reduces to
+    DISTINCT band keys (partial-agg, Zipf-small vs the corpus); one
+    left-semi equi-join on the band key flags collisions — linear shuffle,
+    AQE broadcast-converts the key set when ref is small. The corpus being
+    cleaned never shuffles on anything but the band key.
+
+    Returns one row per ``df`` doc: (id_col, out_col boolean). Docs with
+    < shingle_n tokens carry no MinHash evidence and are never flagged.
+    """
+    new_bands = _band_table(df, id_col, text_col, bands, rows_per_band, shingle_n)
+    ref_keys = (
+        _band_table(
+            ref, id_col, ref_text_col or text_col, bands, rows_per_band, shingle_n
+        )
+        .select("_band")
+        .distinct()
+    )
+    hits = (
+        new_bands.join(ref_keys, "_band", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(id_col, F.coalesce(F.col("_hit"), F.lit(False)).alias(out_col))
     )
 
 
@@ -873,6 +939,56 @@ def bigram_lm_score(
             round4(F.avg("_lp")).alias("avg_logp"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document under the corpus-trained bigram LM
+    (:func:`bigram_lm_score`, the KenLM stand-in) and split the corpus at
+    the given avg-logp quantiles — ``head`` is the most fluent tercile
+    (highest avg log-probability), ``tail`` the least; downstream mixtures
+    typically train on head+middle and drop or down-weight tail.
+
+    Scale shape: scoring is bigram_lm_score's two corpus passes; the cut
+    points are ONE tiny aggregate (two scalars) crossJoined back as a
+    broadcast literal row — no global sort, no window, the bucket label is
+    a pure codegen projection. ``exact=True`` uses Spark's exact
+    ``percentile`` (state proportional to distinct scores — bounded here
+    because avg_logp is 4-dp rounded); at 10^12 docs pass ``exact=False``
+    for ``approx_percentile`` and accept epsilon-boundary docs swapping
+    buckets.
+
+    The unpersisted plan evaluates the LM scoring subtree twice (once
+    under the cut aggregate, once in the output projection) — 4 corpus
+    passes instead of 2. Callers that already materialized
+    ``bigram_lm_score`` output (or will reuse it downstream) pass it as
+    ``scored`` — the keep_best(clusters=...) reuse pattern — or persist it
+    first; the self-contained form stays correct, just not minimal.
+
+    Returns (id_col, n_bigrams, avg_logp, bucket); docs with < 2 tokens
+    have no bigram evidence and drop out, as in bigram_lm_score.
+    """
+    if scored is None:
+        scored = bigram_lm_score(df, text_col, id_col)
+    fn = "percentile" if exact else "approx_percentile"
+    cuts_df = scored.agg(
+        F.expr(f"{fn}(avg_logp, array({cuts[0]!r}D, {cuts[1]!r}D))").alias("_c")
+    )
+    out = scored.crossJoin(F.broadcast(cuts_df))
+    bucket = (
+        F.when(F.col("avg_logp") >= F.col("_c")[1], F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("_c")[0], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(id_col, "n_bigrams", "avg_logp", bucket.alias("bucket"))
 
 
 #: Scheme-prefixed URL -> registered host, port and path stripped. Plain
