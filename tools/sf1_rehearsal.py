@@ -52,6 +52,12 @@ DOC_QUERIES = [
     "bpe_token_count",
     "wordpiece_tokens",
     "top_ngrams",
+    # round-4 session-3 corpus-selection ops (semantic_dedup reads the
+    # replicated embeddings table; the rest read documents)
+    "cross_near_dup",
+    "perplexity_bucket",
+    "token_budget",
+    "semantic_dedup",
 ]
 
 
@@ -121,6 +127,21 @@ def main() -> None:
         os.path.join(sf1_dir, "documents.parquet")
     )
     n_docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet")).count()
+
+    # embeddings x replicas for semantic_dedup: identical vectors under
+    # offset ids — every replica group is an exact semantic-dup cluster, so
+    # the dedup path sees dense bucket structure (the stress case), while
+    # base vectors keep their sf0.1 near-dup relationships
+    emb_base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb_reps = None
+    for r in range(replicas):
+        part = emb_base.select(
+            (F.col("vec_id") + r * 10_000_000).alias("vec_id"), "embedding"
+        )
+        emb_reps = part if emb_reps is None else emb_reps.unionByName(part)
+    emb_reps.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(sf1_dir, "embeddings.parquet")
+    )
 
     qs = entrymod.queries()
     results = artifact["queries"]
