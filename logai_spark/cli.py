@@ -63,6 +63,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--gopher-min-stopwords", type=int, default=2,
                      help="required-stopword floor (paper default 2; set 0 "
                           "for corpora the English stopword list can't judge)")
+    cur.add_argument("--decontaminate-ref", default=None,
+                     help="parquet dir of a reference corpus (benchmark / "
+                          "already-trained data); drop docs whose MinHash "
+                          "band keys collide with it")
     cur.add_argument("--mixture", default=None,
                      help="target language proportions for the written "
                           "corpus, e.g. en=0.5,de=0.25,fr=0.25 (largest "
@@ -116,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
                 gopher=args.gopher,
                 gopher_min_words=args.gopher_min_words,
                 gopher_min_stopwords=args.gopher_min_stopwords,
+                decontaminate_ref=args.decontaminate_ref,
                 n_shards=args.n_shards,
                 mixture=(
                     {

@@ -13,6 +13,7 @@ Scale shape per stage (each documented at its operator):
   boilerplate       hashed line-df agg + broadcast hot-set + id reassembly
   exact dedup       one shuffle on text hash + semi-join back
   near-dup          banded LSH equi-join + connected components (no cartesian)
+  decontamination   ref corpus -> distinct band keys, one left-semi join
   repetition filter row-local, zero shuffle
   quality cut       per-lang quantile partial agg + broadcast filter
   PII scrub         row-local regexp codegen
@@ -56,6 +57,13 @@ class CurationConfig:
     gopher: bool = False
     gopher_min_words: int = 50
     gopher_min_stopwords: int = 2
+    # cross-corpus decontamination: parquet path of a reference corpus
+    # (an eval benchmark or already-trained snapshot, same text column);
+    # docs whose MinHash-LSH band keys collide with ANY reference doc are
+    # dropped (textops.cross_near_dup — the ref side reduces to distinct
+    # band keys, one left-semi join, no union-corpus clustering).
+    # None = skip the stage.
+    decontaminate_ref: str | None = None
     n_shards: int | None = None     # balanced-token output shards (None = flat)
     # target language proportions for the written corpus (e.g.
     # {"en": 0.5, "de": 0.25, "fr": 0.25}); None = keep every survivor.
@@ -162,6 +170,15 @@ def run_curation(
         input_fp = f"{docs.schema.json()}:{sorted(docs.inputFiles())}"
     except Exception:
         input_fp = docs.schema.json()
+    # the decontamination REFERENCE is an input too: fingerprint its file
+    # set so a refreshed benchmark at the same path recomputes the ledger
+    ref_df = None
+    if c.decontaminate_ref:
+        ref_df = spark.read.parquet(c.decontaminate_ref)
+        try:
+            input_fp += f":ref={sorted(ref_df.inputFiles())}"
+        except Exception:
+            input_fp += f":ref={c.decontaminate_ref}"
     cfg_hash = hashlib.md5(
         json.dumps(
             {"cfg": stage_cfg, "input": input_fp}, sort_keys=True, default=str
@@ -226,6 +243,28 @@ def run_curation(
         .withColumn("_keep_exact", F.coalesce("_keep_exact", F.lit(False)))
     )
 
+    # 2b. cross-corpus decontamination: absolute per-doc verdict (row-
+    #     independent of the other stages, like gopher); only the FLAGGED
+    #     ids join the ledger — everything else defaults to keep
+    if c.decontaminate_ref:
+        from logai_spark.functions.textops import cross_near_dup
+
+        hits = (
+            cross_near_dup(
+                docs,
+                ref_df,
+                id_col=c.id_col,
+                text_col=c.text_col,
+                bands=c.lsh_bands,
+                rows_per_band=max(1, c.minhash_k // c.lsh_bands),
+            )
+            .filter("ref_dup")
+            .select(c.id_col, F.lit(False).alias("_keep_decon"))
+        )
+        flags = flags.join(hits, c.id_col, "left").withColumn(
+            "_keep_decon", F.coalesce("_keep_decon", F.lit(True))
+        )
+
     # 3. optional near-dup cluster resolution among exact-dedup survivors
     if c.near_dup:
         from logai_spark.functions.components import dup_clusters
@@ -274,6 +313,8 @@ def run_curation(
     pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
     if c.gopher:
         pre_quality = pre_quality & F.col("_keep_gopher")
+    if c.decontaminate_ref:
+        pre_quality = pre_quality & F.col("_keep_decon")
 
     # 4. per-language quality cut computed over the survivors of 1-3
     qsurv = docs.join(
@@ -317,8 +358,10 @@ def _finish_curation(
     # column presence (not config) decides: a resumed ledger carries
     # _keep_gopher iff it was written with the stage on
     has_gopher = "_keep_gopher" in flags.columns
+    has_decon = "_keep_decon" in flags.columns
     rep_only = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
-    pre_quality = rep_only & F.col("_keep_gopher") if has_gopher else rep_only
+    gopher_cut = rep_only & F.col("_keep_gopher") if has_gopher else rep_only
+    pre_quality = gopher_cut & F.col("_keep_decon") if has_decon else gopher_cut
     # the hygiene stat columns ride the LEDGER for accounting; they are
     # internal and must not leak into the written training corpus
     docs = docs.drop("_norm_changed", "_bp_removed")
@@ -329,7 +372,8 @@ def _finish_curation(
         F.sum(F.col("_keep_exact").cast("long")).alias("exact"),
         F.sum((F.col("_keep_exact") & F.col("_keep_near")).cast("long")).alias("near"),
         F.sum(rep_only.cast("long")).alias("rep"),
-        F.sum(pre_quality.cast("long")).alias("gopher"),
+        F.sum(gopher_cut.cast("long")).alias("gopher"),
+        F.sum(pre_quality.cast("long")).alias("decon"),
         F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
     ]
     if "_norm_changed" in pre_cols:
@@ -348,6 +392,8 @@ def _finish_curation(
     counts["after_repetition_filter"] = int(row["rep"] or 0)
     if has_gopher:
         counts["after_gopher_rules"] = int(row["gopher"] or 0)
+    if has_decon:
+        counts["after_decontaminate"] = int(row["decon"] or 0)
     counts["after_quality_floor"] = int(row["qual"] or 0)
 
     cur = docs.join(

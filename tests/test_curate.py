@@ -292,3 +292,47 @@ def test_curation_mixture_stage(spark, tmp_path):
     written = spark.read.parquet(os.path.join(out, "curated"))
     got = {r["lang"]: r["n"] for r in written.groupBy("lang").agg(SF.count("*").alias("n")).collect()}
     assert got == {"en": 6, "de": 6}
+
+
+def test_curation_decontaminate_stage(spark, tmp_path):
+    """--decontaminate-ref drops docs whose MinHash band keys collide with
+    the reference corpus; the manifest gets an after_decontaminate count
+    and a refreshed reference invalidates the resume ledger."""
+    leak = ("the benchmark question about spark shuffle partitions " * 5).strip()
+    clean = ("a perfectly ordinary web document about gardening tips " * 5).strip()
+    rows = [
+        (0, leak, "en", "s0"),           # near-identical to the ref doc
+        (1, leak + " extra", "en", "s0"),  # near dup of the ref doc
+        (2, clean, "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ref_dir = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(900, leak)], "doc_id long, text string"
+    ).write.parquet(ref_dir)
+    out = str(tmp_path / "decon")
+    cfg = CurationConfig(
+        keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+        decontaminate_ref=ref_dir,
+    )
+    m = run_curation(spark, docs, out, cfg)
+    c = m["counts"]
+    assert c["after_repetition_filter"] == 3
+    assert c["after_decontaminate"] == 1
+    assert c["written"] == 1
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    assert {r.doc_id for r in written.select("doc_id").collect()} == {2}
+
+    # resume with the same ref skips recompute; a CHANGED ref at the same
+    # path must invalidate the ledger (its file set is fingerprinted)
+    cfg_resume = CurationConfig(**{**cfg.__dict__, "resume": True})
+    m2 = run_curation(spark, docs, out, cfg_resume)
+    assert m2["resumed_from_ledger"] is True
+    spark.createDataFrame(
+        [(901, clean)], "doc_id long, text string"
+    ).write.mode("append").parquet(ref_dir)
+    m3 = run_curation(spark, docs, out, cfg_resume)
+    assert m3["resumed_from_ledger"] is False
+    assert m3["counts"]["after_decontaminate"] == 0
