@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="target language proportions for the written "
                           "corpus, e.g. en=0.5,de=0.25,fr=0.25 (largest "
                           "feasible subsample matching the mix)")
+    cur.add_argument("--token-budget", type=int, default=None,
+                     help="total token budget for the written corpus: keep "
+                          "the best-quality survivors whose cumulative "
+                          "token count fits")
     cur.add_argument("--resume", action="store_true",
                      help="reuse the checkpointed stage ledger if config matches")
 
@@ -132,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.mixture
                     else None
                 ),
+                token_budget=args.token_budget,
                 resume=args.resume,
             ),
         )

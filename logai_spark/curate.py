@@ -70,6 +70,11 @@ class CurationConfig:
     # Applied POST-ledger over the thin (id, lang) table — the sampling
     # window shuffles ids, never text — so resume still skips stages 1-4.
     mixture: dict | None = None
+    # total token budget for the written corpus: keep the best-quality
+    # survivors whose cumulative token count fits
+    # (selection.token_budget_select, two-phase distributed cumsum).
+    # Post-ledger like mixture — excluded from the resume hash.
+    token_budget: int | None = None
     resume: bool = False            # reuse a checkpointed ledger if present
     minhash_k: int = 16
     lsh_bands: int = 4
@@ -156,7 +161,7 @@ def run_curation(
     meta_path = os.path.join(output, "_ledger_meta.json")
     stage_cfg = {
         k: v for k, v in asdict(c).items()
-        if k not in ("pack_budget", "n_shards", "mixture", "resume")
+        if k not in ("pack_budget", "n_shards", "mixture", "token_budget", "resume")
     }
     # the hash also fingerprints the INPUT (schema + the concrete file set
     # behind the scan): a rerun pointed at a different snapshot dir — or
@@ -432,6 +437,22 @@ def _finish_curation(
             F.filter(F.split(F.trim(F.col(c.text_col)), r"\s+"), lambda t: t != "")
         ).cast("long"),
     )
+
+    # 5b. optional corpus token budget: best-quality-first prefix under the
+    #     budget (quality rides the ledger join; the cumsum shuffles only
+    #     (id, size, quality) columns of the already-curated survivors)
+    if c.token_budget:
+        from logai_spark.functions.selection import token_budget_select
+
+        sel = token_budget_select(
+            sized.select(c.id_col, "n_tokens", "quality"),
+            budget=c.token_budget,
+            id_col=c.id_col,
+            size_col="n_tokens",
+            quality_col="quality",
+        ).select(c.id_col)
+        counts["after_token_budget"] = sel.count()
+        sized = sized.join(sel, c.id_col, "left_semi")
     packs = pack_sequences(
         sized,
         budget=c.pack_budget,

