@@ -1618,6 +1618,81 @@ def _q_balanced_shards(spark, sf_dir):
     )
 
 
+def _q_substring_dedup(spark, sf_dir):
+    """Token-level exact-substring dedup (Lee et al. 2021 EXACTSUBSTR,
+    re-expressed as fixed-width rolling windows; webclean.substring_dedup):
+    every duplicated 8-token window keeps its smallest (doc, pos)
+    occurrence and the tokens covered by other occurrences are removed.
+    Only 16-byte window hashes + int positions shuffle — never text."""
+    from logai_spark.functions.webclean import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        substring_dedup(docs, window=8)
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_tokens",
+            "n_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_line_filter(spark, sf_dir):
+    """C4 §2.2 line-level filter (webclean.line_filter): sentence
+    terminators + newlines are injected every 6 words (the corpus is
+    single-line word soup) and one deterministically-chosen boilerplate
+    line per doc_id % 4 exercises the javascript / policy-phrase / brace
+    rules. Zero-shuffle whole-stage-codegen projection."""
+    from logai_spark.functions.webclean import line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    inject = (
+        F.when(m == 0, F.lit("Please enable javascript to continue here.\n"))
+        .when(m == 1, F.lit("Read our privacy policy for details.\n"))
+        .when(m == 2, F.lit("var cfg = { mode: 1 };\n"))
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(
+        inject,
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"((\w+ ){5}\w+) ",
+            "$1.\n",
+        ),
+    )
+    return (
+        line_filter(d.select("doc_id", txt.alias("text")))
+        .select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_lines",
+            "n_kept_lines",
+            "n_sentences",
+            "c4_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """Supervised fastText-style quality classifier (CCNet wiki-reference
+    filter; selection.quality_classifier): multinomial NB over 512 hashed
+    unigram+bigram buckets, trained on lang=='en' as the positive class,
+    scoring the whole corpus via one broadcast join + partial-agg sum."""
+    from logai_spark.functions.selection import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    return quality_classifier(
+        docs.select("doc_id", "text"), labeled, buckets=512
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
@@ -1665,6 +1740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_near_dup": _q_cross_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "token_budget": _q_token_budget,
+        "substring_dedup": _q_substring_dedup,
+        "line_filter": _q_line_filter,
+        "quality_classifier": _q_quality_classifier,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2859,6 +2937,162 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM q)
         SELECT doc_id, n_tokens, quality FROM c WHERE cum <= {_TB_BUDGET}
+    """
+    # token-level exact-substring dedup: duplicated 8-token windows keep
+    # their min (doc, pos); covered tokens of other occurrences removed
+    out["substring_dedup"] = """
+        WITH arrs AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                       t -> length(t) > 0) AS a
+            FROM documents),
+        toks AS (
+            SELECT doc_id, a[i] AS tok, i - 1 AS pos
+            FROM arrs, unnest(range(1, len(a) + 1)) AS u(i)),
+        wins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(a[i:i+7], ' ')) AS h
+            FROM arrs, unnest(range(1, len(a) - 6)) AS u(i)
+            WHERE len(a) >= 8),
+        ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (
+                       PARTITION BY h ORDER BY doc_id, pos) AS rk
+            FROM wins),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + o AS tpos
+            FROM ranked, unnest(range(0, 8)) AS u(o)
+            WHERE rk > 1),
+        kept AS (
+            SELECT t.doc_id, t.tok, t.pos
+            FROM toks t LEFT JOIN covered c
+                 ON c.doc_id = t.doc_id AND c.tpos = t.pos
+            WHERE c.doc_id IS NULL),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(coalesce(a.clean_text, '')) AS clean_md5,
+               coalesce(t.n_tokens, 0)::bigint AS n_tokens,
+               coalesce(a.n_kept, 0)::bigint AS n_kept
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    # C4 line filter: injected sentence terminators/newlines + one
+    # boilerplate line per doc_id % 4; line rules then doc rules
+    out["line_filter"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 4 = 0
+                         THEN 'Please enable javascript to continue here.'
+                              || chr(10)
+                         WHEN doc_id % 4 = 1
+                         THEN 'Read our privacy policy for details.' || chr(10)
+                         WHEN doc_id % 4 = 2
+                         THEN 'var cfg = { mode: 1 };' || chr(10)
+                         ELSE '' END)
+                   || regexp_replace(coalesce(text, ''),
+                                     '((\\w+ ){5}\\w+) ',
+                                     '\\1.' || chr(10), 'g') AS t
+            FROM documents),
+        ls AS (
+            SELECT doc_id, t,
+                   list_filter(
+                       list_transform(string_split(t, chr(10)),
+                                      s -> trim(s)),
+                       s -> length(s) > 0) AS lines
+            FROM p),
+        ks AS (
+            SELECT doc_id, t, lines,
+                   list_filter(lines, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND len(regexp_split_to_array(l, '\\s+')) >= 3
+                       AND NOT contains(lower(l), 'javascript')
+                       AND NOT contains(lower(l), 'terms of use')
+                       AND NOT contains(lower(l), 'privacy policy')
+                       AND NOT contains(lower(l), 'cookie policy')
+                       AND NOT contains(lower(l), 'uses cookies')) AS kept
+            FROM ls),
+        fin AS (
+            SELECT doc_id, t,
+                   array_to_string(kept, chr(10)) AS clean,
+                   len(lines)::int AS n_lines,
+                   len(kept)::int AS n_kept_lines
+            FROM ks),
+        sen AS (
+            SELECT doc_id, clean, n_lines, n_kept_lines,
+                   len(list_filter(
+                       list_transform(
+                           regexp_extract_all(clean,
+                                              '[^.!?]+(?:[.!?]+|$)', 0),
+                           s -> trim(s)),
+                       s -> length(s) > 0))::int AS n_sentences,
+                   contains(lower(t), 'lorem ipsum') AS lor,
+                   contains(t, '{') AS brc
+            FROM fin)
+        SELECT doc_id, md5(clean) AS clean_md5, n_lines, n_kept_lines,
+               n_sentences,
+               (n_sentences >= 5 AND NOT lor AND NOT brc) AS c4_keep
+        FROM sen ORDER BY doc_id
+    """
+    # supervised NB quality classifier: lang='en' positive class, 512
+    # hashed unigram+bigram buckets, add-one smoothing, 4-dp weights
+    _qc_b = _DD_H32.format(x="g") + " % 512"
+    out["quality_classifier"] = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter({_DD_TOKS}, t -> length(t) > 0) AS t
+            FROM documents),
+        uni AS (SELECT doc_id, unnest(t) AS g FROM d),
+        bi AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM d, unnest(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2),
+        g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        gb AS (SELECT doc_id, {_qc_b} AS bucket FROM g),
+        lab AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+            FROM documents),
+        pgb AS (SELECT bucket FROM gb JOIN lab USING (doc_id) WHERE label = 1),
+        ngb AS (SELECT bucket FROM gb JOIN lab USING (doc_id) WHERE label = 0),
+        pc AS (SELECT bucket, count(*) AS c FROM pgb GROUP BY 1),
+        nc AS (SELECT bucket, count(*) AS c FROM ngb GROUP BY 1),
+        pt AS (SELECT count(*) AS tot FROM pgb),
+        nt AS (SELECT count(*) AS tot FROM ngb),
+        dp AS (SELECT count(*) AS n FROM lab WHERE label = 1),
+        dn AS (SELECT count(*) AS n FROM lab WHERE label = 0),
+        pr AS (
+            SELECT floor(ln((dp.n + 1) / (dn.n + 1)) * 10000 + 0.5) / 10000
+                   AS p
+            FROM dp, dn),
+        spine AS (SELECT unnest(range(0, 512)) AS bucket),
+        w AS (
+            SELECT bucket,
+                   floor((ln((coalesce(pc.c, 0) + 1) / (pt.tot + 512))
+                        - ln((coalesce(nc.c, 0) + 1) / (nt.tot + 512)))
+                         * 10000 + 0.5) / 10000 AS w
+            FROM spine
+            LEFT JOIN pc USING (bucket)
+            LEFT JOIN nc USING (bucket)
+            CROSS JOIN pt CROSS JOIN nt),
+        sc AS (
+            SELECT gb.doc_id, sum(w.w) AS s
+            FROM gb JOIN w USING (bucket) GROUP BY gb.doc_id),
+        fin AS (
+            SELECT docs.doc_id,
+                   floor((coalesce(sc.s, 0) + pr.p) * 10000 + 0.5) / 10000
+                   AS nb_score
+            FROM documents docs
+            LEFT JOIN sc ON sc.doc_id = docs.doc_id
+            CROSS JOIN pr)
+        SELECT doc_id, nb_score, (nb_score > 0) AS nb_keep
+        FROM fin ORDER BY doc_id
     """
     out["domain_cap"] = """
         WITH u AS (

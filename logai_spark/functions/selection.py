@@ -146,6 +146,85 @@ def dsir_select(
     return scores.orderBy(*order).limit(k)
 
 
+def quality_classifier(
+    raw: DataFrame,
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    buckets: int = 4096,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style supervised quality classifier — the "looks like a
+    wiki reference?" filter of CCNet (Wenzek et al. 2020 §4.3) and the
+    LLaMA data pipeline (Touvron et al. 2023 §2): a linear model over
+    hashed unigram+bigram bag-of-words features, trained on a labeled
+    (text, label∈{0,1}) set, scoring every corpus document with
+    log P(pos|x) - log P(neg|x).
+
+    The model is multinomial Naive Bayes with add-one smoothing — the
+    closed-form member of the linear-classifier family fastText belongs
+    to — chosen because its sufficient statistics are two bounded
+    (bucket, count) tables: training is two partial-aggregatable
+    bucket-count passes (at most ``buckets`` rows reach the driver
+    regardless of labeled-set size, the same fit-on-aggregates pattern as
+    dsir_select), and scoring is one broadcast join + partial-agg sum
+    over the raw corpus. Unlike dsir_select (unsupervised importance
+    ratio between two corpora, top-k selection), this is a supervised
+    keep/drop decision with a class prior and a threshold.
+
+    Per-bucket weights and per-doc scores are 4-dp rounded
+    (textops.round4) for engine-stable floats, which is what makes the
+    DuckDB oracle row possible. Returns one row per raw document:
+    (id, nb_score, nb_keep) with nb_keep = nb_score > threshold;
+    gram-less documents score exactly the class prior.
+    """
+    import math
+
+    pos = labeled.filter(F.col(label_col).cast("int") == 1)
+    neg = labeled.filter(F.col(label_col).cast("int") == 0)
+    p_cnt = {r["bucket"]: r["cnt"] for r in _bucket_counts(pos, text_col, buckets).collect()}
+    n_cnt = {r["bucket"]: r["cnt"] for r in _bucket_counts(neg, text_col, buckets).collect()}
+    p_tot, n_tot = sum(p_cnt.values()), sum(n_cnt.values())
+    n_pos_docs, n_neg_docs = pos.count(), neg.count()
+
+    def _r4(x: float) -> float:
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    prior = _r4(math.log((n_pos_docs + 1) / (n_neg_docs + 1)))
+    weights = raw.sparkSession.createDataFrame(
+        [
+            (
+                b,
+                _r4(
+                    math.log((p_cnt.get(b, 0) + 1) / (p_tot + buckets))
+                    - math.log((n_cnt.get(b, 0) + 1) / (n_tot + buckets))
+                ),
+            )
+            for b in range(buckets)
+        ],
+        "bucket long, w double",
+    )
+
+    doc_buckets = raw.select(
+        F.col(id_col), F.explode(_grams(text_col)).alias("gram")
+    ).select(id_col, F.pmod(_hash32(F.col("gram")), F.lit(buckets)).alias("bucket"))
+    scores = (
+        doc_buckets.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(round4(F.sum("w") + F.lit(prior)).alias("nb_score"))
+    )
+    scores = (
+        raw.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("nb_score", F.lit(prior)).alias("nb_score"),
+        )
+    )
+    return scores.withColumn("nb_keep", F.col("nb_score") > F.lit(threshold))
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,

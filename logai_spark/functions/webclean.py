@@ -1,16 +1,18 @@
 """Web-corpus cleaning operators beyond the reference: the Gopher quality
-rule bundle and C4-style span deduplication.
+rule bundle, C4-style span deduplication, the C4 line-level filter, and
+token-level exact-substring deduplication.
 
 These implement the published filtering recipes large-scale text pipelines
 run before training (Rae et al. 2021 "Scaling Language Models: ... Gopher",
-Appendix A; Raffel et al. 2020 "C4" §2.2) — not anything in
+Appendix A; Raffel et al. 2020 "C4" §2.2; Lee et al. 2021 "Deduplicating
+Training Data Makes Language Models Better" §4.1) — not anything in
 /root/reference, which stops at log analytics. They complete the curation
 surface next to textops.quality_score / repetition_stats.
 
-Scale notes are per-function; the common theme is that every Gopher rule is
-a row-local zero-shuffle projection, and span_dedup shuffles only 16-byte
-span hashes + integer positions (never document text) through two linear
-aggregations.
+Scale notes are per-function; the common theme is that every Gopher/C4
+rule is a row-local zero-shuffle projection, and the window-dedup family
+(span_dedup, substring_dedup) shuffles only 16-byte window hashes +
+integer positions (never document text) through two linear aggregations.
 """
 
 from __future__ import annotations
@@ -172,20 +174,72 @@ def span_dedup(
         ),
         lambda s: F.length(s) > 0,
     )
-    sent_tbl = df.select(F.col(id_col), F.posexplode(sents).alias("pos", "sent"))
+    return _window_dedup(df, id_col, sents, span).withColumnRenamed(
+        "n_units", "n_sentences"
+    )
 
-    # spans: sentence i starts the window covering [i, i+span-1]
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Token-level exact-substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", the
+    EXACTSUBSTR method of §4.1, re-expressed for a distributed engine):
+    every ``window``-token sliding window that occurs more than once in
+    the corpus keeps exactly one occurrence — the smallest (doc, position)
+    — and the tokens covered by every other occurrence are removed before
+    the documents are reassembled. The paper's 50-token threshold is the
+    default.
+
+    The paper builds a single suffix array over the concatenated corpus —
+    inherently single-machine. The fixed-width rolling-window formulation
+    here finds the identical duplicated regions whenever the duplicated
+    substring is >= ``window`` tokens (every such region is a union of
+    duplicated windows) at the cost of missing shorter matches, and it
+    distributes: only (16-byte window hash, id, int position) ever
+    shuffles, keeper election is a partial-aggregatable min(struct), and
+    removal is an integer anti-join — the same linear-footprint shape as
+    span_dedup. Window construction is O(tokens × window) characters per
+    document but strictly row-local (no shuffle grows with ``window``).
+
+    Tokens are whitespace runs, case-sensitive (exact-match semantics).
+    Returns one row per input document: (id, clean_text, n_tokens,
+    n_kept). Documents with fewer than ``window`` tokens pass through
+    unchanged.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return _window_dedup(df, id_col, toks, window).withColumnRenamed(
+        "n_units", "n_tokens"
+    )
+
+
+def _window_dedup(
+    df: DataFrame, id_col: str, units: Column, span: int
+) -> DataFrame:
+    """Shared machinery for span_dedup / substring_dedup: given an ordered
+    per-document unit array (sentences or tokens), remove every unit
+    covered by a non-first occurrence of a corpus-duplicated ``span``-unit
+    window and reassemble. Returns (id, clean_text, n_units, n_kept)."""
+    unit_tbl = df.select(F.col(id_col), F.posexplode(units).alias("pos", "unit"))
+
+    # windows: unit i starts the window covering [i, i+span-1]
     w_ids = F.col(id_col)
     span_tbl = (
         df.select(
             w_ids,
             F.posexplode(
                 F.when(
-                    F.size(sents) >= span,
+                    F.size(units) >= span,
                     F.transform(
-                        F.sequence(F.lit(0), F.size(sents) - span),
+                        F.sequence(F.lit(0), F.size(units) - span),
                         lambda i: F.concat_ws(
-                            " ", F.slice(sents, i + 1, span)
+                            " ", F.slice(units, i + 1, span)
                         ),
                     ),
                 ).otherwise(F.array().cast("array<string>"))
@@ -213,18 +267,18 @@ def span_dedup(
         .distinct()
     )
 
-    kept_sents = sent_tbl.join(dropped, [id_col, "pos"], "left_anti")
-    rebuilt = kept_sents.groupBy(id_col).agg(
+    kept_units = unit_tbl.join(dropped, [id_col, "pos"], "left_anti")
+    rebuilt = kept_units.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
-                lambda s: s["sent"],
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
             ),
             " ",
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = sent_tbl.groupBy(id_col).agg(F.count("*").alias("n_sentences"))
+    totals = unit_tbl.groupBy(id_col).agg(F.count("*").alias("n_units"))
 
     return (
         df.select(id_col)
@@ -233,7 +287,98 @@ def span_dedup(
         .select(
             F.col(id_col),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_sentences", F.lit(0)).alias("n_sentences"),
+            F.coalesce("n_units", F.lit(0)).alias("n_units"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+# C4 §2.2 line filter constants. Terminal punctuation per the paper:
+# period, exclamation mark, question mark, or end quotation mark. The
+# policy-phrase line removals are the C4-style line filters FineWeb
+# carries alongside them (Penedo et al. 2024, C4 filter set).
+_TERMINAL_PUNCT_RE = r'[.!?"]$'
+C4_POLICY_PHRASES = [
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+]
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    policy_phrases: list[str] | None = None,
+) -> DataFrame:
+    """C4 line-level filter (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation, contain at least ``min_line_words``
+    words, and mention neither "javascript" nor a policy phrase
+    ("terms of use" / "privacy policy" / ... — the C4-style line set
+    FineWeb retains); then flag whole documents that contain "lorem
+    ipsum" or "{", or whose retained text has fewer than
+    ``min_sentences`` sentences.
+
+    Adds to every input row: ``clean_text`` (kept lines joined with
+    newlines), ``n_lines`` / ``n_kept_lines``, ``n_sentences`` (sentence
+    count of the retained text, SENTENCE_RE semantics shared with
+    span_dedup), the doc-level booleans ``has_lorem_ipsum`` /
+    ``has_brace`` / ``rule_min_sentences``, and ``c4_keep`` = the AND of
+    the doc-level rules — callers filter on ``c4_keep`` or audit which
+    rule fired, mirroring gopher_rules.
+
+    Scale: pure `pyspark.sql.functions` expressions over each row — no
+    shuffle, no UDF, whole-stage codegen end to end; at 100 TB this runs
+    at scan speed (the same zero-shuffle contract as gopher_rules,
+    pinned by the plan-shape tests).
+    """
+    phrases = C4_POLICY_PHRASES if policy_phrases is None else policy_phrases
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(txt, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+    def _line_ok(l: Column) -> Column:
+        low = F.lower(l)
+        ok = (
+            l.rlike(_TERMINAL_PUNCT_RE)
+            & (F.size(F.split(l, r"\s+")) >= min_line_words)
+            & ~low.contains("javascript")
+        )
+        for p in phrases:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(
+        F.filter(
+            F.transform(
+                F.regexp_extract_all(clean, F.lit(SENTENCE_RE), F.lit(0)),
+                lambda s: F.trim(s),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+
+    out = (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept_lines", F.size(kept))
+        .withColumn("n_sentences", n_sentences)
+        .withColumn("has_lorem_ipsum", F.lower(txt).contains("lorem ipsum"))
+        .withColumn("has_brace", txt.contains("{"))
+        .withColumn(
+            "rule_min_sentences", F.col("n_sentences") >= min_sentences
+        )
+    )
+    return out.withColumn(
+        "c4_keep",
+        F.col("rule_min_sentences")
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace"),
     )

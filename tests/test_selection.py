@@ -59,3 +59,70 @@ def test_dsir_plan_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------- quality classifier
+
+
+def _labeled(spark):
+    pos_rows = [
+        (100 + i, "spark shuffle partition join broadcast executor stage", 1)
+        for i in range(4)
+    ]
+    neg_rows = [
+        (200, "recipe flour sugar butter oven bake cake", 0),
+        (201, "piano violin concerto orchestra symphony", 0),
+        (202, "flour butter cake oven sugar bake recipe", 0),
+    ]
+    return spark.createDataFrame(
+        pos_rows + neg_rows, "doc_id long, text string, label int"
+    )
+
+
+def test_quality_classifier_separates_classes(spark):
+    from logai_spark.functions.selection import quality_classifier
+
+    raw, _ = _corpora(spark)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality_classifier(raw, _labeled(spark), buckets=512).collect()
+    }
+    assert len(out) == 6
+    for i in (0, 1, 4):   # target-like docs score positive -> kept
+        assert out[i]["nb_keep"] is True and out[i]["nb_score"] > 0
+    for i in (2, 3):      # off-topic docs score negative -> dropped
+        assert out[i]["nb_keep"] is False and out[i]["nb_score"] < 0
+
+
+def test_quality_classifier_empty_doc_gets_prior(spark):
+    import math
+
+    from logai_spark.functions.selection import quality_classifier
+
+    raw, _ = _corpora(spark)
+    out = {
+        r["doc_id"]: r["nb_score"]
+        for r in quality_classifier(raw, _labeled(spark), buckets=512).collect()
+    }
+    prior = math.floor(math.log((4 + 1) / (3 + 1)) * 10000 + 0.5) / 10000
+    assert out[5] == prior
+
+
+def test_quality_classifier_deterministic_and_broadcast_plan(spark):
+    from logai_spark.functions.selection import quality_classifier
+
+    raw, _ = _corpora(spark)
+    a = sorted(
+        (r["doc_id"], r["nb_score"])
+        for r in quality_classifier(raw, _labeled(spark), buckets=512).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["nb_score"])
+        for r in quality_classifier(raw, _labeled(spark), buckets=512).collect()
+    )
+    assert a == b
+    plan = (
+        quality_classifier(raw, _labeled(spark), buckets=512)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

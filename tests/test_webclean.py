@@ -100,3 +100,131 @@ def test_span_dedup_plan_never_shuffles_text(spark):
     )
     plan = span_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------- substring
+
+
+def test_substring_dedup_removes_later_token_windows(spark):
+    from logai_spark.functions.webclean import substring_dedup
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"{shared} tail1 tail2"),        # first occurrence -> kept whole
+        (2, f"lead {shared} other"),         # 8-token window repeats -> cut
+        (3, "too short to match"),           # < window tokens -> untouched
+        (4, ""),                             # empty -> survives as empty
+        (5, None),                           # NULL text == empty
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), window=8
+        ).collect()
+    }
+    assert out[1]["clean_text"] == f"{shared} tail1 tail2"
+    assert out[1]["n_tokens"] == 10 and out[1]["n_kept"] == 10
+    assert out[2]["clean_text"] == "lead other"
+    assert out[2]["n_tokens"] == 10 and out[2]["n_kept"] == 2
+    assert out[3]["clean_text"] == "too short to match"
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_substring_dedup_long_duplicate_region_fully_covered(spark):
+    """A duplicated region LONGER than the window is a union of duplicated
+    windows, so the whole region is removed from the later occurrence."""
+    from logai_spark.functions.webclean import substring_dedup
+
+    region = " ".join(f"w{i}" for i in range(12))   # 12 tokens, window 8
+    rows = [(1, region), (2, f"{region} suffix")]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), window=8
+        ).collect()
+    }
+    assert out[1]["n_kept"] == 12
+    assert out[2]["clean_text"] == "suffix" and out[2]["n_kept"] == 1
+
+
+def test_substring_dedup_case_sensitive_and_no_cartesian(spark):
+    from logai_spark.functions.webclean import substring_dedup
+
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared.upper())], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, window=8).collect()}
+    # exact-match semantics: different case -> no duplicate, both kept
+    assert out[1]["n_kept"] == 8 and out[2]["n_kept"] == 8
+    plan = substring_dedup(df, window=8)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------- line filter
+
+
+GOOD_LINE = "This is a perfectly normal retained sentence."
+
+
+def test_line_filter_c4_line_rules(spark):
+    from logai_spark.functions.webclean import line_filter
+
+    doc = "\n".join(
+        [
+            GOOD_LINE,                                   # kept
+            "No terminal punctuation here",              # dropped: no punct
+            "Short one.",                                # dropped: < 3 words
+            "Enable javascript to view this page.",      # dropped: javascript
+            "Read our privacy policy before continuing.", # dropped: policy
+            'He said "stop right there."',               # kept (quote end)
+            "What could possibly go wrong?",             # kept
+            "The final line ends with a bang!",          # kept
+            "One more sentence to clear the minimum.",   # kept
+        ]
+    )
+    out = line_filter(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    ).collect()[0]
+    assert out["n_lines"] == 9 and out["n_kept_lines"] == 5
+    lines = out["clean_text"].split("\n")
+    assert lines[0] == GOOD_LINE and len(lines) == 5
+    assert out["n_sentences"] >= 5
+    assert out["c4_keep"] is True
+
+
+def test_line_filter_doc_level_rules(spark):
+    from logai_spark.functions.webclean import line_filter
+
+    five_good = "\n".join([GOOD_LINE] * 5)
+    rows = [
+        (1, five_good),                                    # keep
+        (2, "\n".join([GOOD_LINE] * 4)),                   # < 5 sentences
+        (3, five_good + "\nWe Lorem Ipsum dolor sit."),    # lorem ipsum
+        (4, five_good + "\nvar x = {a: 1} in body."),      # brace
+        (5, ""),                                           # empty
+        (6, None),                                         # NULL == empty
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in line_filter(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["c4_keep"] is True
+    assert out[2]["c4_keep"] is False and out[2]["rule_min_sentences"] is False
+    assert out[3]["c4_keep"] is False and out[3]["has_lorem_ipsum"] is True
+    assert out[4]["c4_keep"] is False and out[4]["has_brace"] is True
+    assert out[5]["c4_keep"] is False and out[5]["n_lines"] == 0
+    assert out[6]["c4_keep"] is False and out[6]["clean_text"] == ""
+
+
+def test_line_filter_zero_shuffle_plan(spark):
+    from logai_spark.functions.webclean import line_filter
+
+    df = spark.createDataFrame(
+        [(i, GOOD_LINE) for i in range(10)], "doc_id long, text string"
+    )
+    plan = line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
