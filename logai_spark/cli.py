@@ -75,6 +75,25 @@ def main(argv: list[str] | None = None) -> int:
                      help="total token budget for the written corpus: keep "
                           "the best-quality survivors whose cumulative "
                           "token count fits")
+    cur.add_argument("--line-filter", action="store_true",
+                     help="apply the C4 line-level filter "
+                          "(webclean.line_filter) before dedup")
+    cur.add_argument("--line-filter-min-sentences", type=int, default=5,
+                     help="doc-level sentence floor for --line-filter "
+                          "(C4 default 5)")
+    cur.add_argument("--substring-window", type=int, default=None,
+                     help="token-level exact-substring dedup window "
+                          "(webclean.substring_dedup; Lee et al. use 50)")
+    cur.add_argument("--classifier-ref", default=None,
+                     help="parquet dir of a positive reference corpus for "
+                          "the supervised quality classifier (CCNet-style); "
+                          "negatives are hash-sampled from the input")
+    cur.add_argument("--classifier-threshold", type=float, default=0.0,
+                     help="drop docs with NB score <= this (default 0.0)")
+    cur.add_argument("--classifier-neg-frac", type=float, default=0.1,
+                     help="input fraction hash-sampled as the negative class")
+    cur.add_argument("--classifier-buckets", type=int, default=4096,
+                     help="hashed n-gram feature buckets for the classifier")
     cur.add_argument("--resume", action="store_true",
                      help="reuse the checkpointed stage ledger if config matches")
 
@@ -125,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
                 gopher_min_words=args.gopher_min_words,
                 gopher_min_stopwords=args.gopher_min_stopwords,
                 decontaminate_ref=args.decontaminate_ref,
+                line_filter=args.line_filter,
+                line_filter_min_sentences=args.line_filter_min_sentences,
+                substring_window=args.substring_window,
+                classifier_ref=args.classifier_ref,
+                classifier_threshold=args.classifier_threshold,
+                classifier_neg_frac=args.classifier_neg_frac,
+                classifier_buckets=args.classifier_buckets,
                 n_shards=args.n_shards,
                 mixture=(
                     {

@@ -9,11 +9,14 @@ per-language quality cut, PII scrub, and token-budget sequence packing, with
 a manifest of per-stage row counts so every drop is accounted for.
 
 Scale shape per stage (each documented at its operator):
+  line filter       row-local codegen (C4 §2.2 line rules), zero shuffle
   normalize         row-local codegen chain, zero shuffle
   boilerplate       hashed line-df agg + broadcast hot-set + id reassembly
+  substring dedup   window-hash agg + int-position anti-join (linear)
   exact dedup       one shuffle on text hash + semi-join back
   near-dup          banded LSH equi-join + connected components (no cartesian)
   decontamination   ref corpus -> distinct band keys, one left-semi join
+  classifier        bounded bucket-count fit + broadcast-join scoring
   repetition filter row-local, zero shuffle
   quality cut       per-lang quantile partial agg + broadcast filter
   PII scrub         row-local regexp codegen
@@ -52,6 +55,23 @@ class CurationConfig:
     near_dup_keep: str = "canonical"  # "canonical" (min id) | "best" (quality)
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
+    # C4 §2.2 line-level filter (webclean.line_filter) as the FIRST hygiene
+    # stage: drops non-sentence lines in place and flags docs failing the
+    # doc-level rules (lorem ipsum / brace / min sentences). False = skip.
+    line_filter: bool = False
+    line_filter_min_sentences: int = 5
+    # token-level exact-substring dedup (webclean.substring_dedup, Lee et
+    # al. 2021): duplicated >=window-token regions keep one occurrence,
+    # covered tokens elsewhere are removed in place. None = skip.
+    substring_window: int | None = None
+    # supervised quality classifier (selection.quality_classifier): parquet
+    # path of a positive reference corpus (the CCNet "wiki side"); the
+    # negative class is a deterministic hash-sample of the input corpus
+    # itself. Docs scoring <= threshold are dropped. None = skip.
+    classifier_ref: str | None = None
+    classifier_threshold: float = 0.0
+    classifier_neg_frac: float = 0.1
+    classifier_buckets: int = 4096
     # Gopher quality-rule bundle (webclean.gopher_rules) as an absolute
     # pre-filter next to the repetition ceiling; False = skip the stage
     gopher: bool = False
@@ -109,6 +129,28 @@ def run_curation(
     #    scan as everything else (no extra corpus pass for accounting).
     # ------------------------------------------------------------------
     pre_cols: list[str] = []
+    if c.line_filter:
+        from logai_spark.functions.webclean import line_filter
+
+        # line rules first (they need the raw line structure), BEFORE
+        # normalize collapses whitespace. Row-local zero-shuffle codegen:
+        # fuses into the first corpus scan. The cleaned text replaces
+        # text_col so dedup/quality run on what would actually be trained
+        # on (the C4 ordering); the doc-level verdict becomes a ledger
+        # keep-flag and the per-doc dropped-line count rides as a stat.
+        lf = line_filter(
+            docs,
+            text_col=c.text_col,
+            id_col=c.id_col,
+            min_sentences=c.line_filter_min_sentences,
+        )
+        docs = lf.select(
+            *[col for col in docs.columns if col != c.text_col],
+            F.col("clean_text").alias(c.text_col),
+            (F.col("n_lines") - F.col("n_kept_lines")).alias("_lines_removed"),
+            F.col("c4_keep").alias("_c4_keep"),
+        )
+        pre_cols.extend(["_lines_removed", "_c4_keep"])
     if c.normalize:
         from logai_spark.functions.curation import normalize_text_expr
 
@@ -138,6 +180,27 @@ def run_curation(
             c.id_col,
         )
         pre_cols.append("_bp_removed")
+    if c.substring_window:
+        from logai_spark.functions.webclean import substring_dedup
+
+        # corpus-global but linear: only 16-byte window hashes + int
+        # positions shuffle (webclean.substring_dedup docstring). Runs on
+        # the hygiene-cleaned text, BEFORE exact dedup, so trivially-
+        # different copies whose difference was inside a removed duplicated
+        # region become hash-equal downstream (the C4/Lee et al. ordering).
+        ss = substring_dedup(
+            docs, text_col=c.text_col, id_col=c.id_col,
+            window=c.substring_window,
+        )
+        docs = docs.drop(c.text_col).join(
+            ss.select(
+                c.id_col,
+                F.col("clean_text").alias(c.text_col),
+                (F.col("n_tokens") - F.col("n_kept")).alias("_ss_removed"),
+            ),
+            c.id_col,
+        )
+        pre_cols.append("_ss_removed")
 
     # ------------------------------------------------------------------
     # Flag ledger: one boolean per drop reason on a THIN (id, lang,
@@ -184,6 +247,14 @@ def run_curation(
             input_fp += f":ref={sorted(ref_df.inputFiles())}"
         except Exception:
             input_fp += f":ref={c.decontaminate_ref}"
+    # the classifier's positive reference corpus is an input too
+    cls_ref_df = None
+    if c.classifier_ref:
+        cls_ref_df = spark.read.parquet(c.classifier_ref)
+        try:
+            input_fp += f":clsref={sorted(cls_ref_df.inputFiles())}"
+        except Exception:
+            input_fp += f":clsref={c.classifier_ref}"
     cfg_hash = hashlib.md5(
         json.dumps(
             {"cfg": stage_cfg, "input": input_fp}, sort_keys=True, default=str
@@ -200,7 +271,15 @@ def run_curation(
     if resumed:
         flags = spark.read.parquet(ledger_dir)
         pre_cols = [
-            x for x in ("_norm_changed", "_bp_removed") if x in flags.columns
+            x
+            for x in (
+                "_lines_removed",
+                "_c4_keep",
+                "_norm_changed",
+                "_bp_removed",
+                "_ss_removed",
+            )
+            if x in flags.columns
         ]
         return _finish_curation(spark, docs, flags, pre_cols, output, c, True)
 
@@ -270,6 +349,38 @@ def run_curation(
             "_keep_decon", F.coalesce("_keep_decon", F.lit(True))
         )
 
+    # 2c. supervised quality classifier: positives = the reference corpus,
+    #     negatives = a deterministic hash-sample of the input (the CCNet
+    #     construction). Training is two bounded bucket-count aggregates
+    #     over the labeled set; scoring is one broadcast join + partial-agg
+    #     sum over the corpus. Absolute per-doc verdict — only the DROPPED
+    #     ids join the ledger, everything else defaults to keep.
+    if c.classifier_ref:
+        from logai_spark.functions.selection import quality_classifier
+        from logai_spark.functions.textops import hash_sample
+
+        neg = hash_sample(
+            docs, frac=c.classifier_neg_frac, id_col=c.id_col, salt="clsneg"
+        )
+        labeled = cls_ref_df.select(
+            F.col(c.text_col), F.lit(1).alias("label")
+        ).unionByName(neg.select(F.col(c.text_col), F.lit(0).alias("label")))
+        dropped_cls = (
+            quality_classifier(
+                docs,
+                labeled,
+                text_col=c.text_col,
+                id_col=c.id_col,
+                buckets=c.classifier_buckets,
+                threshold=c.classifier_threshold,
+            )
+            .filter(~F.col("nb_keep"))
+            .select(c.id_col, F.lit(False).alias("_keep_cls"))
+        )
+        flags = flags.join(dropped_cls, c.id_col, "left").withColumn(
+            "_keep_cls", F.coalesce("_keep_cls", F.lit(True))
+        )
+
     # 3. optional near-dup cluster resolution among exact-dedup survivors
     if c.near_dup:
         from logai_spark.functions.components import dup_clusters
@@ -316,10 +427,14 @@ def run_curation(
     # the most expensive row-local expression in the pipeline.
     base = flags.persist()
     pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    if c.line_filter:
+        pre_quality = pre_quality & F.col("_c4_keep")
     if c.gopher:
         pre_quality = pre_quality & F.col("_keep_gopher")
     if c.decontaminate_ref:
         pre_quality = pre_quality & F.col("_keep_decon")
+    if c.classifier_ref:
+        pre_quality = pre_quality & F.col("_keep_cls")
 
     # 4. per-language quality cut computed over the survivors of 1-3
     qsurv = docs.join(
@@ -364,12 +479,19 @@ def _finish_curation(
     # _keep_gopher iff it was written with the stage on
     has_gopher = "_keep_gopher" in flags.columns
     has_decon = "_keep_decon" in flags.columns
+    has_c4 = "_c4_keep" in flags.columns
+    has_cls = "_keep_cls" in flags.columns
     rep_only = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
-    gopher_cut = rep_only & F.col("_keep_gopher") if has_gopher else rep_only
-    pre_quality = gopher_cut & F.col("_keep_decon") if has_decon else gopher_cut
+    c4_cut = rep_only & F.col("_c4_keep") if has_c4 else rep_only
+    gopher_cut = c4_cut & F.col("_keep_gopher") if has_gopher else c4_cut
+    decon_cut = gopher_cut & F.col("_keep_decon") if has_decon else gopher_cut
+    pre_quality = decon_cut & F.col("_keep_cls") if has_cls else decon_cut
     # the hygiene stat columns ride the LEDGER for accounting; they are
     # internal and must not leak into the written training corpus
-    docs = docs.drop("_norm_changed", "_bp_removed")
+    docs = docs.drop(
+        "_norm_changed", "_bp_removed", "_lines_removed", "_c4_keep",
+        "_ss_removed",
+    )
 
     # ONE aggregate yields every stage count (ledger rows are id+booleans)
     aggs = [
@@ -377,28 +499,42 @@ def _finish_curation(
         F.sum(F.col("_keep_exact").cast("long")).alias("exact"),
         F.sum((F.col("_keep_exact") & F.col("_keep_near")).cast("long")).alias("near"),
         F.sum(rep_only.cast("long")).alias("rep"),
+        F.sum(c4_cut.cast("long")).alias("c4"),
         F.sum(gopher_cut.cast("long")).alias("gopher"),
-        F.sum(pre_quality.cast("long")).alias("decon"),
+        F.sum(decon_cut.cast("long")).alias("decon"),
+        F.sum(pre_quality.cast("long")).alias("cls"),
         F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
     ]
     if "_norm_changed" in pre_cols:
         aggs.append(F.sum(F.col("_norm_changed").cast("long")).alias("normed"))
     if "_bp_removed" in pre_cols:
         aggs.append(F.sum("_bp_removed").alias("bp_removed"))
+    if "_lines_removed" in pre_cols:
+        aggs.append(F.sum("_lines_removed").alias("lines_removed"))
+    if "_ss_removed" in pre_cols:
+        aggs.append(F.sum("_ss_removed").alias("ss_removed"))
     row = flags.agg(*aggs).collect()[0]
     counts: dict[str, int] = {"input": row["input"]}
+    if "_lines_removed" in pre_cols:
+        counts["filtered_lines_removed"] = int(row["lines_removed"] or 0)
     if "_norm_changed" in pre_cols:
         counts["normalized_docs"] = int(row["normed"] or 0)
     if "_bp_removed" in pre_cols:
         counts["boilerplate_lines_removed"] = int(row["bp_removed"] or 0)
+    if "_ss_removed" in pre_cols:
+        counts["substring_tokens_removed"] = int(row["ss_removed"] or 0)
     counts["after_exact_dedup"] = int(row["exact"] or 0)
     if c.near_dup:
         counts["after_near_dup"] = int(row["near"] or 0)
     counts["after_repetition_filter"] = int(row["rep"] or 0)
+    if has_c4:
+        counts["after_line_filter"] = int(row["c4"] or 0)
     if has_gopher:
         counts["after_gopher_rules"] = int(row["gopher"] or 0)
     if has_decon:
         counts["after_decontaminate"] = int(row["decon"] or 0)
+    if has_cls:
+        counts["after_classifier"] = int(row["cls"] or 0)
     counts["after_quality_floor"] = int(row["qual"] or 0)
 
     cur = docs.join(

@@ -362,3 +362,127 @@ def test_curation_token_budget_stage(spark, tmp_path):
     # up to the prefix tie-break on id
     kept = {r["doc_id"] for r in written.select("doc_id").collect()}
     assert kept  # non-degenerate
+
+
+def test_curation_line_filter_stage(spark, tmp_path):
+    """--line-filter applies the C4 line rules as the first hygiene stage:
+    bad lines vanish from the WRITTEN text, docs failing the doc-level
+    rules are dropped, and the manifest accounts for both."""
+    good = "This is a perfectly normal retained sentence."
+    rows = [
+        # 6 good lines + one boilerplate line that must be cut from text
+        (0, "\n".join([good] * 6 + ["Enable javascript to continue."]), "en", "s0"),
+        # a '{' doc: dropped at the doc level
+        (1, "\n".join([good] * 6) + "\nvar x = {1};", "en", "s0"),
+        # too few sentences after filtering: dropped
+        (2, "\n".join([good] * 2), "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "lf")
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            line_filter=True,
+        ),
+    )
+    c = m["counts"]
+    assert c["input"] == 3
+    assert c["after_line_filter"] == 1
+    assert c["filtered_lines_removed"] == 2   # javascript line + brace line
+    assert c["written"] == 1
+    written = spark.read.parquet(os.path.join(out, "curated")).collect()
+    assert written[0]["doc_id"] == 0
+    assert "javascript" not in written[0]["text"].lower()
+    assert "_c4_keep" not in spark.read.parquet(
+        os.path.join(out, "curated")
+    ).columns
+
+
+def test_curation_substring_dedup_stage(spark, tmp_path):
+    """--substring-window removes duplicated token windows in place BEFORE
+    exact dedup, so two docs differing only inside a shared duplicated
+    region become hash-equal and dedup to one."""
+    r1 = " ".join(f"r1tok{i}" for i in range(10))
+    r2 = " ".join(f"r2tok{i}" for i in range(10))
+    rows = [
+        (0, r1, "en", "s0"),                             # owns region r1
+        (1, r2, "en", "s0"),                             # owns region r2
+        (2, f"common prefix body {r1}", "en", "s0"),     # r1 removed
+        (3, f"common prefix body {r2}", "en", "s0"),     # r2 removed
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "ss")
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            substring_window=8,
+        ),
+    )
+    c = m["counts"]
+    assert c["substring_tokens_removed"] == 20
+    # docs 2 and 3 both reduce to "common prefix body" -> exact dedup
+    # drops 3 (a dup pair that did NOT exist before substring removal)
+    assert c["after_exact_dedup"] == 3
+    written = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert set(written) == {0, 1, 2}
+    assert "r1tok0" in written[0]             # first occurrence kept
+    assert written[2] == "common prefix body"  # later occurrence removed
+
+
+def test_curation_classifier_stage(spark, tmp_path):
+    """--classifier-ref trains the NB quality classifier (positives = ref
+    corpus, negatives = hash-sample of the input) and drops docs scoring
+    below threshold; a refreshed ref invalidates the resume ledger."""
+    wiki = "spark shuffle partition join broadcast executor stage plan"
+    junk = "buy cheap pills casino bonus click winner prize jackpot offer"
+    rows = (
+        [(i, wiki + f" page {i}", "en", "s0") for i in range(6)]
+        + [(100 + i, junk + f" spam {i}", "en", "s0") for i in range(6)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    ref_dir = str(tmp_path / "wiki_ref")
+    # a ref corpus big enough that the wiki grams outweigh the add-one
+    # smoothing mass (64 buckets keeps the smoothed denominators small
+    # for a unit-test-sized labeled set)
+    spark.createDataFrame(
+        [(900 + i, wiki) for i in range(20)], "doc_id long, text string"
+    ).write.parquet(ref_dir)
+    out = str(tmp_path / "cls")
+    cfg = CurationConfig(
+        keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+        classifier_ref=ref_dir, classifier_neg_frac=0.5,
+        classifier_buckets=64,
+    )
+    m = run_curation(spark, docs, out, cfg)
+    c = m["counts"]
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    # every wiki-like doc survives (the negative hash-sample contains some
+    # of them — the CCNet construction tolerates contaminated negatives);
+    # the junk docs score far below zero and are dropped
+    assert set(range(6)) <= kept
+    assert c["after_classifier"] < c["after_repetition_filter"]
+    assert len({d for d in kept if d >= 100}) <= 1
+
+    # resume works, and a refreshed positive ref invalidates the ledger
+    cfg_resume = CurationConfig(**{**cfg.__dict__, "resume": True})
+    m2 = run_curation(spark, docs, out, cfg_resume)
+    assert m2["resumed_from_ledger"] is True
+    spark.createDataFrame(
+        [(990, junk)], "doc_id long, text string"
+    ).write.mode("append").parquet(ref_dir)
+    m3 = run_curation(spark, docs, out, cfg_resume)
+    assert m3["resumed_from_ledger"] is False
