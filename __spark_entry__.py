@@ -1697,7 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
     # row (the round-3 curation/streaming additions, the four rows rotated
-    # out between r2 and r3, and the ten round-4 additions) are
+    # out between r2 and r3, and the thirteen round-4 additions) are
     # front-loaded; everything past position 50 is a row already
     # driver-green in an earlier round's window.
     return {

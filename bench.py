@@ -53,6 +53,9 @@ HEADLINE = [
     "semantic_dedup",
     "perplexity_bucket",
     "token_budget",
+    "substring_dedup",
+    "line_filter",
+    "quality_classifier",
 ]
 
 

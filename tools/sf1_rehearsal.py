@@ -58,6 +58,10 @@ DOC_QUERIES = [
     "perplexity_bucket",
     "token_budget",
     "semantic_dedup",
+    # round-4 session-4 ops
+    "substring_dedup",
+    "line_filter",
+    "quality_classifier",
 ]
 
 
