@@ -1264,3 +1264,133 @@ def vocab_drift(
         F.max("nb").alias("n_words_b"),
         round4(F.sum((kl_term(p) + kl_term(q)) / 2)).alias("js_divergence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling + URL blocklist filtering (training-data extensions)
+# ---------------------------------------------------------------------------
+
+def epoch_upsample(
+    df: DataFrame,
+    epochs: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "e42",
+    copy_col: str = "epoch_copy",
+) -> DataFrame:
+    """Pile-style epoch upsampling (Gao et al. 2020 §1, Table 1: each
+    component is seen ``epochs`` times per training run): replicate every
+    row of group g floor(epochs[g]) times, plus one more copy for a
+    deterministic hash-chosen ``frac(epochs[g])`` share of the group —
+    so the expected AND realized copy count per group converges to the
+    requested epoch weight, and the SAME rows get the extra copy on every
+    run, every cluster size, every partitioning (``df.sample`` guarantees
+    none of that). The complement of :func:`mixture_sample`: that one can
+    only downsample toward target proportions; this one upsamples scarce
+    high-quality components (the paper's Wikipedia x3, books x1.5 recipe).
+
+    Output: input columns + ``copy_col`` (1..k) — downstream shuffles
+    (sequence packing, shard balancing) must treat (id, copy) as the key.
+    Groups absent from ``epochs`` pass through with weight 1.0.
+
+    Scale shape: zero shuffles — the weights enter as a literal CASE map,
+    the fractional cut is the hash_sample filter, and the replication is
+    explode(sequence(1, n_copies)) which grows the data exactly by the
+    requested factor inside the same stage (no skew: copies of a row stay
+    in its partition and downstream keys re-spread them).
+    """
+    if any(e < 0 for e in epochs.values()):
+        raise ValueError("epoch weights must be >= 0")
+    wmap = F.create_map(
+        *[x for g, e in sorted(epochs.items()) for x in (F.lit(g), F.lit(float(e)))]
+    )
+    w = F.coalesce(
+        F.element_at(wmap, F.col(group_col).cast("string")), F.lit(1.0)
+    )
+    key = F.concat_ws(
+        "|", F.lit(salt), F.col(group_col).cast("string"), F.col(id_col).cast("string")
+    )
+    # floor(w) full copies + 1 more iff this row's hash falls inside the
+    # fractional remainder (in 1/10000 buckets, like hash_sample)
+    frac_extra = (
+        _hash32(key) % 10000 < F.floor((w - F.floor(w)) * 10000).cast("long")
+    ).cast("int")
+    n_copies = (F.floor(w).cast("int") + frac_extra).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    action: str = "drop",
+    flag_col: str = "url_blocked",
+) -> DataFrame:
+    """Domain-blocklist filtering (RefinedWeb §3.1 runs a 4.6M-domain
+    adult/fraud blocklist before any content filter; C4 uses a badwords
+    blocklist the same way). A row is blocked when its registered host
+    equals a blocklist domain OR is a subdomain of one
+    (``ads.tracker.example.com`` matches blocklist entry ``example.com``).
+
+    ``action='drop'`` removes blocked rows; ``action='flag'`` keeps all
+    rows and adds boolean ``flag_col`` (audit mode — count what WOULD drop
+    before committing a new blocklist revision).
+
+    Scale shape: ZERO corpus shuffles. The blocklist dedupes, lower-cases,
+    and broadcasts (4.6M domains is ~100 MB); the corpus takes one
+    broadcast LEFT join per suffix DEPTH — the last-2-label suffix, the
+    last-3-label suffix, ... up to the deepest label count present in the
+    blocklist (a bounded scalar read off the blocklist, itself tiny) —
+    and ORs the hit flags. That beats the tempting alternatives: a plain
+    equi-join misses subdomains; an `endswith` theta-join is a cartesian
+    product; and explode(suffixes) + join + join-back re-shuffles the
+    whole corpus on the id key just to reattach one boolean. Left
+    broadcast joins preserve row count because the build side is
+    distinct. Suffixes shorter than two labels never join (nobody blocks
+    a bare TLD; it would also make ".com" a corpus-wide hot probe).
+    """
+    if action not in ("drop", "flag"):
+        raise ValueError(f"action must be 'drop' or 'flag', got {action!r}")
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("_bl_domain")
+    ).distinct()
+    # deepest label count in the blocklist bounds the suffix depths worth
+    # probing; a bounded scalar, not corpus-dependent
+    max_labels = (
+        bl.agg(F.max(F.size(F.split("_bl_domain", r"\.")))).collect()[0][0] or 0
+    )
+    host = url_domain_expr(url_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    out = df
+    hit = F.lit(False)
+    for k in range(2, max(max_labels, 1) + 1):
+        sfx = f"_sfx{k}"
+        # last k labels of the host; NULL when the host is shallower
+        out = out.withColumn(
+            sfx,
+            F.when(n >= k, F.array_join(F.slice(parts, n - k + 1, k), ".")),
+        )
+        marked = F.broadcast(
+            bl.filter(F.size(F.split("_bl_domain", r"\.")) == k).select(
+                F.col("_bl_domain").alias(sfx + "_bl"),
+                F.lit(True).alias(sfx + "_hit"),
+            )
+        )
+        out = out.join(marked, F.col(sfx) == F.col(sfx + "_bl"), "left").drop(
+            sfx, sfx + "_bl"
+        )
+        hit = hit | F.coalesce(F.col(sfx + "_hit"), F.lit(False))
+    out = out.withColumn(flag_col, hit).drop(
+        *[f"_sfx{k}_hit" for k in range(2, max(max_labels, 1) + 1)]
+    )
+    if action == "drop":
+        return out.filter(~F.col(flag_col)).drop(flag_col)
+    return out

@@ -382,3 +382,223 @@ def line_filter(
         & ~F.col("has_lorem_ipsum")
         & ~F.col("has_brace"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition-rule suite (Rae et al. 2021, Appendix A.1.2)
+# ---------------------------------------------------------------------------
+
+def _run_fold(sorted_arr: Column, clen) -> Column:
+    """Fold a SORTED string array into run statistics in one pass: returns
+    struct(top_cnt int, top_chars long, dup_chars long, dup_extra long)
+    where, over the distinct values v with occurrence count c,
+
+    - ``top_cnt``   = max c (count of the most frequent value),
+    - ``top_chars`` = c * clen(v) for the most frequent v (ties on c broken
+      toward the larger character contribution, so the result is
+      deterministic and engine-independent),
+    - ``dup_chars`` = sum of c * clen(v) over values with c >= 2 (all
+      occurrences of duplicated values),
+    - ``dup_extra`` = sum of (c-1) * clen(v) over values with c >= 2
+      (occurrences beyond the first — the "duplicate" characters).
+
+    ``clen`` maps a value Column to its character length for the metric at
+    hand (raw length for lines/paragraphs; length minus the joining spaces
+    for word n-grams). Row-local: one array_sort + one aggregate HOF per
+    metric, O(n log n) per document, zero shuffle, zero Python.
+    """
+
+    def _fin(acc):
+        run = acc["run"]
+        cl = clen(acc["prev"])
+        contrib = run.cast("long") * cl
+        bc = F.when(run > acc["bc"], run).otherwise(acc["bc"])
+        bchars = (
+            F.when(run == 0, acc["bchars"])
+            .when(run > acc["bc"], contrib)
+            .when(run == acc["bc"], F.greatest(acc["bchars"], contrib))
+            .otherwise(acc["bchars"])
+        )
+        dall = F.when(run >= 2, acc["dall"] + contrib).otherwise(acc["dall"])
+        dext = F.when(
+            run >= 2, acc["dext"] + (run - 1).cast("long") * cl
+        ).otherwise(acc["dext"])
+        return bc, bchars, dall, dext
+
+    def _merge(acc, x):
+        same = (acc["run"] >= 1) & (x == acc["prev"])
+        bc, bchars, dall, dext = _fin(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["bc"]).otherwise(bc).alias("bc"),
+            F.when(same, acc["bchars"]).otherwise(bchars).alias("bchars"),
+            F.when(same, acc["dall"]).otherwise(dall).alias("dall"),
+            F.when(same, acc["dext"]).otherwise(dext).alias("dext"),
+        )
+
+    def _finish(acc):
+        bc, bchars, dall, dext = _fin(acc)
+        return F.struct(
+            bc.alias("top_cnt"),
+            bchars.alias("top_chars"),
+            dall.alias("dup_chars"),
+            dext.alias("dup_extra"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bc"),
+        F.lit(0).cast("long").alias("bchars"),
+        F.lit(0).cast("long").alias("dall"),
+        F.lit(0).cast("long").alias("dext"),
+    )
+    return F.aggregate(F.array_sort(sorted_arr), init, _merge, _finish)
+
+
+#: Paper thresholds (Rae et al. 2021 Table A1): max fraction of characters
+#: in the most frequent word n-gram, n = 2..4.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+#: ... and max fraction of characters inside duplicated n-grams, n = 5..10.
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    top_ngram_max: dict[int, float] | None = None,
+    dup_ngram_max: dict[int, float] | None = None,
+) -> DataFrame:
+    """The FULL Gopher repetition-rule suite (Rae et al. 2021, Appendix
+    A.1.2) as one zero-shuffle projection — the complete version of the
+    two-stat sampler in ``textops.repetition_stats``:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of (non-blank,
+      trimmed) lines / paragraphs that are repeats of an earlier one.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: fraction of line /
+      paragraph characters inside those repeats (occurrences beyond the
+      first), over the total line / paragraph characters.
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
+      frequent word n-gram (count x its non-space char length) over the
+      document's total word characters.
+    - ``dup_{5..10}gram_char_frac``: characters covered by ALL occurrences
+      of duplicated n-grams over total word characters, capped at 1.0
+      (overlapping n-grams can cover a character more than once; the
+      published implementations mark positions instead — positional
+      marking needs per-position state that would force a UDF, so this
+      operator over-counts overlaps and caps, which is strictly
+      conservative for filtering).
+
+    Emits the 13 statistics (4-dp, engine-portable rounding), one boolean
+    per rule, and ``repetition_keep`` = AND of all rules. Defaults are the
+    paper's Table A1 thresholds. Paragraphs are ``\\n{2,}`` splits; lines
+    are ``\\n`` splits; both trimmed, blanks dropped. Word n-grams join on
+    a single space and their char length excludes the joining spaces;
+    the word-char denominator is the text's non-whitespace length.
+
+    Scale: row-local array/HOF expressions only — 11 sort+fold passes per
+    document, no shuffle, no UDF, nothing on the driver; at 100 TB this
+    runs at scan speed next to gopher_rules in the same stage.
+    """
+    top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _units(pattern: str) -> Column:
+        return F.filter(
+            F.transform(F.split(txt, pattern), lambda s: F.trim(s)),
+            lambda s: F.length(s) > 0,
+        )
+
+    words = _words(txt)
+    d = (
+        df.withColumn("_lines", _units(r"\n"))
+        .withColumn("_paras", _units(r"\n{2,}"))
+        .withColumn("_words", words)
+        .withColumn(
+            "_wchars", F.length(F.regexp_replace(txt, r"\s+", "")).cast("long")
+        )
+    )
+
+    def _ngrams(n: int) -> Column:
+        return F.when(
+            F.size("_words") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_words") - n),
+                lambda i: F.concat_ws(" ", F.slice("_words", i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    for n in sorted(set(top_ngram_max) | set(dup_ngram_max)):
+        d = d.withColumn(
+            f"_ng{n}", _run_fold(_ngrams(n), lambda s, n=n: F.length(s) - (n - 1))
+        )
+    d = d.withColumn("_lst", _run_fold(F.col("_lines"), F.length)).withColumn(
+        "_pst", _run_fold(F.col("_paras"), F.length)
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return round4(
+            F.when(den > 0, F.least(num.cast("double") / den, F.lit(1.0))).otherwise(
+                F.lit(0.0)
+            )
+        )
+
+    def _unit_chars(arr: str) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    stats = {
+        "dup_line_frac": _frac(
+            F.size("_lines") - F.size(F.array_distinct("_lines")),
+            F.size("_lines"),
+        ),
+        "dup_para_frac": _frac(
+            F.size("_paras") - F.size(F.array_distinct("_paras")),
+            F.size("_paras"),
+        ),
+        "dup_line_char_frac": _frac(
+            F.col("_lst.dup_extra"), _unit_chars("_lines")
+        ),
+        "dup_para_char_frac": _frac(
+            F.col("_pst.dup_extra"), _unit_chars("_paras")
+        ),
+    }
+    for n in sorted(top_ngram_max):
+        stats[f"top_{n}gram_char_frac"] = _frac(
+            F.col(f"_ng{n}.top_chars"), F.col("_wchars")
+        )
+    for n in sorted(dup_ngram_max):
+        stats[f"dup_{n}gram_char_frac"] = _frac(
+            F.col(f"_ng{n}.dup_chars"), F.col("_wchars")
+        )
+
+    out = d.select(id_col, *(keep_cols or []), *[v.alias(k) for k, v in stats.items()])
+
+    rules = {
+        "rule_dup_line": F.col("dup_line_frac") <= max_dup_line_frac,
+        "rule_dup_para": F.col("dup_para_frac") <= max_dup_para_frac,
+        "rule_dup_line_char": F.col("dup_line_char_frac")
+        <= max_dup_line_char_frac,
+        "rule_dup_para_char": F.col("dup_para_char_frac")
+        <= max_dup_para_char_frac,
+    }
+    for n, t in sorted(top_ngram_max.items()):
+        rules[f"rule_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") <= t
+    for n, t in sorted(dup_ngram_max.items()):
+        rules[f"rule_dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") <= t
+
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        keep = keep & F.col(name)
+    return out.withColumn("repetition_keep", keep)

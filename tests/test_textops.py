@@ -441,3 +441,120 @@ def test_mixture_sample_normalizes_and_guards(spark):
     assert counts == {"en": 20, "de": 20}
     with pytest.raises(ValueError, match="non-empty"):
         mixture_sample(df, {})
+
+
+# ---------------------------------------------------------------------------
+# epoch_upsample (Pile-style component epochs)
+# ---------------------------------------------------------------------------
+
+def test_epoch_upsample_counts_and_determinism(spark):
+    from logai_spark.functions.textops import epoch_upsample
+
+    rows = [(i, "wiki" if i < 200 else "web") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_upsample(df, {"wiki": 2.5, "web": 1.0})
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # web passes through exactly once; wiki gets 2 full copies + ~50% extra
+    assert counts["web"] == 800
+    assert 2 * 200 <= counts["wiki"] <= 3 * 200
+    assert abs(counts["wiki"] - 500) <= 40  # hash-frac ~= 0.5 within noise
+
+    # every (id, copy) pair unique; copies numbered 1..k
+    n_pairs = out.select("doc_id", "epoch_copy").distinct().count()
+    assert n_pairs == out.count()
+
+    # deterministic across partitionings
+    a = sorted(out.select("doc_id", "epoch_copy").collect())
+    b = sorted(
+        epoch_upsample(df.repartition(13), {"wiki": 2.5, "web": 1.0})
+        .select("doc_id", "epoch_copy")
+        .collect()
+    )
+    assert a == b
+
+
+def test_epoch_upsample_zero_weight_drops_and_default_passthrough(spark):
+    from logai_spark.functions.textops import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string"
+    )
+    out = epoch_upsample(df, {"a": 0.0, "b": 3.0}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["epoch_copy"])
+    assert "a" not in by_src                 # weight 0 -> dropped
+    assert sorted(by_src["b"]) == [1, 2, 3]  # integer weight -> exact copies
+    assert by_src["c"] == [1]                # absent group -> 1 copy
+
+    with pytest.raises(ValueError):
+        epoch_upsample(df, {"a": -1.0})
+
+
+def test_epoch_upsample_zero_shuffle_plan(spark):
+    from logai_spark.functions.textops import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(10)], "doc_id long, source string"
+    )
+    plan = (
+        epoch_upsample(df, {"a": 1.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# url_filter (domain blocklist, subdomain-aware)
+# ---------------------------------------------------------------------------
+
+def test_url_filter_subdomain_semantics(spark):
+    from logai_spark.functions.textops import url_filter
+
+    rows = [
+        (1, "https://example.com/page"),          # exact match -> blocked
+        (2, "https://ads.example.com/x"),         # subdomain -> blocked
+        (3, "https://a.b.example.com/y"),         # deep subdomain -> blocked
+        (4, "https://notexample.com/z"),          # suffix of the STRING only
+        (5, "https://example.com.evil.net/w"),    # blocklist domain as prefix
+        (6, "https://good.org/ok"),               # clean
+        (7, "not a url"),                         # no host -> never blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("example.com",), ("bad.net",)], "domain string")
+
+    kept = sorted(r["doc_id"] for r in url_filter(df, bl).collect())
+    assert kept == [4, 5, 6, 7]
+
+    flagged = {
+        r["doc_id"]: r["url_blocked"]
+        for r in url_filter(df, bl, action="flag").collect()
+    }
+    assert flagged == {1: True, 2: True, 3: True, 4: False, 5: False,
+                       6: False, 7: False}
+    with pytest.raises(ValueError):
+        url_filter(df, bl, action="nope")
+
+
+def test_url_filter_broadcasts_blocklist(spark):
+    from logai_spark.functions.textops import url_filter
+
+    df = spark.createDataFrame(
+        [(i, f"https://site{i}.com/p") for i in range(20)],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("site1.com",)], "domain string")
+    plan = (
+        url_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # zero CORPUS shuffle: every hash exchange is on the blocklist's
+    # _bl_domain dedup, never on a corpus column
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert m.group(1).startswith("_bl_domain"), plan

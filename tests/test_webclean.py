@@ -228,3 +228,106 @@ def test_line_filter_zero_shuffle_plan(spark):
     )
     plan = line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition (Rae et al. 2021 Appendix A.1.2 — full suite)
+# ---------------------------------------------------------------------------
+
+def _rep_reference(text):
+    """Independent pure-Python computation of all 13 repetition stats with
+    the operator's documented semantics (engine-portable 4-dp rounding)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    def round4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def frac(num, den):
+        return round4(min(num / den, 1.0)) if den > 0 else 0.0
+
+    txt = text or ""
+    lines = [s.strip() for s in txt.split("\n") if s.strip()]
+    paras = [s.strip() for s in _re.split(r"\n{2,}", txt) if s.strip()]
+    words = [w for w in _re.split(r"\s+", txt.strip()) if w] if txt.strip() else []
+    wchars = len(_re.sub(r"\s+", "", txt))
+
+    def dup_extra(units):
+        c = Counter(units)
+        return sum((k - 1) * len(v) for v, k in c.items() if k >= 2)
+
+    out = {
+        "dup_line_frac": frac(len(lines) - len(set(lines)), len(lines)),
+        "dup_para_frac": frac(len(paras) - len(set(paras)), len(paras)),
+        "dup_line_char_frac": frac(dup_extra(lines), sum(map(len, lines))),
+        "dup_para_char_frac": frac(dup_extra(paras), sum(map(len, paras))),
+    }
+    for n in range(2, 11):
+        grams = Counter(
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        )
+        if n <= 4:
+            top = 0
+            if grams:
+                bc = max(grams.values())
+                top = max(
+                    c * (len(g) - (n - 1)) for g, c in grams.items() if c == bc
+                )
+            out[f"top_{n}gram_char_frac"] = frac(top, wchars)
+        else:
+            dup = sum(
+                c * (len(g) - (n - 1)) for g, c in grams.items() if c >= 2
+            )
+            out[f"dup_{n}gram_char_frac"] = frac(dup, wchars)
+    return out
+
+
+def test_gopher_repetition_matches_reference(spark):
+    from logai_spark.functions.webclean import gopher_repetition
+
+    docs = [
+        (1, "the cat sat. the cat sat. the cat sat on the mat.\n"
+            "hello world\nhello world\n\npara one\n\npara one"),
+        (2, "a b a b a b a b a b a b"),               # everything duplicated
+        (3, "completely unique words never repeating anything at all here"),
+        (4, ""),                                       # empty
+        (5, None),                                     # NULL == empty
+        (6, "x\n\n\nx\n\nx"),                          # fewer words than n
+        (7, "one two three four five six seven "
+            "one two three four five six seven extra"),
+        (8, "  spaced   out\ttabs\nnew  line  new  line  "),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for did, text in docs:
+        exp = _rep_reference(text)
+        for k, v in exp.items():
+            assert abs(out[did][k] - v) < 1e-9, (did, k, out[did][k], v)
+    # rule wiring: doc 2 trips every n-gram rule; empty docs trip none
+    # (doc 3 is clean text but SHORT, so its top-ngram fracs exceed the
+    # paper thresholds — the word-count rule in gopher_rules screens those)
+    assert out[2]["repetition_keep"] is False
+    assert out[2]["rule_top_2gram"] is False and out[2]["rule_dup_10gram"] is False
+    for d in (4, 5):
+        assert out[d]["repetition_keep"] is True
+    assert out[3]["rule_dup_line"] is True and out[3]["rule_dup_10gram"] is True
+    # dup-line family: doc 1 has 2 repeated lines of 5 non-blank
+    assert out[1]["dup_line_frac"] == 0.4
+    assert out[1]["rule_dup_line"] is False
+
+
+def test_gopher_repetition_zero_shuffle_plan(spark):
+    from logai_spark.functions.webclean import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(i, _doc(40)) for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
