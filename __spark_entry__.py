@@ -1693,6 +1693,79 @@ def _q_quality_classifier(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_gopher_repetition(spark, sf_dir):
+    """Full Gopher repetition suite (Rae et al. 2021 App. A.1.2;
+    webclean.gopher_repetition): dup line/paragraph fractions + char
+    fractions, top 2-4-gram char fractions, dup 5-10-gram char fractions,
+    per-rule booleans. The corpus is single-line word soup, so line and
+    paragraph structure is synthesized deterministically: a newline every
+    8 words, the doc's first 40 chars appended twice as duplicate lines,
+    and (for doc_id %% 3 == 0) a 100-char slice appended twice as
+    duplicate paragraphs. One zero-shuffle sort+fold projection."""
+    from logai_spark.functions.webclean import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    with_lines = F.regexp_replace(F.col("t"), r"((\w+ ){7}\w+) ", "$1\n")
+    line1 = F.substring("t", 1, 40)
+    para = F.substring("t", 45, 100)
+    txt = F.concat_ws("\n", with_lines, line1, line1)
+    txt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(txt, F.lit("\n\n"), para, F.lit("\n\n"), para),
+    ).otherwise(txt)
+    return gopher_repetition(d.select("doc_id", txt.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+def _q_epoch_upsample(spark, sf_dir):
+    """Pile-style epoch upsampling (textops.epoch_upsample): per-language
+    epoch weights replicate rows floor(w) times plus a deterministic
+    hash-chosen frac(w) share; weight 0 drops the group, absent groups
+    pass through once. Zero shuffle - literal weight map, hash_sample
+    fractional cut, explode(sequence) replication."""
+    from logai_spark.functions.textops import epoch_upsample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = epoch_upsample(
+        d, {"de": 2.5, "fr": 1.75, "es": 1.25, "zh": 0.0}, group_col="lang"
+    )
+    return out.select("doc_id", "lang", "epoch_copy").orderBy(
+        "doc_id", "epoch_copy"
+    )
+
+
+def _q_url_filter(spark, sf_dir):
+    """Subdomain-aware domain blocklist (textops.url_filter, RefinedWeb
+    §3.1 shape) in flag mode: blocklist = '<source>.example.com' for
+    even-numbered sources; urls cycle through exact-host, 'ads.'
+    subdomain, a different TLD (never blocked), and a 'www.' subdomain
+    with a port. K broadcast left joins (one per blocklist suffix depth),
+    zero corpus shuffle."""
+    from logai_spark.functions.textops import url_filter
+
+    d = _t(spark, sf_dir, "documents")
+    bl = (
+        d.select(F.col("source"))
+        .distinct()
+        .filter(F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .select(F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+    )
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/p")))
+        .when(m == 1, F.concat(F.lit("https://ads."), F.col("source"), F.lit(".example.com/p")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/p")))
+        .otherwise(F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com:8080/p")))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return url_filter(u, bl, action="flag").select(
+        "doc_id", "url", "url_blocked"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
@@ -1743,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": _q_substring_dedup,
         "line_filter": _q_line_filter,
         "quality_classifier": _q_quality_classifier,
+        "gopher_repetition": _q_gopher_repetition,
+        "epoch_upsample": _q_epoch_upsample,
+        "url_filter": _q_url_filter,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -3575,5 +3651,162 @@ def oracle_sql() -> dict[str, str]:
                n_emails, n_ips,
                len(regexp_extract_all(s2, '{PII_LONG_ID}'))::bigint AS n_ids
         FROM r2
+    """
+    # Full Gopher repetition suite over deterministically-structured text:
+    # a newline every 8 words, first-40-chars appended twice (dup lines),
+    # chars 45-144 appended twice for doc_id % 3 == 0 (dup paragraphs).
+    # top_chars per (doc, n): max over (count, count*charlen) — the same
+    # most-frequent-ngram / ties-to-larger-contribution rule the Spark fold
+    # applies. NB least() in both engines SKIPS nulls, hence the coalesce
+    # BEFORE least on the joined ngram stats.
+    _rep_template = r"""
+        WITH src AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        built AS (
+            SELECT doc_id,
+                   regexp_replace(t, '((\w+ ){7}\w+) ', '\1' || chr(10), 'g')
+                     || chr(10) || substr(t, 1, 40)
+                     || chr(10) || substr(t, 1, 40)
+                     || CASE WHEN doc_id % 3 = 0
+                          THEN repeat(chr(10) || chr(10) || substr(t, 45, 100), 2)
+                          ELSE '' END AS txt
+            FROM src),
+        base AS (
+            SELECT doc_id, txt,
+                   list_filter(list_transform(
+                       regexp_split_to_array(txt, '\n'), x -> trim(x)),
+                       x -> length(x) > 0) AS lines,
+                   list_filter(list_transform(
+                       regexp_split_to_array(txt, '\n{2,}'), x -> trim(x)),
+                       x -> length(x) > 0) AS paras,
+                   list_filter(regexp_split_to_array(trim(txt), '\s+'),
+                               x -> x <> '') AS words,
+                   length(regexp_replace(txt, '\s+', '', 'g')) AS wchars
+            FROM built),
+        unit_stats AS (
+            SELECT doc_id, kind,
+                   count(*) AS n_distinct, sum(c) AS n_total,
+                   sum(c * length(u)) AS total_chars,
+                   sum((c - 1) * length(u)) AS extra_chars
+            FROM (
+                SELECT doc_id, kind, u, count(*) AS c FROM (
+                    SELECT doc_id, 'line' AS kind, unnest(lines) AS u FROM base
+                    UNION ALL
+                    SELECT doc_id, 'para' AS kind, unnest(paras) AS u FROM base
+                ) GROUP BY ALL
+            ) GROUP BY ALL),
+        ng AS (
+        {NG_BRANCHES}
+        ),
+        ngc AS (
+            SELECT doc_id, n, g, count(*) AS c, length(g) - (n - 1) AS clen
+            FROM ng GROUP BY ALL),
+        ngs AS (
+            SELECT doc_id, n,
+                   (max(struct_pack(c := c, tc := c * clen))).tc AS top_chars,
+                   sum(CASE WHEN c >= 2 THEN c * clen ELSE 0 END) AS dup_chars
+            FROM ngc GROUP BY doc_id, n),
+        frac AS (
+            SELECT b.doc_id,
+                   floor(coalesce(CASE WHEN l.n_total > 0 THEN least((l.n_total - l.n_distinct) * 1.0 / l.n_total, 1.0) END, 0.0) * 10000 + 0.5) / 10000 AS dup_line_frac,
+                   floor(coalesce(CASE WHEN p.n_total > 0 THEN least((p.n_total - p.n_distinct) * 1.0 / p.n_total, 1.0) END, 0.0) * 10000 + 0.5) / 10000 AS dup_para_frac,
+                   floor(coalesce(CASE WHEN l.total_chars > 0 THEN least(l.extra_chars * 1.0 / l.total_chars, 1.0) END, 0.0) * 10000 + 0.5) / 10000 AS dup_line_char_frac,
+                   floor(coalesce(CASE WHEN p.total_chars > 0 THEN least(p.extra_chars * 1.0 / p.total_chars, 1.0) END, 0.0) * 10000 + 0.5) / 10000 AS dup_para_char_frac,
+                   {NG_COLS}
+            FROM base b
+            LEFT JOIN unit_stats l ON l.doc_id = b.doc_id AND l.kind = 'line'
+            LEFT JOIN unit_stats p ON p.doc_id = b.doc_id AND p.kind = 'para'
+            {NG_JOINS})
+        SELECT doc_id,
+               dup_line_frac, dup_para_frac,
+               dup_line_char_frac, dup_para_char_frac,
+               {NG_NAMES},
+               (dup_line_frac <= 0.30) AS rule_dup_line,
+               (dup_para_frac <= 0.30) AS rule_dup_para,
+               (dup_line_char_frac <= 0.20) AS rule_dup_line_char,
+               (dup_para_char_frac <= 0.20) AS rule_dup_para_char,
+               {NG_RULES},
+               (rule_dup_line AND rule_dup_para AND rule_dup_line_char
+                AND rule_dup_para_char AND {NG_KEEP}) AS repetition_keep
+        FROM frac ORDER BY doc_id
+    """
+    _top_thr = {2: 0.20, 3: 0.18, 4: 0.16}
+    _dup_thr = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+    _branches, _cols, _joins, _names, _rules, _keep = [], [], [], [], [], []
+    for _n in range(2, 11):
+        _branches.append(
+            "            SELECT doc_id, %d AS n,\n"
+            "                   unnest(list_transform(range(1, greatest(len(words) - %d + 2, 1)),\n"
+            "                          i -> array_to_string(words[i : i + %d - 1], ' '))) AS g\n"
+            "            FROM base" % (_n, _n, _n)
+        )
+        _stat = "top_chars" if _n in _top_thr else "dup_chars"
+        _name = (
+            f"top_{_n}gram_char_frac" if _n in _top_thr else f"dup_{_n}gram_char_frac"
+        )
+        _cols.append(
+            f"floor(coalesce(CASE WHEN b.wchars > 0 THEN least(coalesce(g{_n}.{_stat}, 0) * 1.0 / b.wchars, 1.0) END, 0.0) * 10000 + 0.5) / 10000 AS {_name}"
+        )
+        _joins.append(f"LEFT JOIN ngs g{_n} ON g{_n}.doc_id = b.doc_id AND g{_n}.n = {_n}")
+        _names.append(_name)
+        _thr = _top_thr.get(_n, _dup_thr.get(_n))
+        _rule = f"rule_top_{_n}gram" if _n in _top_thr else f"rule_dup_{_n}gram"
+        _rules.append(f"({_name} <= {_thr}) AS {_rule}")
+        _keep.append(_rule)
+    out["gopher_repetition"] = (
+        _rep_template.replace("{NG_BRANCHES}", "\n            UNION ALL\n".join(_branches))
+        .replace("{NG_COLS}", ",\n                   ".join(_cols))
+        .replace("{NG_JOINS}", "\n            ".join(_joins))
+        .replace("{NG_NAMES}", ", ".join(_names))
+        .replace("{NG_RULES}", ",\n               ".join(_rules))
+        .replace("{NG_KEEP}", " AND ".join(_keep))
+    )
+    # Pile-style epoch upsampling: identical weight map, identical
+    # md5-derived fractional cut, replication via range()
+    _up_key = "'e42|' || lang || '|' || CAST(doc_id AS VARCHAR)"
+    out["epoch_upsample"] = f"""
+        WITH w AS (
+            SELECT doc_id, lang,
+                   CASE lang WHEN 'de' THEN 2.5 WHEN 'fr' THEN 1.75
+                             WHEN 'es' THEN 1.25 WHEN 'zh' THEN 0.0
+                             ELSE 1.0 END AS wt
+            FROM documents),
+        k AS (
+            SELECT doc_id, lang,
+                   CAST(floor(wt) AS BIGINT)
+                     + CASE WHEN {_DD_H32.format(x=_up_key)} % 10000
+                              < CAST(floor((wt - floor(wt)) * 10000) AS BIGINT)
+                            THEN 1 ELSE 0 END AS n
+            FROM w)
+        SELECT doc_id, lang, CAST(i AS INT) AS epoch_copy
+        FROM k, unnest(range(1, n + 1)) AS u(i)
+        WHERE n > 0
+        ORDER BY doc_id, epoch_copy
+    """
+    # Subdomain-aware blocklist: EXISTS with exact-host OR dot-suffix match
+    out["url_filter"] = """
+        WITH b AS (
+            SELECT DISTINCT source || '.example.com' AS dom
+            FROM documents
+            WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+        u AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'https://' || source || '.example.com/p'
+                     WHEN 1 THEN 'https://ads.' || source || '.example.com/p'
+                     WHEN 2 THEN 'https://' || source || '.example.org/p'
+                     ELSE 'https://www.' || source || '.example.com:8080/p'
+                   END AS url
+            FROM documents),
+        h AS (
+            SELECT doc_id, url,
+                   regexp_extract(lower(url),
+                                  '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+            FROM u)
+        SELECT doc_id, url,
+               EXISTS (SELECT 1 FROM b
+                       WHERE h.host = b.dom OR h.host LIKE '%.' || b.dom)
+                 AS url_blocked
+        FROM h ORDER BY doc_id
     """
     return out
