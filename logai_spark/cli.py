@@ -96,6 +96,20 @@ def main(argv: list[str] | None = None) -> int:
                      help="hashed n-gram feature buckets for the classifier")
     cur.add_argument("--resume", action="store_true",
                      help="reuse the checkpointed stage ledger if config matches")
+    cur.add_argument("--repetition-full", action="store_true",
+                     help="apply the FULL Gopher repetition suite "
+                          "(webclean.gopher_repetition, App. A.1.2) as a "
+                          "pre-filter next to --max-rep")
+    cur.add_argument("--url-blocklist", default=None,
+                     help="parquet dir of (domain) rows; drop docs whose "
+                          "url host equals or is a subdomain of a listed "
+                          "domain, BEFORE any other stage")
+    cur.add_argument("--url-col", default="url",
+                     help="url column for --url-blocklist (default url)")
+    cur.add_argument("--epochs", default=None,
+                     help="Pile-style per-source epoch weights for the "
+                          "written corpus, e.g. src0=2.5,src1=1.0 "
+                          "(floor copies + deterministic fractional share)")
 
     args = ap.parse_args(argv)
 
@@ -126,6 +140,8 @@ def main(argv: list[str] | None = None) -> int:
                 "text",
                 "lang",
                 F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("source"),
+                # the url rides along only when the blocklist stage needs it
+                *(["url"] if args.url_blocklist else []),
             )
         manifest = run_curation(
             spark,
@@ -163,6 +179,19 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 token_budget=args.token_budget,
+                repetition_full=args.repetition_full,
+                url_blocklist=args.url_blocklist,
+                url_col=args.url_col,
+                epochs=(
+                    {
+                        k: float(v)
+                        for k, v in (
+                            kv.split("=", 1) for kv in args.epochs.split(",")
+                        )
+                    }
+                    if args.epochs
+                    else None
+                ),
                 resume=args.resume,
             ),
         )

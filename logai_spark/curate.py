@@ -55,6 +55,15 @@ class CurationConfig:
     near_dup_keep: str = "canonical"  # "canonical" (min id) | "best" (quality)
     normalize: bool = False         # ftfy-lite text cleanup before dedup
     boilerplate_max_df: int | None = None  # line df cutoff (None = skip)
+    # domain blocklist (textops.url_filter, RefinedWeb §3.1): parquet path
+    # of (domain) rows; docs whose url_col host equals or is a subdomain of
+    # a listed domain are removed BEFORE any other stage — a blocked doc
+    # must never win exact-dedup keeper election over an unblocked
+    # duplicate hosted elsewhere (URL verdicts, unlike text verdicts, are
+    # not duplicate-invariant, so this one cannot be a ledger flag).
+    # None = skip.
+    url_blocklist: str | None = None
+    url_col: str = "url"
     # C4 §2.2 line-level filter (webclean.line_filter) as the FIRST hygiene
     # stage: drops non-sentence lines in place and flags docs failing the
     # doc-level rules (lorem ipsum / brace / min sentences). False = skip.
@@ -77,6 +86,11 @@ class CurationConfig:
     gopher: bool = False
     gopher_min_words: int = 50
     gopher_min_stopwords: int = 2
+    # FULL Gopher repetition suite (webclean.gopher_repetition, App.
+    # A.1.2: dup line/paragraph + top/dup n-gram char fractions at the
+    # paper thresholds) as another absolute row-local pre-filter — the
+    # complete version of the max_top_bigram_frac ceiling; False = skip.
+    repetition_full: bool = False
     # cross-corpus decontamination: parquet path of a reference corpus
     # (an eval benchmark or already-trained snapshot, same text column);
     # docs whose MinHash-LSH band keys collide with ANY reference doc are
@@ -95,6 +109,13 @@ class CurationConfig:
     # (selection.token_budget_select, two-phase distributed cumsum).
     # Post-ledger like mixture — excluded from the resume hash.
     token_budget: int | None = None
+    # Pile-style per-source epoch weights (textops.epoch_upsample): each
+    # surviving doc of source g is written floor(epochs[g]) times plus a
+    # deterministic hash-chosen frac(epochs[g]) share once more, AFTER
+    # token-budget selection and BEFORE packing (copies pack as
+    # independent sequences keyed (id, epoch_copy)). Post-ledger —
+    # excluded from the resume hash. None = skip.
+    epochs: dict | None = None
     resume: bool = False            # reuse a checkpointed ledger if present
     minhash_k: int = 16
     lsh_bands: int = 4
@@ -129,6 +150,21 @@ def run_curation(
     #    scan as everything else (no extra corpus pass for accounting).
     # ------------------------------------------------------------------
     pre_cols: list[str] = []
+    bl_df = None
+    url_n_before: int | None = None
+    if c.url_blocklist:
+        from logai_spark.functions.textops import url_filter
+
+        # blocklist FIRST and as a real filter, not a ledger flag: URL
+        # verdicts are not duplicate-invariant, so a blocked doc must be
+        # gone before keeper election (see CurationConfig). Zero corpus
+        # shuffle (K broadcast suffix joins); the one extra action is a
+        # column-pruned pre-filter count for the manifest.
+        bl_df = spark.read.parquet(c.url_blocklist)
+        url_n_before = docs.count()
+        docs = url_filter(
+            docs, bl_df, url_col=c.url_col, id_col=c.id_col, action="drop"
+        )
     if c.line_filter:
         from logai_spark.functions.webclean import line_filter
 
@@ -224,7 +260,10 @@ def run_curation(
     meta_path = os.path.join(output, "_ledger_meta.json")
     stage_cfg = {
         k: v for k, v in asdict(c).items()
-        if k not in ("pack_budget", "n_shards", "mixture", "token_budget", "resume")
+        if k not in (
+            "pack_budget", "n_shards", "mixture", "token_budget", "epochs",
+            "resume",
+        )
     }
     # the hash also fingerprints the INPUT (schema + the concrete file set
     # behind the scan): a rerun pointed at a different snapshot dir — or
@@ -247,6 +286,12 @@ def run_curation(
             input_fp += f":ref={sorted(ref_df.inputFiles())}"
         except Exception:
             input_fp += f":ref={c.decontaminate_ref}"
+    # the domain blocklist is an input too
+    if bl_df is not None:
+        try:
+            input_fp += f":bl={sorted(bl_df.inputFiles())}"
+        except Exception:
+            input_fp += f":bl={c.url_blocklist}"
     # the classifier's positive reference corpus is an input too
     cls_ref_df = None
     if c.classifier_ref:
@@ -281,7 +326,10 @@ def run_curation(
             )
             if x in flags.columns
         ]
-        return _finish_curation(spark, docs, flags, pre_cols, output, c, True)
+        return _finish_curation(
+            spark, docs, flags, pre_cols, output, c, True,
+            url_n_before=url_n_before,
+        )
 
     # 1. exact dedup: keeper = min id per identical text. hash_key shuffles
     #    16-byte digests, not document bodies (textops.exact_dedup docstring)
@@ -307,10 +355,22 @@ def run_curation(
             min_stopword_hits=c.gopher_min_stopwords,
         ).select(*docs.columns, "gopher_keep")
         gopher_cols = ["gopher_keep"]
+    repfull_cols: list[str] = []
+    if c.repetition_full:
+        from logai_spark.functions.webclean import gopher_repetition
+
+        # the full App. A.1.2 suite is row-local like gopher_rules, so it
+        # chains into the same ledger-seeding scan: text and the other
+        # verdicts ride keep_cols, only the final boolean survives
+        carried = [col for col in base_src.columns if col != c.id_col]
+        base_src = gopher_repetition(
+            base_src, text_col=c.text_col, id_col=c.id_col, keep_cols=carried
+        ).select(c.id_col, *carried, "repetition_keep")
+        repfull_cols = ["repetition_keep"]
     flags = (
         repetition_stats(
             base_src, text_col=c.text_col, id_col=c.id_col,
-            keep_cols=[c.lang_col, *pre_cols, *gopher_cols],
+            keep_cols=[c.lang_col, *pre_cols, *gopher_cols, *repfull_cols],
         )
         .select(
             c.id_col,
@@ -320,6 +380,11 @@ def run_curation(
             *(
                 [F.col("gopher_keep").alias("_keep_gopher")]
                 if c.gopher
+                else []
+            ),
+            *(
+                [F.col("repetition_keep").alias("_keep_repfull")]
+                if c.repetition_full
                 else []
             ),
         )
@@ -427,6 +492,8 @@ def run_curation(
     # the most expensive row-local expression in the pipeline.
     base = flags.persist()
     pre_quality = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
+    if c.repetition_full:
+        pre_quality = pre_quality & F.col("_keep_repfull")
     if c.line_filter:
         pre_quality = pre_quality & F.col("_c4_keep")
     if c.gopher:
@@ -461,7 +528,10 @@ def run_curation(
     with open(meta_path, "w") as fp:
         json.dump({"config_hash": cfg_hash}, fp)
     flags = spark.read.parquet(ledger_dir)
-    return _finish_curation(spark, docs, flags, pre_cols, output, c, False)
+    return _finish_curation(
+        spark, docs, flags, pre_cols, output, c, False,
+        url_n_before=url_n_before,
+    )
 
 
 def _finish_curation(
@@ -472,6 +542,7 @@ def _finish_curation(
     output: str,
     c: CurationConfig,
     resumed: bool,
+    url_n_before: int | None = None,
 ) -> dict:
     """Stages downstream of the checkpointed ledger: counts, PII scrub,
     packing, (sharded) write, manifest."""
@@ -481,8 +552,10 @@ def _finish_curation(
     has_decon = "_keep_decon" in flags.columns
     has_c4 = "_c4_keep" in flags.columns
     has_cls = "_keep_cls" in flags.columns
+    has_repfull = "_keep_repfull" in flags.columns
     rep_only = F.col("_keep_exact") & F.col("_keep_near") & F.col("_keep_rep")
-    c4_cut = rep_only & F.col("_c4_keep") if has_c4 else rep_only
+    repfull_cut = rep_only & F.col("_keep_repfull") if has_repfull else rep_only
+    c4_cut = repfull_cut & F.col("_c4_keep") if has_c4 else repfull_cut
     gopher_cut = c4_cut & F.col("_keep_gopher") if has_gopher else c4_cut
     decon_cut = gopher_cut & F.col("_keep_decon") if has_decon else gopher_cut
     pre_quality = decon_cut & F.col("_keep_cls") if has_cls else decon_cut
@@ -499,6 +572,7 @@ def _finish_curation(
         F.sum(F.col("_keep_exact").cast("long")).alias("exact"),
         F.sum((F.col("_keep_exact") & F.col("_keep_near")).cast("long")).alias("near"),
         F.sum(rep_only.cast("long")).alias("rep"),
+        F.sum(repfull_cut.cast("long")).alias("repfull"),
         F.sum(c4_cut.cast("long")).alias("c4"),
         F.sum(gopher_cut.cast("long")).alias("gopher"),
         F.sum(decon_cut.cast("long")).alias("decon"),
@@ -514,7 +588,12 @@ def _finish_curation(
     if "_ss_removed" in pre_cols:
         aggs.append(F.sum("_ss_removed").alias("ss_removed"))
     row = flags.agg(*aggs).collect()[0]
-    counts: dict[str, int] = {"input": row["input"]}
+    counts: dict[str, int] = {}
+    if url_n_before is not None:
+        counts["input"] = url_n_before
+        counts["after_url_filter"] = row["input"]
+    else:
+        counts["input"] = row["input"]
     if "_lines_removed" in pre_cols:
         counts["filtered_lines_removed"] = int(row["lines_removed"] or 0)
     if "_norm_changed" in pre_cols:
@@ -527,6 +606,8 @@ def _finish_curation(
     if c.near_dup:
         counts["after_near_dup"] = int(row["near"] or 0)
     counts["after_repetition_filter"] = int(row["rep"] or 0)
+    if has_repfull:
+        counts["after_repetition_full"] = int(row["repfull"] or 0)
     if has_c4:
         counts["after_line_filter"] = int(row["c4"] or 0)
     if has_gopher:
@@ -589,14 +670,33 @@ def _finish_curation(
         ).select(c.id_col)
         counts["after_token_budget"] = sel.count()
         sized = sized.join(sel, c.id_col, "left_semi")
+
+    # 5c. optional Pile-style epoch upsampling AFTER all selection (the
+    #     budget counts unique tokens; epochs multiply training exposure):
+    #     the copy table is computed on the THIN (id, source) projection —
+    #     text never enters the upsample or its count — and the id join
+    #     multiplies the corpus rows. Copies pack as independent sequences.
+    pack_key = [c.id_col]
+    if c.epochs:
+        from logai_spark.functions.textops import epoch_upsample
+
+        copies = epoch_upsample(
+            sized.select(c.id_col, c.source_col),
+            dict(c.epochs),
+            group_col=c.source_col,
+            id_col=c.id_col,
+        )
+        counts["after_epochs"] = copies.count()
+        sized = sized.join(copies.select(c.id_col, "epoch_copy"), c.id_col)
+        pack_key = [c.id_col, "epoch_copy"]
     packs = pack_sequences(
         sized,
         budget=c.pack_budget,
         group_cols=[c.source_col],
-        order_cols=[c.id_col],
+        order_cols=pack_key,
         size_col="n_tokens",
-    ).select(c.id_col, "pack_id")
-    final = sized.join(packs, c.id_col)
+    ).select(*pack_key, "pack_id")
+    final = sized.join(packs, pack_key)
 
     out_dir = os.path.join(output, "curated")
     if c.n_shards:

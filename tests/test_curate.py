@@ -486,3 +486,92 @@ def test_curation_classifier_stage(spark, tmp_path):
     ).write.mode("append").parquet(ref_dir)
     m3 = run_curation(spark, docs, out, cfg_resume)
     assert m3["resumed_from_ledger"] is False
+
+
+def test_curation_repetition_full_stage(spark, tmp_path):
+    out = str(tmp_path / "repfull")
+    rows = [
+        # clean fluent docs (all-distinct words): pass the full suite
+        *[(i, "the a of to and is in it "
+           + " ".join(f"w{i}x{j}" for j in range(30)),
+           "en", "s0") for i in range(6)],
+        # dup-5gram monster: one 6-word phrase repeated -> dup_5gram rule
+        (200, "one two three four five six " * 20, "en", "s0"),
+        # dup lines: same line many times -> dup_line rules
+        (201, "\n".join(["the same exact line of text here"] * 12), "en", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(keep_frac=1.0, max_top_bigram_frac=1.0,
+                       repetition_full=True),
+    )
+    c = m["counts"]
+    assert c["input"] == 8
+    assert c["after_repetition_filter"] == 8      # bigram ceiling off (1.0)
+    assert c["after_repetition_full"] == 6        # 200 + 201 dropped
+    written = {r.doc_id for r in
+               spark.read.parquet(os.path.join(out, "curated"))
+               .select("doc_id").collect()}
+    assert 200 not in written and 201 not in written
+
+
+def test_curation_url_blocklist_stage(spark, tmp_path):
+    out = str(tmp_path / "urlbl")
+    bl_dir = str(tmp_path / "bl")
+    spark.createDataFrame([("blocked.example",)], "domain string").write.parquet(bl_dir)
+    shared = "the a of to and is in it " + "omega phi " * 10
+    rows = [
+        # doc 1 blocked by domain; doc 2 is its EXACT duplicate on a good
+        # host and must survive (keeper election runs post-blocklist)
+        (1, shared, "en", "s0", "https://blocked.example/a"),
+        (2, shared, "en", "s0", "https://good.org/a"),
+        (3, "completely different words about spark shuffles here today now",
+         "en", "s0", "https://sub.blocked.example/b"),
+        (4, "yet more unique fluent text the of and to is in it alpha",
+         "en", "s0", "https://fine.net/c"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, url string"
+    )
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(keep_frac=1.0, max_top_bigram_frac=1.0,
+                       url_blocklist=bl_dir),
+    )
+    c = m["counts"]
+    assert c["input"] == 4
+    assert c["after_url_filter"] == 2             # 1 and 3 blocked
+    written = {r.doc_id for r in
+               spark.read.parquet(os.path.join(out, "curated"))
+               .select("doc_id").collect()}
+    # the unblocked duplicate SURVIVES: blocklist ran before keeper election
+    assert 2 in written and 1 not in written and 3 not in written
+
+
+def test_curation_epochs_stage(spark, tmp_path):
+    out = str(tmp_path / "epochs")
+    rows = [
+        (i, "the a of to and is in it " + f"tok{i} word{i} " * 6,
+         "en", "s0" if i < 4 else "s1")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(keep_frac=1.0, max_top_bigram_frac=1.0,
+                       pack_budget=40, epochs={"s0": 3.0}),
+    )
+    c = m["counts"]
+    assert c["input"] == 8
+    assert c["after_epochs"] == 3 * 4 + 4          # s0 tripled, s1 once
+    assert c["written"] == c["after_epochs"]
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    assert "epoch_copy" in written.columns
+    # copies are distinct (id, epoch_copy) rows and all packed
+    assert written.select("doc_id", "epoch_copy").distinct().count() == 16
+    assert written.filter(F.col("pack_id").isNull()).count() == 0
