@@ -56,6 +56,9 @@ HEADLINE = [
     "substring_dedup",
     "line_filter",
     "quality_classifier",
+    "gopher_repetition",
+    "epoch_upsample",
+    "url_filter",
 ]
 
 

@@ -62,6 +62,10 @@ DOC_QUERIES = [
     "substring_dedup",
     "line_filter",
     "quality_classifier",
+    # round-4 session-5 ops
+    "gopher_repetition",
+    "epoch_upsample",
+    "url_filter",
 ]
 
 
