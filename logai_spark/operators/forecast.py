@@ -616,19 +616,28 @@ def fit_masked_event_model(
     seq_col: str = "session_ids",
     radius: int = 2,
     max_fit_rows: int = 100_000,
-    lr: float = 2.0,
+    lr: float | None = None,
     iters: int = 200,
     hidden: int | None = None,
+    arch: str = "auto",
 ) -> NextEventModel:
     """Train the masked-event model: same softmax-regression machinery as the
     next-event forecaster, features = positional one-hots of the 2*radius
     context slots. Fits on the deduplicated weighted (context, target) table
     (training-capability analog of nn_model/logbert/train.py's MLM fit).
-    ``hidden`` selects the MLP variant, as in fit_next_event_model."""
+    ``hidden`` selects the MLP variant, as in fit_next_event_model.
+
+    ``arch='torch_transformer'`` is the LogBERT adapter proper: a
+    TransformerEncoder over the masked context with mean pooling and a
+    vocab head — a BERT-style MLM predicting the masked center, the same
+    factorization the reference trains (nn_model/logbert/train.py) —
+    active only where torch is importable, like the forecast_nn adapters.
+    The default stays the torch-free stand-in that runs everywhere."""
     pairs = masked_event_pairs(sessions, seq_col, radius, oov_id=vocab_size)
     return fit_next_event_model(
         pairs, vocab_size, "context", "target",
-        max_fit_rows=max_fit_rows, lr=lr, iters=iters, hidden=hidden,
+        max_fit_rows=max_fit_rows,
+        lr=lr, iters=iters, hidden=hidden, arch=arch,
     )
 
 

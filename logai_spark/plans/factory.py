@@ -376,8 +376,12 @@ def _register_builtins() -> None:
         vocab_size: int = 100
         radius: int = 2
         top_k: int = 6
-        lr: float = 2.0
+        lr: float | None = None
         iters: int = 200
+        # 'auto' = torch-free masked-softmax stand-in (runs everywhere);
+        # 'torch_transformer' = the LogBERT adapter proper (BERT-style MLM
+        # over the masked context; needs torch installed)
+        arch: str = "auto"
 
     class _MaskedEventAlgo:
         def __init__(self, cfg: MaskedEventConfig):
@@ -389,7 +393,7 @@ def _register_builtins() -> None:
 
             self.model = fit_masked_event_model(
                 df, self.cfg.vocab_size, seq_col, self.cfg.radius,
-                lr=self.cfg.lr, iters=self.cfg.iters,
+                lr=self.cfg.lr, iters=self.cfg.iters, arch=self.cfg.arch,
             )
             return self
 

@@ -239,3 +239,49 @@ def test_unknown_arch_raises(spark):
     )
     with _pytest.raises(ValueError, match="unknown arch"):
         fit_next_event_model(pairs, vocab_size=3, arch="nope")
+
+
+def test_masked_event_torch_arch_routing(spark):
+    """fit_masked_event_model threads arch to the shared fitter: the
+    LogBERT adapter (arch='torch_transformer', a BERT-style MLM over the
+    masked context) must raise the clean torch ImportError where torch is
+    absent, and the torch-free default must be unaffected by the new
+    parameter. The factory's detection/logbert config exposes the knob."""
+    import pytest as _pytest
+
+    from logai_spark.operators.forecast import (
+        fit_masked_event_model,
+        score_masked_sessions,
+        torch_available,
+    )
+
+    sessions = spark.createDataFrame(
+        [(i, [j % 4 for j in range(i, i + 6)]) for i in range(12)],
+        "session_id long, session_ids array<int>",
+    )
+    # default path: unchanged torch-free stand-in
+    m = fit_masked_event_model(sessions, vocab_size=5, iters=50)
+    out = score_masked_sessions(sessions, m)
+    assert out.count() == 12
+
+    if not torch_available():
+        with _pytest.raises(ImportError, match="torch"):
+            fit_masked_event_model(
+                sessions, vocab_size=5, arch="torch_transformer"
+            )
+    else:
+        m2 = fit_masked_event_model(
+            sessions, vocab_size=5, iters=100, arch="torch_transformer"
+        )
+        assert score_masked_sessions(sessions, m2).count() == 12
+
+    # factory knob reaches the fitter
+    from logai_spark.plans.factory import AlgorithmFactory
+
+    factory = AlgorithmFactory()
+    cfg = factory.get_config(
+        "detection", "logbert", {"vocab_size": 5, "arch": "auto", "iters": 50}
+    )
+    algo = factory.get_algorithm("detection", "logbert", cfg)
+    algo.fit(sessions)
+    assert algo.predict(sessions).count() == 12
