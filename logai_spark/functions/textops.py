@@ -400,6 +400,36 @@ def _band_table(
     return sigs.select(F.col(id_col), F.explode(F.array(*keys)).alias("_band"))
 
 
+def lsh_params(threshold: float, n_perm: int = 16) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard ``threshold``
+    given ``n_perm`` MinHash permutations (Leskovec/Rajaraman/Ullman, MMDS
+    ch. 3.4): the S-curve's 50%-collision point sits near (1/b)^(1/r), so
+    pick the b x r grid cell (b*r <= n_perm, maximizing permutations used)
+    whose implied threshold is closest to the request. Driver-side pure
+    arithmetic over at most n_perm cells — call it once and pass the result
+    to :func:`lsh_duplicate_pairs` / ``dup_clusters`` instead of hand-tuning
+    bands for every new corpus similarity target.
+
+    >>> lsh_params(0.8, 16)   # high threshold -> more rows per band
+    (3, 5)
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if n_perm < 1:
+        raise ValueError("n_perm must be >= 1")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, n_perm + 1):
+        b = n_perm // r
+        if b < 1:
+            break
+        implied = (1.0 / b) ** (1.0 / r)
+        key = (abs(implied - threshold), -b * r, b)
+        if best is None or key < (best[0], -best[1] * best[2], best[1]):
+            best = (key[0], b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def lsh_duplicate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -558,3 +558,25 @@ def test_url_filter_broadcasts_blocklist(spark):
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
         assert m.group(1).startswith("_bl_domain"), plan
+
+
+def test_lsh_params_calibration():
+    from logai_spark.functions.textops import lsh_params
+
+    # monotone: higher thresholds want more rows per band (steeper S-curve)
+    rows = [lsh_params(t, 16)[1] for t in (0.2, 0.5, 0.8, 0.95)]
+    assert rows == sorted(rows)
+    # the implied threshold lands near the request
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = lsh_params(t, 128)
+        assert b * r <= 128
+        assert abs((1.0 / b) ** (1.0 / r) - t) < 0.08
+    # defaults stay within the permutation budget
+    b, r = lsh_params(0.5, 16)
+    assert b * r <= 16 and b >= 1 and r >= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_params(1.5)
+    with _pytest.raises(ValueError):
+        lsh_params(0.5, 0)
