@@ -79,7 +79,7 @@ def main() -> None:
     ).count().collect()
 
     # end-to-end pipeline FIRST, battery after: the headline e2e wall is
-    # measured before 25 unrelated heavy queries contaminate the JVM
+    # measured before the battery's unrelated heavy queries contaminate the JVM
     # (heap growth/GC/code-cache — §3.12 of BASELINE.md measured up to 3x
     # on late-in-JVM walls). Battery rows stay comparable to earlier
     # rounds: each is an independent count() with its own warm JVM.
