@@ -1766,6 +1766,60 @@ def _q_url_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-band near-dup pairs (textops.simhash_pairs, Manku
+    et al. WWW'07): banded equi-join + exact bit_count(xor) verification.
+    bands = max_hamming + 1 makes the banded result EXACTLY equal to the
+    brute-force O(n^2) answer, which is what the oracle computes. 32 bits
+    (the full width of the token hash): the 16-bit space saturates on the
+    shared-vocabulary synthetic docs (31% of ALL pairs land within
+    Hamming 3), while 32 bits leaves a discriminative 0.6% pair set."""
+    from logai_spark.functions.textops import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=32, max_hamming=3)
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (webclean.paragraph_dedup,
+    the FineWeb/RefinedWeb fine-grained dedup stage). The synthetic docs
+    are single-line token soup, so the query splits on the literal token
+    ' value ' — exercising the separator parameter while creating real
+    cross-document duplicate fragments from the shared vocabulary."""
+    from logai_spark.functions.webclean import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, sep=" value ")
+
+
+_HTML_WRAP_PRE = '<html><head><style>p{color:red}</style></head><body><h1>'
+_HTML_WRAP_MID = "</h1><p>"
+_HTML_WRAP_POST = " &amp; more</p><!-- note --><script>var x=1;</script></body></html>"
+
+
+def _q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (curation.html_extract): documents are
+    deterministically wrapped in markup (style/script bodies, a comment,
+    an entity, block closers) and the extractor must recover
+    '<source>\\n<text> & more' byte-identically on both engines."""
+    from logai_spark.functions.curation import html_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_WRAP_PRE),
+            F.col("source"),
+            F.lit(_HTML_WRAP_MID),
+            F.col("text"),
+            F.lit(_HTML_WRAP_POST),
+        ).alias("html"),
+    )
+    return html_extract(html).select(
+        "doc_id", "text", "n_chars_html", "n_chars_text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
@@ -1819,6 +1873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "epoch_upsample": _q_epoch_upsample,
         "url_filter": _q_url_filter,
+        # -- new in round-4 session 6 --------------------------------------
+        "simhash_pairs": _q_simhash_pairs,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "html_extract": _q_html_extract,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2177,6 +2235,37 @@ def oracle_sql() -> dict[str, str]:
     simhash_val = " + ".join(
         f"(CASE WHEN b{b} > 0 THEN {2 ** b}::bigint ELSE 0 END)" for b in range(16)
     )
+    # simhash_pairs verifies at the full 32-bit token-hash width (the
+    # 16-bit space saturates on the shared-vocab synthetic corpus)
+    simhash32_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    simhash32_val = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2 ** b}::bigint ELSE 0 END)" for b in range(32)
+    )
+    # html_extract: build the identical regex/replace chain the Spark
+    # expression applies, from the same module-level contract lists —
+    # parity by construction, not by transcription
+    from logai_spark.functions.curation import _HTML_ENTITIES, _HTML_TAG_PASSES
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    html_chain = "html"
+    for pat, rep in _HTML_TAG_PASSES:
+        html_chain = (
+            f"regexp_replace({html_chain}, '{_sq(pat)}', '{_sq(rep)}', 'g')"
+        )
+    for ent, ch in _HTML_ENTITIES:
+        html_chain = f"replace({html_chain}, '{_sq(ent)}', '{_sq(ch)}')"
+    for pat, rep in [(r"[ \t]+", " "), (r" ?\n ?", "\n"), (r"\n{3,}", "\n\n")]:
+        html_chain = (
+            f"regexp_replace({html_chain}, '{_sq(pat)}', '{_sq(rep)}', 'g')"
+        )
+    html_chain = (
+        rf"regexp_replace({html_chain}, '^\s+|\s+$', '', 'g')"
+    )
     out = {
         "counter_vector": """
             SELECT event_type,
@@ -2318,6 +2407,63 @@ def oracle_sql() -> dict[str, str]:
             s AS (
                 SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id)
             SELECT doc_id, {simhash_val} AS simhash FROM s
+        """,
+        "simhash_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({_DD_TOKS}) AS tok FROM documents),
+            h AS (
+                SELECT doc_id, {_DD_H32.format(x='tok')} AS h FROM t),
+            s AS (
+                SELECT doc_id, {simhash32_sums} FROM h GROUP BY doc_id),
+            sig AS (
+                SELECT doc_id, {simhash32_val} AS sh FROM s)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh, b.sh))::bigint AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "paragraph_dedup": """
+            WITH raw AS (
+                SELECT doc_id, trim(parts[i]) AS para, i
+                FROM (SELECT doc_id,
+                             string_split(coalesce(text, ''), ' value ') AS parts
+                      FROM documents),
+                     unnest(range(1, len(parts) + 1)) AS u(i)),
+            units AS (
+                SELECT doc_id, para,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+                FROM raw WHERE para <> ''),
+            ranked AS (
+                SELECT doc_id, para, pos,
+                       row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                FROM units),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, ' value ' ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM ranked WHERE rn = 1 GROUP BY doc_id),
+            totals AS (
+                SELECT doc_id, count(*) AS n_paragraphs FROM units GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(t.n_paragraphs, 0)::bigint AS n_paragraphs,
+                   coalesce(r.n_kept, 0)::bigint AS n_kept
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "html_extract": f"""
+            WITH hdoc AS (
+                SELECT doc_id,
+                       '{_sq(_HTML_WRAP_PRE)}' || source || '{_sq(_HTML_WRAP_MID)}'
+                       || text || '{_sq(_HTML_WRAP_POST)}' AS html
+                FROM documents),
+            e AS (
+                SELECT doc_id, html, {html_chain} AS text FROM hdoc)
+            SELECT doc_id, text,
+                   length(html)::bigint AS n_chars_html,
+                   length(text)::bigint AS n_chars_text
+            FROM e
         """,
         "ngram_jaccard": f"""
             WITH toks AS (

@@ -68,6 +68,73 @@ def text_normalize(
     )
 
 
+# html_extract regex passes, in contract order. No backreferences anywhere:
+# script/style get separate passes so every pattern is RE2-legal and the
+# DuckDB oracle can run the identical chain. Entities decode AFTER tag
+# stripping (decoding "&lt;b&gt;" first would fabricate tags) and "&amp;"
+# decodes last (so "&amp;lt;" correctly yields the literal text "&lt;").
+_HTML_TAG_PASSES: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", ""),
+    (r"(?is)<style[^>]*>.*?</style>", ""),
+    (r"(?is)<title[^>]*>.*?</title>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", ""),
+]
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_extract_expr(col: str | Column) -> Column:
+    """HTML -> text extraction as one chain of JVM column expressions.
+
+    The WET-record step of a crawl pipeline (what Common Crawl's WARC->WET
+    conversion and trafilatura/jusText approximate with full parsers),
+    re-expressed as a fixed regex contract so it stays zero-shuffle,
+    whole-stage-codegen, and byte-identical in the DuckDB oracle: drop
+    script/style bodies and comments, turn block-level closers into
+    newlines, strip remaining tags, decode the six common entities, then
+    the same whitespace squeeze as :func:`normalize_text_expr`. A real
+    HTML5 tree parser is out of scope by design — malformed nesting (an
+    unclosed ``<script>``) degrades to tag-stripping its body rather than
+    erroring, which is the right failure mode mid-pipeline.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _HTML_TAG_PASSES:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # full whitespace trim (trim() strips spaces only — block closers leave
+    # a trailing newline behind otherwise)
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Add extracted plain text next to the raw HTML column.
+
+    Pure narrow projection (zero shuffle, no stage boundary), like
+    :func:`text_normalize`; ``n_chars_html``/``n_chars_text`` ride along so
+    a downstream quality filter can cut on markup ratio without re-reading
+    the HTML.
+    """
+    return (
+        df.withColumn(out_col, html_extract_expr(html_col))
+        .withColumn("n_chars_html", F.coalesce(F.length(html_col), F.lit(0)))
+        .withColumn("n_chars_text", F.coalesce(F.length(out_col), F.lit(0)))
+    )
+
+
 def boilerplate_rm(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -679,6 +679,86 @@ def simhash(
     return work.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance (Manku, Jain &
+    Sarma, WWW'07 "Detecting Near-Duplicates for Web Crawling"): emit every
+    (id_a, id_b, hamming) with Hamming(sig_a, sig_b) <= ``max_hamming``.
+
+    Banding gives the pigeonhole recall guarantee from the paper: the
+    signature splits into ``bands`` contiguous bit ranges (default
+    ``max_hamming + 1``); two signatures differing in at most
+    ``max_hamming`` bits MUST agree exactly on at least one band, so the
+    banded equi-join followed by an exact bit_count(xor) verification
+    returns EXACTLY the brute-force answer — which is what the DuckDB
+    oracle checks with an O(n^2) self-join.
+
+    Scale shape: signatures are a zero-shuffle per-row map (see
+    :func:`simhash`); the only shuffle is ONE self-equi-join on a
+    bands-per-doc (id, band_key) table with the band index baked into the
+    key — linear in the corpus, same shape as
+    :func:`lsh_duplicate_pairs`. Signatures ride along in the band table so
+    verification needs no join-back. ``max_band_bucket`` is the same
+    hot-bucket guardrail as the LSH path: boilerplate-heavy corpora
+    collapse many documents onto one band value and the join output is
+    quadratic within a bucket; capping drops those band buckets (identical-
+    text mass belongs to exact_dedup upstream). At real corpus scale use a
+    wider signature (bits=32 here tops out against the 32-bit token hash;
+    the production recipe is 64-bit signatures over a 64-bit hash with
+    16-bit bands).
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if not (1 <= bands <= bits):
+        raise ValueError(f"bands must be in [1, bits], got {bands}")
+    sigs = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    # contiguous bands whose widths differ by at most one bit; band index
+    # baked into the key so one join covers all bands (cf. _band_table)
+    base, extra = divmod(bits, bands)
+    widths = [base + (1 if j < extra else 0) for j in range(bands)]
+    offs = [sum(widths[:j]) for j in range(bands)]
+    keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offs[j])
+            .bitwiseAND(F.lit((1 << widths[j]) - 1))
+            + F.lit(j << bits)
+            for j in range(bands)
+        ]
+    )
+    bandtbl = sigs.select(F.col(id_col), F.col("simhash"), F.explode(keys).alias("_band"))
+    if max_band_bucket is not None:
+        hot = (
+            bandtbl.groupBy("_band")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_bucket)
+            .select("_band")
+        )
+        bandtbl = bandtbl.join(hot.hint("shuffle_hash"), "_band", "left_anti")
+    a = bandtbl.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_band"
+    )
+    b = bandtbl.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "_band"
+    )
+    return (
+        a.join(b, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition stats + PII redaction (training-data extensions)
 # ---------------------------------------------------------------------------

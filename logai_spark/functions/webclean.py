@@ -219,8 +219,48 @@ def substring_dedup(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact deduplication across the corpus (the FineWeb /
+    RefinedWeb recipe: Penedo et al. 2024 §3.3 run MinHash at document
+    granularity and exact dedup at line/paragraph granularity): every
+    paragraph that occurs more than once in the corpus — in other
+    documents or repeated within one — keeps exactly its first occurrence
+    (smallest (doc, position)); all other occurrences are removed and each
+    document is reassembled from its surviving paragraphs in order.
+
+    ``sep`` both splits documents into paragraphs (as a literal-safe regex,
+    default blank line) and rejoins the survivors. Paragraphs are trimmed
+    and whitespace-only fragments dropped before positions are assigned.
+    Returns one row per input document: (id, clean_text, n_paragraphs,
+    n_kept); documents whose every paragraph is removed come back with
+    empty text rather than disappearing, so the caller decides whether to
+    drop empties.
+
+    This is :func:`span_dedup`'s machinery at span=1 with the paragraph as
+    the unit, and inherits its scale shape: only (16-byte paragraph hash,
+    id, int position) shuffles — never document text — keeper election is
+    a partial-aggregatable min(struct), removal an integer anti-join,
+    reassembly one groupBy(id) over the document's own paragraphs.
+    """
+    units = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+            lambda p: F.trim(p),
+        ),
+        lambda p: F.length(p) > 0,
+    )
+    return _window_dedup(df, id_col, units, 1, join_sep=sep).withColumnRenamed(
+        "n_units", "n_paragraphs"
+    )
+
+
 def _window_dedup(
-    df: DataFrame, id_col: str, units: Column, span: int
+    df: DataFrame, id_col: str, units: Column, span: int, join_sep: str = " "
 ) -> DataFrame:
     """Shared machinery for span_dedup / substring_dedup: given an ordered
     per-document unit array (sentences or tokens), remove every unit
@@ -274,7 +314,7 @@ def _window_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "unit"))),
                 lambda s: s["unit"],
             ),
-            " ",
+            join_sep,
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )

@@ -315,3 +315,38 @@ def test_lsh_hot_band_bucket_cap(spark):
 
     uncapped = lsh_duplicate_pairs(df, bands=2, rows_per_band=1).count()
     assert uncapped == 50 * 49 // 2 + 1
+
+
+def test_html_extract_full_chain(spark):
+    from logai_spark.functions.curation import html_extract
+
+    html = (
+        "<html><head><title>T</title><style type='text/css'>body{margin:0}"
+        "</style></head><body><!-- nav -->"
+        "<h1>Header</h1><p>first   para &amp; stuff</p>"
+        "<SCRIPT>var x = '<p>not text</p>';</SCRIPT>"
+        "<ul><li>item one</li><li>&lt;tag&gt; literal</li></ul>"
+        "<div>last&nbsp;bit &amp;lt;escaped&amp;gt;</div></body></html>"
+    )
+    df = spark.createDataFrame([(0, html)], "doc_id long, html string")
+    row = html_extract(df).collect()[0]
+    # consecutive block closers (</li></ul>) leave a paragraph break
+    assert row["text"] == (
+        "Header\nfirst para & stuff\nitem one\n<tag> literal\n\n"
+        "last bit &lt;escaped&gt;"
+    )
+    assert row["n_chars_html"] == len(html)
+    assert row["n_chars_text"] == len(row["text"])
+
+
+def test_html_extract_unclosed_script_degrades_to_tag_strip(spark):
+    from logai_spark.functions.curation import html_extract
+
+    df = spark.createDataFrame(
+        [(0, "<p>ok</p><script>orphan body"), (1, None)],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in html_extract(df).collect()}
+    # lazy match finds no </script>; the tag strips, the body stays as text
+    assert out[0]["text"] == "ok\norphan body"
+    assert out[1]["text"] is None and out[1]["n_chars_html"] == 0

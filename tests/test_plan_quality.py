@@ -156,3 +156,28 @@ def test_keep_best_no_cartesian_no_window(spark, qs):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
+
+
+def test_simhash_pairs_single_equi_join(spark, qs):
+    """Banded SimHash pairing must stay ONE hash equi-join on the band
+    key — never a cartesian/nested-loop, and no join-back for signatures
+    (they ride the band table)."""
+    p = _plan(qs["simhash_pairs"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_html_extract_zero_exchange(spark, qs):
+    """HTML extraction is one row-local codegen projection chain: any
+    exchange means a regex pass fell out of the narrow pipeline."""
+    p = _plan(qs["html_extract"](spark, SF))
+    assert "hashpartitioning" not in p
+
+
+def test_paragraph_dedup_never_shuffles_text(spark, qs):
+    """paragraph_dedup inherits the span_dedup machinery: the keeper
+    election must shuffle paragraph hashes, and nothing may degrade to a
+    nested loop."""
+    p = _plan(qs["paragraph_dedup"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

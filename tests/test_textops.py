@@ -580,3 +580,36 @@ def test_lsh_params_calibration():
         lsh_params(1.5)
     with _pytest.raises(ValueError):
         lsh_params(0.5, 0)
+
+
+def test_simhash_pairs_equals_brute_force(spark, docs):
+    """Banded pairing with bands = max_hamming + 1 must reproduce the
+    exact brute-force Hamming-threshold pair set (the Manku et al.
+    pigeonhole guarantee the DuckDB oracle also checks)."""
+    from itertools import combinations
+
+    from logai_spark.functions.textops import simhash_pairs
+
+    sigs = simhash(docs, bits=16).toPandas().set_index("doc_id")["simhash"]
+    for max_h in (0, 2, 4):
+        want = {
+            (a, b, bin(int(sigs[a]) ^ int(sigs[b])).count("1"))
+            for a, b in combinations(sorted(sigs.index), 2)
+            if bin(int(sigs[a]) ^ int(sigs[b])).count("1") <= max_h
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, bits=16, max_hamming=max_h).collect()
+        }
+        assert got == want, max_h
+    # exact dup (docs 0 and 2) is always a hamming-0 pair
+    assert (0, 2, 0) in got
+
+
+def test_simhash_pairs_band_validation_and_bucket_cap(spark, docs):
+    from logai_spark.functions.textops import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, bits=8, bands=9)
+    # cap of 0 drops every band bucket -> no candidates survive
+    assert simhash_pairs(docs, bits=16, max_hamming=4, max_band_bucket=0).count() == 0

@@ -331,3 +331,45 @@ def test_gopher_repetition_zero_shuffle_plan(spark):
         gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from logai_spark.functions.webclean import paragraph_dedup
+
+    rows = [
+        (0, "alpha beta\n\nshared para here\n\ngamma"),
+        (1, "shared para here\n\nunique one"),        # cross-doc dup dropped
+        (2, "repeat me\n\nrepeat me\n\nend"),          # within-doc dup dropped
+        (3, "shared para here"),                       # nothing survives
+        (4, None),                                     # NULL text -> empty
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta\n\nshared para here\n\ngamma"
+    assert out[0]["n_paragraphs"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["clean_text"] == "unique one"
+    assert out[1]["n_paragraphs"] == 2 and out[1]["n_kept"] == 1
+    assert out[2]["clean_text"] == "repeat me\n\nend"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_paragraphs"] == 0
+
+
+def test_paragraph_dedup_custom_sep_and_trim(spark):
+    from logai_spark.functions.webclean import paragraph_dedup
+
+    # sep must be regex-neutral (same contract as boilerplate_rm: it is
+    # the split REGEX and the re-join literal)
+    rows = [(0, "a :: b ::  :: c"), (1, " b :: d")]  # blank fragment dropped; ' b ' trims to b
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), sep=" :: "
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "a :: b :: c"
+    assert out[0]["n_paragraphs"] == 3 and out[0]["n_kept"] == 3
+    assert out[1]["clean_text"] == "d"  # 'b' already owned by doc 0
