@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--line-filter-min-sentences", type=int, default=5,
                      help="doc-level sentence floor for --line-filter "
                           "(C4 default 5)")
+    cur.add_argument("--paragraph-dedup", action="store_true",
+                     help="corpus-wide paragraph-level exact dedup "
+                          "(FineWeb fine-grained stage; first occurrence wins)")
+    cur.add_argument("--paragraph-sep", default="\n\n",
+                     help="paragraph separator (regex-neutral literal)")
     cur.add_argument("--substring-window", type=int, default=None,
                      help="token-level exact-substring dedup window "
                           "(webclean.substring_dedup; Lee et al. use 50)")
@@ -163,6 +168,8 @@ def main(argv: list[str] | None = None) -> int:
                 line_filter=args.line_filter,
                 line_filter_min_sentences=args.line_filter_min_sentences,
                 substring_window=args.substring_window,
+                paragraph_dedup=args.paragraph_dedup,
+                paragraph_sep=args.paragraph_sep,
                 classifier_ref=args.classifier_ref,
                 classifier_threshold=args.classifier_threshold,
                 classifier_neg_frac=args.classifier_neg_frac,

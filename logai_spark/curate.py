@@ -73,6 +73,11 @@ class CurationConfig:
     # al. 2021): duplicated >=window-token regions keep one occurrence,
     # covered tokens elsewhere are removed in place. None = skip.
     substring_window: int | None = None
+    # corpus-wide paragraph-level exact dedup (webclean.paragraph_dedup,
+    # the FineWeb fine-grained dedup stage): duplicated paragraphs keep
+    # their first (doc, position) occurrence only. False = skip.
+    paragraph_dedup: bool = False
+    paragraph_sep: str = "\n\n"
     # supervised quality classifier (selection.quality_classifier): parquet
     # path of a positive reference corpus (the CCNet "wiki side"); the
     # negative class is a deterministic hash-sample of the input corpus
@@ -216,6 +221,25 @@ def run_curation(
             c.id_col,
         )
         pre_cols.append("_bp_removed")
+    if c.paragraph_dedup:
+        from logai_spark.functions.webclean import paragraph_dedup
+
+        # runs on the hygiene-cleaned text BEFORE window-level substring
+        # dedup: paragraph boundaries are exact-match keys, so removing
+        # whole duplicated paragraphs first shrinks the window-hash table
+        # the substring stage shuffles. Only (hash, id, pos) triples move.
+        pdd = paragraph_dedup(
+            docs, text_col=c.text_col, id_col=c.id_col, sep=c.paragraph_sep
+        )
+        docs = docs.drop(c.text_col).join(
+            pdd.select(
+                c.id_col,
+                F.col("clean_text").alias(c.text_col),
+                (F.col("n_paragraphs") - F.col("n_kept")).alias("_pd_removed"),
+            ),
+            c.id_col,
+        )
+        pre_cols.append("_pd_removed")
     if c.substring_window:
         from logai_spark.functions.webclean import substring_dedup
 
@@ -322,6 +346,7 @@ def run_curation(
                 "_c4_keep",
                 "_norm_changed",
                 "_bp_removed",
+                "_pd_removed",
                 "_ss_removed",
             )
             if x in flags.columns
@@ -563,7 +588,7 @@ def _finish_curation(
     # internal and must not leak into the written training corpus
     docs = docs.drop(
         "_norm_changed", "_bp_removed", "_lines_removed", "_c4_keep",
-        "_ss_removed",
+        "_pd_removed", "_ss_removed",
     )
 
     # ONE aggregate yields every stage count (ledger rows are id+booleans)
@@ -585,6 +610,8 @@ def _finish_curation(
         aggs.append(F.sum("_bp_removed").alias("bp_removed"))
     if "_lines_removed" in pre_cols:
         aggs.append(F.sum("_lines_removed").alias("lines_removed"))
+    if "_pd_removed" in pre_cols:
+        aggs.append(F.sum("_pd_removed").alias("pd_removed"))
     if "_ss_removed" in pre_cols:
         aggs.append(F.sum("_ss_removed").alias("ss_removed"))
     row = flags.agg(*aggs).collect()[0]
@@ -600,6 +627,8 @@ def _finish_curation(
         counts["normalized_docs"] = int(row["normed"] or 0)
     if "_bp_removed" in pre_cols:
         counts["boilerplate_lines_removed"] = int(row["bp_removed"] or 0)
+    if "_pd_removed" in pre_cols:
+        counts["duplicate_paragraphs_removed"] = int(row["pd_removed"] or 0)
     if "_ss_removed" in pre_cols:
         counts["substring_tokens_removed"] = int(row["ss_removed"] or 0)
     counts["after_exact_dedup"] = int(row["exact"] or 0)

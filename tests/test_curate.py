@@ -575,3 +575,36 @@ def test_curation_epochs_stage(spark, tmp_path):
     # copies are distinct (id, epoch_copy) rows and all packed
     assert written.select("doc_id", "epoch_copy").distinct().count() == 16
     assert written.filter(F.col("pack_id").isNull()).count() == 0
+
+
+def test_curation_paragraph_dedup_stage(spark, tmp_path):
+    """--paragraph-dedup removes later occurrences of corpus-duplicated
+    paragraphs in place BEFORE substring/exact dedup; first (doc, pos)
+    occurrence wins and the manifest accounts every removal."""
+    boiler = "subscribe to our newsletter for updates and offers"
+    rows = [
+        (0, f"real article one\n\n{boiler}", "en", "s0"),
+        (1, f"{boiler}\n\nreal article two body text", "en", "s0"),
+        (2, f"real article three\n\n{boiler}\n\nmore three", "en", "s0"),
+        (3, boiler, "en", "s0"),  # nothing survives -> empty text doc
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = str(tmp_path / "pd")
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            paragraph_dedup=True,
+        ),
+    )
+    c = m["counts"]
+    assert c["duplicate_paragraphs_removed"] == 3  # one per doc 1, 2, 3
+    written = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert written[0] == f"real article one\n\n{boiler}"  # doc 0 owns it
+    assert written[1] == "real article two body text"
+    assert written[2] == "real article three\n\nmore three"
