@@ -59,6 +59,9 @@ HEADLINE = [
     "gopher_repetition",
     "epoch_upsample",
     "url_filter",
+    "simhash_pairs",
+    "paragraph_dedup",
+    "html_extract",
 ]
 
 
