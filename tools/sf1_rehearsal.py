@@ -66,6 +66,10 @@ DOC_QUERIES = [
     "gopher_repetition",
     "epoch_upsample",
     "url_filter",
+    # round-4 session-6 ops
+    "simhash_pairs",
+    "paragraph_dedup",
+    "html_extract",
 ]
 
 
