@@ -1820,6 +1820,33 @@ def _q_html_extract(spark, sf_dir):
     )
 
 
+def _q_url_dedup(spark, sf_dir):
+    """URL-level dedup (textops.url_dedup, the FineWeb first-stage pass):
+    four URL variants per page key (canonical, trailing slash, default
+    :443 port, utm tracking param) must normalize together; keeper is the
+    latest snapshot (max ts = max doc_id here). The oracle constructs the
+    expected canonical string analytically, so any Spark normalizer drift
+    hash-mismatches."""
+    from logai_spark.functions.textops import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pk = F.floor(F.col("doc_id") / 4)
+    base = F.concat(
+        F.lit("https://site"), pk % 50, F.lit(".example.com/p"), pk
+    )
+    m = F.col("doc_id") % 4
+    u = d.select(
+        "doc_id",
+        F.when(m == 0, base)
+        .when(m == 1, F.concat(base, F.lit("/")))
+        .when(m == 2, F.concat(
+            F.lit("https://site"), pk % 50, F.lit(".example.com:443/p"), pk))
+        .otherwise(F.concat(base, F.lit("?utm_source=x"))).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + F.col("doc_id")).alias("ts"),
+    )
+    return url_dedup(u, ts_col="ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
@@ -1877,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "paragraph_dedup": _q_paragraph_dedup,
         "html_extract": _q_html_extract,
+        "url_dedup": _q_url_dedup,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2451,6 +2479,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "url_dedup": """
+            WITH u AS (
+                SELECT doc_id, doc_id // 4 AS pk,
+                       to_timestamp(1600000000 + doc_id) AS ts
+                FROM documents)
+            SELECT 'https://site' || (pk % 50) || '.example.com/p' || pk
+                       AS url_norm,
+                   max(doc_id) AS keeper_id,
+                   to_timestamp(1600000000 + max(doc_id)) AS keeper_ts,
+                   count(*) AS n_dups
+            FROM u GROUP BY pk
         """,
         "html_extract": f"""
             WITH hdoc AS (

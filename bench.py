@@ -62,6 +62,7 @@ HEADLINE = [
     "simhash_pairs",
     "paragraph_dedup",
     "html_extract",
+    "url_dedup",
 ]
 
 

@@ -109,6 +109,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="parquet dir of (domain) rows; drop docs whose "
                           "url host equals or is a subdomain of a listed "
                           "domain, BEFORE any other stage")
+    cur.add_argument("--url-dedup", action="store_true",
+                     help="URL-level dedup before content stages (FineWeb "
+                          "first-stage pass; one doc per normalized URL)")
+    cur.add_argument("--url-ts-col", default=None,
+                     help="snapshot timestamp column for latest-wins URL "
+                          "dedup (default: smallest id wins)")
     cur.add_argument("--url-col", default="url",
                      help="url column for --url-blocklist (default url)")
     cur.add_argument("--epochs", default=None,
@@ -145,8 +151,9 @@ def main(argv: list[str] | None = None) -> int:
                 "text",
                 "lang",
                 F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("source"),
-                # the url rides along only when the blocklist stage needs it
-                *(["url"] if args.url_blocklist else []),
+                # the url rides along only when a url stage needs it
+                *(["url"] if (args.url_blocklist or args.url_dedup) else []),
+                *(["warc_ts"] if args.url_ts_col == "warc_ts" else []),
             )
         manifest = run_curation(
             spark,
@@ -189,6 +196,8 @@ def main(argv: list[str] | None = None) -> int:
                 repetition_full=args.repetition_full,
                 url_blocklist=args.url_blocklist,
                 url_col=args.url_col,
+                url_dedup=args.url_dedup,
+                url_ts_col=args.url_ts_col,
                 epochs=(
                     {
                         k: float(v)

@@ -64,6 +64,12 @@ class CurationConfig:
     # None = skip.
     url_blocklist: str | None = None
     url_col: str = "url"
+    # URL-level dedup (textops.url_dedup, the FineWeb first-stage pass):
+    # one doc survives per normalized URL — latest url_ts_col snapshot if
+    # given, else smallest id. Runs after the blocklist, before content
+    # stages, because it is the cheapest dedup pass a crawl can run.
+    url_dedup: bool = False
+    url_ts_col: str | None = None
     # C4 §2.2 line-level filter (webclean.line_filter) as the FIRST hygiene
     # stage: drops non-sentence lines in place and flags docs failing the
     # doc-level rules (lorem ipsum / brace / min sentences). False = skip.
@@ -156,7 +162,7 @@ def run_curation(
     # ------------------------------------------------------------------
     pre_cols: list[str] = []
     bl_df = None
-    url_n_before: int | None = None
+    pre_counts: dict[str, int] = {}
     if c.url_blocklist:
         from logai_spark.functions.textops import url_filter
 
@@ -166,10 +172,23 @@ def run_curation(
         # shuffle (K broadcast suffix joins); the one extra action is a
         # column-pruned pre-filter count for the manifest.
         bl_df = spark.read.parquet(c.url_blocklist)
-        url_n_before = docs.count()
+        pre_counts["input"] = docs.count()
         docs = url_filter(
             docs, bl_df, url_col=c.url_col, id_col=c.id_col, action="drop"
         )
+    if c.url_dedup:
+        from logai_spark.functions.textops import url_dedup as _url_dedup
+
+        # cheapest dedup first (FineWeb ordering): keeper election is one
+        # partial-agg min/max(struct) over (normalized url, ts, id) — no
+        # text moves — then the corpus reduces via a semi-join on the id.
+        pre_counts["after_url_filter" if c.url_blocklist else "input"] = docs.count()
+        sel = [c.id_col, c.url_col] + ([c.url_ts_col] if c.url_ts_col else [])
+        keep = _url_dedup(
+            docs.select(*sel), url_col=c.url_col, id_col=c.id_col,
+            ts_col=c.url_ts_col,
+        ).select(F.col("keeper_id").alias(c.id_col))
+        docs = docs.join(keep, c.id_col, "left_semi")
     if c.line_filter:
         from logai_spark.functions.webclean import line_filter
 
@@ -353,7 +372,7 @@ def run_curation(
         ]
         return _finish_curation(
             spark, docs, flags, pre_cols, output, c, True,
-            url_n_before=url_n_before,
+            pre_counts=pre_counts,
         )
 
     # 1. exact dedup: keeper = min id per identical text. hash_key shuffles
@@ -555,7 +574,7 @@ def run_curation(
     flags = spark.read.parquet(ledger_dir)
     return _finish_curation(
         spark, docs, flags, pre_cols, output, c, False,
-        url_n_before=url_n_before,
+        pre_counts=pre_counts,
     )
 
 
@@ -567,7 +586,7 @@ def _finish_curation(
     output: str,
     c: CurationConfig,
     resumed: bool,
-    url_n_before: int | None = None,
+    pre_counts: dict[str, int] | None = None,
 ) -> dict:
     """Stages downstream of the checkpointed ledger: counts, PII scrub,
     packing, (sharded) write, manifest."""
@@ -616,9 +635,11 @@ def _finish_curation(
         aggs.append(F.sum("_ss_removed").alias("ss_removed"))
     row = flags.agg(*aggs).collect()[0]
     counts: dict[str, int] = {}
-    if url_n_before is not None:
-        counts["input"] = url_n_before
-        counts["after_url_filter"] = row["input"]
+    if pre_counts:
+        counts.update(pre_counts)
+        counts["after_url_dedup" if c.url_dedup else "after_url_filter"] = (
+            row["input"]
+        )
     else:
         counts["input"] = row["input"]
     if "_lines_removed" in pre_cols:

@@ -1287,6 +1287,51 @@ def url_normalize(
     return df.withColumn(out_col, norm)
 
 
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """URL-level deduplication — the FIRST dedup stage of a crawl pipeline
+    (FineWeb, Penedo et al. 2024 §3.1, dedups by URL before any content
+    pass; Common Crawl's index keeps the newest snapshot per URL). One
+    output row per distinct (normalized) URL:
+    (url_norm, keeper_id[, keeper_ts], n_dups).
+
+    Keeper election: with ``ts_col`` the LATEST snapshot wins (max ts,
+    largest-id tie-break); without, the smallest id (first-seen, matching
+    :func:`exact_dedup`). Both elections are min/max over a struct whose
+    ordering is SQL-total — no arithmetic negation, so string ids are safe
+    (the round-3 ``-id`` tie-break bug class).
+
+    Scale shape: normalization is row-local codegen fused into the scan
+    (:func:`url_normalize`); the only shuffle is ONE partial-aggregatable
+    min/max(struct) keyed on the normalized URL — the same linear
+    footprint as exact_dedup, and the cheapest dedup pass a crawl can run,
+    which is why it goes first.
+    """
+    if normalize:
+        work = url_normalize(df, url_col=url_col, out_col="_u")
+    else:
+        work = df.withColumn("_u", F.col(url_col))
+    if ts_col is None:
+        k = F.min(F.struct(F.col(id_col).alias("_id"))).alias("_k")
+        extra = []
+    else:
+        k = F.max(
+            F.struct(F.col(ts_col).alias("_ts"), F.col(id_col).alias("_id"))
+        ).alias("_k")
+        extra = [F.col("_k._ts").alias("keeper_ts")]
+    out = work.groupBy(F.col("_u").alias("url_norm")).agg(
+        k, F.count(F.lit(1)).alias("n_dups")
+    )
+    return out.select(
+        "url_norm", F.col("_k._id").alias("keeper_id"), *extra, "n_dups"
+    )
+
+
 #: Winnowing position encoder base — must exceed any token position; one
 #: BIGINT carries (hash, rightmost-tiebreak position) so min() selects the
 #: window's fingerprint identically in Spark and the DuckDB oracle.

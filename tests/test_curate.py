@@ -608,3 +608,34 @@ def test_curation_paragraph_dedup_stage(spark, tmp_path):
     assert written[0] == f"real article one\n\n{boiler}"  # doc 0 owns it
     assert written[1] == "real article two body text"
     assert written[2] == "real article three\n\nmore three"
+
+
+def test_curation_url_dedup_stage(spark, tmp_path):
+    """--url-dedup keeps one doc per normalized URL (latest ts wins)
+    before any content stage; manifest accounts the reduction."""
+    rows = [
+        (0, "body zero", "en", "s0", "https://a.com/x", "2024-01-01"),
+        (1, "body one", "en", "s0", "https://a.com/x/", "2024-03-01"),
+        (2, "body two", "en", "s0", "https://a.com:443/x?utm_source=t", "2024-02-01"),
+        (3, "body three", "en", "s0", "http://b.com/y", "2024-01-01"),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "url string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = str(tmp_path / "ud")
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            url_dedup=True, url_ts_col="ts",
+        ),
+    )
+    c = m["counts"]
+    assert c["input"] == 4 and c["after_url_dedup"] == 2
+    written = {
+        r["doc_id"] for r in
+        spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert written == {1, 3}  # latest a.com/x snapshot + the distinct URL

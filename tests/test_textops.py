@@ -613,3 +613,37 @@ def test_simhash_pairs_band_validation_and_bucket_cap(spark, docs):
         simhash_pairs(docs, bits=8, bands=9)
     # cap of 0 drops every band bucket -> no candidates survive
     assert simhash_pairs(docs, bits=16, max_hamming=4, max_band_bucket=0).count() == 0
+
+
+def test_url_dedup_latest_snapshot_wins(spark):
+    from logai_spark.functions.textops import url_dedup
+
+    rows = [
+        (0, "https://a.com/x", "2024-01-01"),
+        (1, "https://a.com/x/", "2024-03-01"),            # trailing slash merge
+        (2, "https://a.com:443/x?utm_source=t", "2024-02-01"),  # port+tracking merge
+        (3, "http://b.com/y", "2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["url_norm"]: r.asDict() for r in url_dedup(df, ts_col="ts").collect()}
+    a = out["https://a.com/x"]
+    assert a["keeper_id"] == 1 and a["n_dups"] == 3  # latest snapshot kept
+    assert out["http://b.com/y"]["n_dups"] == 1
+
+
+def test_url_dedup_first_seen_and_string_ids(spark):
+    from logai_spark.functions.textops import url_dedup
+
+    rows = [
+        ("doc-b", "https://a.com/x"),
+        ("doc-a", "https://a.com/x/"),
+        ("doc-c", "https://c.com/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    out = {r["url_norm"]: r.asDict() for r in url_dedup(df).collect()}
+    # ts-less election = min id; struct ordering handles string ids (no
+    # arithmetic negation, the round-3 -id bug class)
+    assert out["https://a.com/x"]["keeper_id"] == "doc-a"
+    assert out["https://c.com/"]["keeper_id"] == "doc-c"

@@ -70,6 +70,7 @@ DOC_QUERIES = [
     "simhash_pairs",
     "paragraph_dedup",
     "html_extract",
+    "url_dedup",
 ]
 
 
