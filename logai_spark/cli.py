@@ -176,7 +176,11 @@ def main(argv: list[str] | None = None) -> int:
                 line_filter_min_sentences=args.line_filter_min_sentences,
                 substring_window=args.substring_window,
                 paragraph_dedup=args.paragraph_dedup,
-                paragraph_sep=args.paragraph_sep,
+                # shell callers pass two-char escapes ("\\n\\n"); the regex
+                # split would read them as newlines while the literal
+                # rejoin would not — decode so both sides agree
+                paragraph_sep=args.paragraph_sep.replace(
+                    "\\n", "\n").replace("\\t", "\t"),
                 classifier_ref=args.classifier_ref,
                 classifier_threshold=args.classifier_threshold,
                 classifier_neg_frac=args.classifier_neg_frac,

@@ -188,7 +188,11 @@ def run_curation(
             docs.select(*sel), url_col=c.url_col, id_col=c.id_col,
             ts_col=c.url_ts_col,
         ).select(F.col("keeper_id").alias(c.id_col))
-        docs = docs.join(keep, c.id_col, "left_semi")
+        # URL-less docs carry no dedup evidence and survive unconditionally
+        # (url_dedup emits no keeper row for them)
+        docs = docs.join(keep, c.id_col, "left_semi").unionByName(
+            docs.filter(F.col(c.url_col).isNull())
+        )
     if c.line_filter:
         from logai_spark.functions.webclean import line_filter
 

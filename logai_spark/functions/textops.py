@@ -1312,10 +1312,15 @@ def url_dedup(
     footprint as exact_dedup, and the cheapest dedup pass a crawl can run,
     which is why it goes first.
     """
+    # NULL URLs carry no dedup evidence: grouping them would collapse
+    # every URL-less doc into ONE group and keep a single survivor (the
+    # NULL-key analog of the round-3 short-doc LSH bug). They get no
+    # output row; the caller keeps them unconditionally.
+    work = df.filter(F.col(url_col).isNotNull())
     if normalize:
-        work = url_normalize(df, url_col=url_col, out_col="_u")
+        work = url_normalize(work, url_col=url_col, out_col="_u")
     else:
-        work = df.withColumn("_u", F.col(url_col))
+        work = work.withColumn("_u", F.col(url_col))
     if ts_col is None:
         k = F.min(F.struct(F.col(id_col).alias("_id"))).alias("_k")
         extra = []

@@ -639,3 +639,29 @@ def test_curation_url_dedup_stage(spark, tmp_path):
         spark.read.parquet(os.path.join(out, "curated")).collect()
     }
     assert written == {1, 3}  # latest a.com/x snapshot + the distinct URL
+
+
+def test_curation_url_dedup_keeps_null_url_docs(spark, tmp_path):
+    rows = [
+        (0, "body zero", "en", "s0", "https://a.com/x"),
+        (1, "body one", "en", "s0", "https://a.com/x/"),
+        (2, "body two", "en", "s0", None),
+        (3, "body three", "en", "s0", None),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, url string"
+    )
+    out = str(tmp_path / "udn")
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(
+            keep_frac=1.0, max_top_bigram_frac=1.0, pack_budget=10_000,
+            url_dedup=True,
+        ),
+    )
+    assert m["counts"]["after_url_dedup"] == 3  # dup URL merged, NULLs kept
+    written = {
+        r["doc_id"] for r in
+        spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert written == {0, 2, 3}

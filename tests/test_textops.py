@@ -647,3 +647,13 @@ def test_url_dedup_first_seen_and_string_ids(spark):
     # arithmetic negation, the round-3 -id bug class)
     assert out["https://a.com/x"]["keeper_id"] == "doc-a"
     assert out["https://c.com/"]["keeper_id"] == "doc-c"
+
+
+def test_url_dedup_null_urls_emit_no_keeper(spark):
+    from logai_spark.functions.textops import url_dedup
+
+    rows = [(0, "https://a.com/x"), (1, None), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_dedup(df).collect()
+    # NULL urls must NOT collapse into one group with a single survivor
+    assert len(out) == 1 and out[0]["url_norm"] == "https://a.com/x"
