@@ -187,11 +187,14 @@ def run_curation(
         keep = _url_dedup(
             docs.select(*sel), url_col=c.url_col, id_col=c.id_col,
             ts_col=c.url_ts_col,
-        ).select(F.col("keeper_id").alias(c.id_col))
+        ).select(F.col("keeper_id").alias(c.id_col), F.lit(True).alias("_uk"))
         # URL-less docs carry no dedup evidence and survive unconditionally
-        # (url_dedup emits no keeper row for them)
-        docs = docs.join(keep, c.id_col, "left_semi").unionByName(
-            docs.filter(F.col(c.url_col).isNull())
+        # (url_dedup emits no keeper row for them). One left join + filter,
+        # not a semi-join + union — the union shape scans the corpus twice.
+        docs = (
+            docs.join(keep, c.id_col, "left")
+            .filter(F.col("_uk").isNotNull() | F.col(c.url_col).isNull())
+            .drop("_uk")
         )
     if c.line_filter:
         from logai_spark.functions.webclean import line_filter

@@ -49,23 +49,31 @@ def run_at(cpus: int, n_docs: int) -> dict:
         },
     )
 
+    full = os.environ.get("CURATE_SCALING_FULL") == "1"
+
     def _docs(n: int, parts: int):
         return synth_webpages(spark, n, partitions=parts).select(
             F.xxhash64("url").alias("doc_id"),
             "text",
             "lang",
             F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("source"),
+            # the url stages only read these in FULL mode
+            *(["url", "warc_ts"] if full else []),
         )
 
-    if os.environ.get("CURATE_SCALING_FULL") == "1":
-        # the shipped default-path superset: hygiene + dedup + filters +
-        # packing + balanced shards (near-dup LSH stays a separate bench —
-        # its cost profile is its own operator's)
+    if full:
+        # the shipped default-path superset: url dedup + hygiene + dedup +
+        # filters + packing + balanced shards (near-dup LSH stays a
+        # separate bench — its cost profile is its own operator's)
         cfg = CurationConfig(
             keep_frac=0.5,
             pack_budget=2048,
             normalize=True,
             boilerplate_max_df=max(100, n_docs // 20),
+            paragraph_dedup=True,
+            paragraph_sep="\n",
+            url_dedup=True,
+            url_ts_col="warc_ts",
             n_shards=8,
         )
     else:
