@@ -1847,6 +1847,93 @@ def _q_url_dedup(spark, sf_dir):
     return url_dedup(u, ts_col="ts")
 
 
+def _q_bloom_dedup(spark, sf_dir):
+    """Dolma-style Bloom membership dedup (membership.bloom_dedup): the
+    held-out slice (doc_id % 10 == 0) builds an m=2^18 / k=4 filter — ONE
+    bit_or partial agg into a single broadcast map row — and the corpus is
+    flagged by zero-shuffle codegen probes. md5-derived positions make the
+    filter (false positives included) bit-identical in DuckDB, so the
+    oracle checks flags exactly."""
+    from logai_spark.functions.membership import bloom_dedup
+
+    # membership key = 30-char content prefix (the key column is a
+    # parameter in Dolma too — URL / paragraph / text); the testdata's
+    # full texts are all-unique, prefixes collide across the split, so
+    # the row exercises true positives as well as the FP-free negatives
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 30).alias("key")
+    )
+    return bloom_dedup(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        text_col="key",
+        keep_flag=True,
+    ).drop("key").orderBy("doc_id")
+
+
+def _links_tbl(spark, sf_dir):
+    """Deterministic href corpus for the link-graph rows: every doc links
+    to dom{doc_id % 23}.net, and (when doc_id % 3 != 0) to a second target
+    chosen by the md5 text hash — multi-edges, weights, and (since the
+    dom*.net targets never appear as sources) genuine dangling nodes."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 23
+    html = F.concat(
+        F.lit('<a href="http://dom'), F.col("doc_id") % 23, F.lit('.net/a">x</a>'),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(F.lit('<a href="http://dom'), h, F.lit('.net/b">y</a>')),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("source", html.alias("html"))
+
+
+_LINKS_SQL = """
+    SELECT source,
+           '<a href="http://dom' || (doc_id % 23) || '.net/a">x</a>'
+           || CASE WHEN doc_id % 3 <> 0
+                   THEN '<a href="http://dom'
+                        || ((('0x' || substr(md5(text), 1, 8))::BIGINT) % 23)
+                        || '.net/b">y</a>'
+                   ELSE '' END AS html
+    FROM documents
+"""
+
+_EDGES_SQL = f"""
+    SELECT source AS src,
+           regexp_extract(u, '^[a-z]+://([^/]+)', 1) AS dst,
+           count(*) AS n_links
+    FROM (SELECT source, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS u
+          FROM ({_LINKS_SQL}))
+    WHERE regexp_extract(u, '^[a-z]+://([^/]+)', 1) <> ''
+    GROUP BY 1, 2
+"""
+
+
+def _q_link_graph(spark, sf_dir):
+    """Weighted domain edge extraction (webgraph.link_edges): href regexes
+    are pure codegen, the page->edge fold is one partial-agg shuffle on
+    (src, dst) — bytes per PAGE never leave the map side at 10^12 rows."""
+    from logai_spark.functions.webgraph import link_edges
+
+    return link_edges(_links_tbl(spark, sf_dir)).orderBy("src", "dst")
+
+
+def _q_domain_pagerank(spark, sf_dir):
+    """Domain PageRank (webgraph.domain_pagerank), 5 unrolled power
+    iterations, damping 0.85, dangling mass redistributed — the
+    commoncrawl.org host-rank quality signal. Rank vector broadcasts each
+    iteration; only the edge table shuffles (keyed dst, map-side
+    combined). Oracle = the same 5 iterations as chained DuckDB CTEs."""
+    from logai_spark.functions.webgraph import domain_pagerank, link_edges
+
+    pr = domain_pagerank(link_edges(_links_tbl(spark, sf_dir)), iters=5)
+    return pr.select(
+        "domain",
+        (F.floor(F.col("rank") * 1e6 + 0.5) / 1e6).alias("rank"),
+    ).orderBy("domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
@@ -1905,6 +1992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "html_extract": _q_html_extract,
         "url_dedup": _q_url_dedup,
+        # -- round-4 session-7 additions -----------------------------------
+        "bloom_dedup": _q_bloom_dedup,
+        "link_graph": _q_link_graph,
+        "domain_pagerank": _q_domain_pagerank,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2228,12 +2319,14 @@ def _media_oracle_sql(kind: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from logai_spark.functions.membership import bloom_oracle_sql
     from logai_spark.functions.textops import (
         LANG_SCRIPTS,
         LANG_STOPWORDS,
         STOPWORDS_EN,
         script_char_class,
     )
+    from logai_spark.functions.webgraph import pagerank_oracle_sql
 
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
     # one VALUES row per language, same dicts the Spark classifier compiles;
@@ -2492,6 +2585,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM u GROUP BY pk
         """,
+        "bloom_dedup": bloom_oracle_sql(
+            "SELECT doc_id, substr(text, 1, 30) AS key FROM documents"
+            " WHERE doc_id % 10 <> 0",
+            "SELECT substr(text, 1, 30) AS key FROM documents"
+            " WHERE doc_id % 10 = 0",
+            text_col="key",
+        ),
+        "link_graph": _EDGES_SQL,
+        "domain_pagerank": pagerank_oracle_sql(_EDGES_SQL, iters=5),
         "html_extract": f"""
             WITH hdoc AS (
                 SELECT doc_id,

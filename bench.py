@@ -63,6 +63,9 @@ HEADLINE = [
     "paragraph_dedup",
     "html_extract",
     "url_dedup",
+    "bloom_dedup",
+    "link_graph",
+    "domain_pagerank",
 ]
 
 

@@ -289,6 +289,27 @@ def run_curation(
         pre_cols.append("_ss_removed")
 
     # ------------------------------------------------------------------
+    # Materialization barrier after the text-REWRITING hygiene/pre-dedup
+    # chain. Everything downstream (ledger seeding, exact-dedup hashes,
+    # gopher, classifier sampling, quality join, the final corpus write)
+    # consumes `docs`, and Spark lineage would re-execute the whole
+    # rewrite chain — several shuffle-heavy stages (boilerplate df-count,
+    # paragraph first-occurrence, url keeper election) — once PER
+    # consumer (~6x at full config; measured 285 s -> 19+ min at
+    # local[2]/150k when the url+paragraph stages landed). One serialized
+    # spill of the cleaned corpus bounds the chain to a single execution;
+    # at 100 TB this is the standard inter-stage checkpoint a production
+    # pipeline writes to distributed storage between rewrite phases.
+    # DISK_ONLY, not MEMORY_*: corpus-sized text should never compete
+    # with shuffle/execution memory.
+    barrier = None
+    if pre_cols or c.url_dedup or c.url_blocklist:
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.DISK_ONLY)
+        barrier = docs
+
+    # ------------------------------------------------------------------
     # Flag ledger: one boolean per drop reason on a THIN (id, lang,
     # flags...) table. Filters are flags, never materialized intermediate
     # corpora — stage counts come from ONE aggregate over the persisted
@@ -377,10 +398,14 @@ def run_curation(
             )
             if x in flags.columns
         ]
-        return _finish_curation(
-            spark, docs, flags, pre_cols, output, c, True,
-            pre_counts=pre_counts,
-        )
+        try:
+            return _finish_curation(
+                spark, docs, flags, pre_cols, output, c, True,
+                pre_counts=pre_counts,
+            )
+        finally:
+            if barrier is not None:
+                barrier.unpersist()
 
     # 1. exact dedup: keeper = min id per identical text. hash_key shuffles
     #    16-byte digests, not document bodies (textops.exact_dedup docstring)
@@ -579,10 +604,14 @@ def run_curation(
     with open(meta_path, "w") as fp:
         json.dump({"config_hash": cfg_hash}, fp)
     flags = spark.read.parquet(ledger_dir)
-    return _finish_curation(
-        spark, docs, flags, pre_cols, output, c, False,
-        pre_counts=pre_counts,
-    )
+    try:
+        return _finish_curation(
+            spark, docs, flags, pre_cols, output, c, False,
+            pre_counts=pre_counts,
+        )
+    finally:
+        if barrier is not None:
+            barrier.unpersist()
 
 
 def _finish_curation(

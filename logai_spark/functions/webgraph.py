@@ -1,0 +1,168 @@
+"""Domain link graph + PageRank — web-corpus quality signals from the
+``html`` column.
+
+Common-Crawl-scale curation weights documents by the standing of their
+host: harmonic centrality / PageRank over the domain graph (the public
+commoncrawl.org host-rank dataset is exactly this). Two operators:
+
+- :func:`link_edges` — href extraction from raw html (regexp, pure
+  codegen) exploded to (src_domain, dst_domain) and folded to weighted
+  edges by ONE partial-agg shuffle keyed on the pair. At 10^12 pages the
+  shuffle carries (domain, domain, count) triples — bytes per PAGE never
+  leave the map side.
+- :func:`domain_pagerank` — fixed-iteration power method on those edges.
+  The rank vector is |domains|-sized (millions at web scale, KBs here) and
+  BROADCASTS to the edge table every iteration; each iteration is one
+  shuffle of the edge table keyed dst (partial-agg combined). Dangling
+  mass and the node count are 1-row aggregates cross-joined back —
+  nothing corpus-sized ever hits the driver.
+
+Iterations are unrolled (default 5), damping 0.85, classic formula
+
+    r'(v) = (1-d)/N + d * ( sum_{u->v} r(u) * w(u,v)/outw(u) + D/N )
+
+with D = total rank mass on dangling (no-outlink) domains. Deterministic
+given the edge set, so the whole computation mirrors into chained DuckDB
+CTEs for the driver oracle (ranks rounded engine-portably to 6 dp).
+
+Reference surface: builder-brief web-pipeline extension; salesforce/logai
+has no link-graph analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HREF_RE = r'href="([^"]+)"'
+DOMAIN_RE = r"^[a-z]+://([^/]+)"
+
+
+def link_edges(
+    pages: DataFrame,
+    html_col: str = "html",
+    src_domain_col: str = "source",
+) -> DataFrame:
+    """Weighted domain edges (src_domain, dst_domain, n_links) from hrefs
+    in ``html_col``. Self-links are kept (they carry rank in the classic
+    formula); non-absolute hrefs (no scheme://host) are dropped."""
+    urls = F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+    return (
+        pages.select(
+            F.col(src_domain_col).alias("src"),
+            F.explode(urls).alias("u"),
+        )
+        .select("src", F.regexp_extract("u", DOMAIN_RE, 1).alias("dst"))
+        .filter(F.col("dst") != "")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def domain_pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(domain, rank) after ``iters`` power iterations. Scale shape: the
+    big table (edges) is shuffled once per iteration keyed dst with
+    map-side combine; ranks / outweights / scalars are broadcast-sized.
+
+    Each iteration's rank vector is checkpointed: ``ranks`` feeds BOTH the
+    contribution join and the dangling-mass aggregate, so without lineage
+    truncation the logical plan doubles per iteration (~2^iters subtrees —
+    iters=10 already stalls analysis). Same reliable-vs-local policy as
+    connected_components: ``df.checkpoint()`` when the session has a
+    reliable checkpoint dir (cluster), ``localCheckpoint`` otherwise."""
+    sc = edges.sparkSession.sparkContext
+    reliable = checkpoint and sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if not checkpoint:
+            return df
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    edges = edges.select("src", "dst", F.col("n_links").cast("double").alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("domain"))
+        .unionByName(edges.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    if checkpoint:
+        # nodes is re-read every iteration (new-rank left join) and edges
+        # twice (contrib + outw already derived); one materialization stops
+        # the href-extraction scan re-running per iteration.
+        edges = _ckpt(edges)
+        nodes = _ckpt(nodes)
+    n_tbl = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_tbl)).select(
+        "domain", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(iters):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["domain"])
+            .join(F.broadcast(outw), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("outw")).alias("c"))
+            .withColumnRenamed("dst", "domain")
+        )
+        dangling = (
+            ranks.join(outw, ranks["domain"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), "domain", "left")
+            .crossJoin(F.broadcast(n_tbl))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "domain",
+                (
+                    F.lit((1.0 - d)) / F.col("n")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("rank"),
+            )
+        )
+        ranks = _ckpt(ranks)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB mirror of :func:`domain_pagerank` as unrolled chained CTEs.
+    ``edges_sql`` must yield (src, dst, n_links)."""
+    d = float(damping)
+    ctes = [
+        f"e AS (SELECT src, dst, n_links::DOUBLE AS w FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS outw FROM e GROUP BY src)",
+        "r0 AS (SELECT domain, 1.0 / n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(iters):
+        p, q = f"r{t}", f"r{t + 1}"
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS domain, sum({p}.rank * e.w / outw.outw) AS c "
+            f"FROM e JOIN {p} ON e.src = {p}.domain JOIN outw ON outw.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{t} AS (SELECT coalesce(sum(rank), 0.0) AS dm FROM {p} "
+            f"WHERE domain NOT IN (SELECT src FROM outw))"
+        )
+        ctes.append(
+            f"{q} AS (SELECT nodes.domain, "
+            f"{1.0 - d} / nn.n + {d} * (coalesce(c{t}.c, 0.0) + d{t}.dm / nn.n) AS rank "
+            f"FROM nodes LEFT JOIN c{t} ON c{t}.domain = nodes.domain "
+            f"CROSS JOIN nn CROSS JOIN d{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT domain, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r{iters}"
+    )

@@ -1,0 +1,135 @@
+"""Bloom membership dedup + domain link graph / PageRank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from logai_spark.functions.membership import bloom_build, bloom_dedup, bloom_probe
+from logai_spark.functions.webgraph import domain_pagerank, link_edges
+
+
+# ---------------------------------------------------------------- bloom --
+
+
+def test_bloom_no_false_negatives(spark):
+    ref = spark.createDataFrame([Row(text=f"doc number {i}") for i in range(200)])
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i}") for i in range(100)]  # all members
+        + [Row(doc_id=1000 + i, text=f"fresh {i}") for i in range(100)]
+    )
+    out = bloom_probe(docs, bloom_build(ref)).collect()
+    flags = {r.doc_id: r.maybe_in_ref for r in out}
+    assert all(flags[i] for i in range(100)), "a true member was missed (FN)"
+    # at m=2^18 / n=200 / k=4 the FP rate is ~(1-e^{-800/262144})^4 ~ 8e-11
+    assert not any(flags[1000 + i] for i in range(100))
+
+
+def test_bloom_dedup_drops_members(spark):
+    ref = spark.createDataFrame([Row(text="a a a"), Row(text="b b b")])
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a"), Row(doc_id=2, text="c c c")]
+    )
+    kept = bloom_dedup(docs, ref).collect()
+    assert [r.doc_id for r in kept] == [2]
+    flagged = bloom_dedup(docs, ref, keep_flag=True).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.maybe_in_ref) for r in flagged] == [(1, True), (2, False)]
+
+
+def test_bloom_fp_rate_when_undersized(spark):
+    """Deliberately tiny filter: FP rate should land near theory, and be
+    DETERMINISTIC (same flags on re-run) — that is what makes the operator
+    oracle-checkable."""
+    n_ref, m, k = 500, 1 << 10, 2
+    ref = spark.createDataFrame([Row(text=f"ref {i}") for i in range(n_ref)])
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"probe {i}") for i in range(2000)]
+    )
+    b = bloom_build(ref, m_bits=m, n_hashes=k)
+    fp1 = sorted(
+        r.doc_id
+        for r in bloom_probe(docs, b, m_bits=m, n_hashes=k).collect()
+        if r.maybe_in_ref
+    )
+    fp2 = sorted(
+        r.doc_id
+        for r in bloom_probe(docs, b, m_bits=m, n_hashes=k).collect()
+        if r.maybe_in_ref
+    )
+    assert fp1 == fp2
+    theory = (1 - np.exp(-k * n_ref / m)) ** k
+    rate = len(fp1) / 2000
+    assert 0.2 * theory < rate < 3.0 * theory, (rate, theory)
+
+
+def test_bloom_probe_plan_has_no_corpus_shuffle(spark):
+    ref = spark.createDataFrame([Row(text="x")])
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    plan = bloom_probe(docs, bloom_build(ref))._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges allowed are on the (tiny) bloom-build side:
+    # the corpus side must reach the probe via BroadcastNestedLoopJoin
+    # with zero Exchange between its scan and the join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------------ link graph --
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [
+            Row(source="a.com", html='<a href="http://b.com/x">l</a><a href="http://c.com/">m</a>'),
+            Row(source="a.com", html='<a href="http://b.com/y">l</a>'),
+            Row(source="b.com", html='<a href="http://a.com/">back</a><a href="/relative">skip</a>'),
+            Row(source="d.com", html="no links at all"),  # dangling via no hrefs
+        ]
+    )
+
+
+def test_link_edges(spark):
+    edges = {(r.src, r.dst): r.n_links for r in link_edges(_pages(spark)).collect()}
+    assert edges == {("a.com", "b.com"): 2, ("a.com", "c.com"): 1, ("b.com", "a.com"): 1}
+
+
+def test_pagerank_sums_to_one_and_ranks_sensibly(spark):
+    edges = link_edges(_pages(spark))
+    pr = {r.domain: r.rank for r in domain_pagerank(edges, iters=10).collect()}
+    assert set(pr) == {"a.com", "b.com", "c.com"}
+    assert pytest.approx(sum(pr.values()), abs=1e-9) == 1.0
+    # b gets 2/3 of a's outflow, c only 1/3; b also receives nothing else
+    assert pr["b.com"] > pr["c.com"]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    rng = np.random.RandomState(7)
+    doms = [f"d{i}" for i in range(12)]
+    rows = []
+    for i in range(12):
+        for j in rng.choice(12, size=3, replace=False):
+            if j != i:
+                rows.append(Row(src=doms[i], dst=doms[int(j)], n_links=int(rng.randint(1, 5))))
+    edges = spark.createDataFrame(rows).groupBy("src", "dst").agg(
+        F.sum("n_links").alias("n_links")
+    )
+    got = {r.domain: r.rank for r in domain_pagerank(edges, iters=6).collect()}
+
+    # reference: dense power iteration with the same formula
+    pdf = edges.toPandas()
+    nodes = sorted(set(pdf.src) | set(pdf.dst))
+    idx = {d: i for i, d in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for r in pdf.itertuples():
+        W[idx[r.src], idx[r.dst]] += r.n_links
+    outw = W.sum(axis=1)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(6):
+        contrib = np.zeros(n)
+        for i in range(n):
+            if outw[i] > 0:
+                contrib += rank[i] * W[i] / outw[i]
+        dm = rank[outw == 0].sum()
+        rank = 0.15 / n + 0.85 * (contrib + dm / n)
+    for d_ in nodes:
+        assert got[d_] == pytest.approx(rank[idx[d_]], rel=1e-9), d_

@@ -71,6 +71,10 @@ DOC_QUERIES = [
     "paragraph_dedup",
     "html_extract",
     "url_dedup",
+    # round-4 session-7 ops
+    "bloom_dedup",
+    "link_graph",
+    "domain_pagerank",
 ]
 
 
