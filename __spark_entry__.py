@@ -1934,6 +1934,80 @@ def _q_domain_pagerank(spark, sf_dir):
     ).orderBy("domain")
 
 
+def _q_anchor_text(spark, sf_dir):
+    """Top-k anchor texts per destination domain (webgraph.anchor_text) —
+    the query-independent relevance signal. Extraction is pure codegen,
+    the (domain, anchor) fold is one partial-agg shuffle, and the top-k
+    rank filter compiles to WindowGroupLimit (pinned in
+    tests/test_webindex_snapshots.py), so hot domains never buffer their
+    full anchor vocabulary in one task. Fixture anchors vary by doc
+    (site N / "Visit  Dom N") to exercise the lower+whitespace-squeeze
+    normalization and count ties."""
+    from logai_spark.functions.webgraph import anchor_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="http://dom'), F.col("doc_id") % 23,
+        F.lit('.net/a">site '), F.col("doc_id") % 7, F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit('<a href="http://dom'), F.col("doc_id") % 23,
+                F.lit('.net/b">Visit  Dom '), F.col("doc_id") % 5, F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return anchor_text(d.select(html.alias("html")), top_k=3).orderBy(
+        "domain", "rank"
+    )
+
+
+def _q_snapshot_delta(spark, sf_dir):
+    """Crawl-over-crawl URL delta (snapshots.snapshot_delta): old = docs
+    with doc_id % 7 != 0, new = docs with doc_id % 5 != 0 and text mutated
+    when doc_id % 3 == 0 — covers all four statuses. Each side reduces to
+    (url, 16-byte md5) before ONE co-partitioned full-outer join; page
+    bytes never move."""
+    from logai_spark.functions.snapshots import snapshot_delta
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://s"), F.col("doc_id")).alias("url"),
+        "doc_id",
+        "text",
+    )
+    old = d.filter(F.col("doc_id") % 7 != 0).select("url", "text")
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_delta(old, new).orderBy("url")
+
+
+def _q_inverted_index(spark, sf_dir):
+    """Corpus inverted index (webindex.inverted_index): exact df + first-10
+    posting list per token with df >= 2. The posting cap is a
+    WindowGroupLimit rank filter — partial per-partition limits BEFORE the
+    exchange — so a stopword's corpus-sized posting set never lands in one
+    aggregation buffer; df stays exact from the thin (token, id) table."""
+    from logai_spark.functions.webindex import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=10, min_df=2).orderBy("token")
+
+
+_SNAP_OLD_SQL = """
+    SELECT 'http://s' || doc_id AS url, min(md5(text)) AS h
+    FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
+"""
+_SNAP_NEW_SQL = """
+    SELECT 'http://s' || doc_id AS url,
+           min(md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS h
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries, so rows that have never had a driver-verified correctness
@@ -1996,6 +2070,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "link_graph": _q_link_graph,
         "domain_pagerank": _q_domain_pagerank,
+        # -- round-4 session-8 additions (next round's rotation window) -----
+        "anchor_text": _q_anchor_text,
+        "snapshot_delta": _q_snapshot_delta,
+        "inverted_index": _q_inverted_index,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2594,6 +2672,76 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_graph": _EDGES_SQL,
         "domain_pagerank": pagerank_oracle_sql(_EDGES_SQL, iters=5),
+        "anchor_text": r"""
+            WITH html AS (
+                SELECT '<a href="http://dom' || (doc_id % 23) || '.net/a">site '
+                       || (doc_id % 7) || '</a>'
+                       || CASE WHEN doc_id % 3 <> 0
+                               THEN '<a href="http://dom' || (doc_id % 23)
+                                    || '.net/b">Visit  Dom ' || (doc_id % 5)
+                                    || '</a>'
+                               ELSE '' END AS html
+                FROM documents
+            ),
+            els AS (
+                SELECT unnest(regexp_extract_all(
+                    html, '<a href="([^"]+)"[^>]*>([^<]*)</a>', 0)) AS el
+                FROM html
+            ),
+            pairs AS (
+                SELECT regexp_extract(
+                           regexp_extract(el, '<a href="([^"]+)"[^>]*>([^<]*)</a>', 1),
+                           '^[a-z]+://([^/]+)', 1) AS domain,
+                       trim(regexp_replace(
+                           lower(regexp_extract(
+                               el, '<a href="([^"]+)"[^>]*>([^<]*)</a>', 2)),
+                           '\s+', ' ', 'g')) AS anchor
+                FROM els
+            ),
+            counts AS (
+                SELECT domain, anchor, count(*) AS n_links
+                FROM pairs WHERE domain <> '' AND anchor <> ''
+                GROUP BY 1, 2
+            )
+            SELECT domain, anchor, n_links, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY domain ORDER BY n_links DESC, anchor ASC
+                ) AS rank
+                FROM counts
+            ) WHERE rank <= 3
+        """,
+        "snapshot_delta": f"""
+            WITH o AS ({_SNAP_OLD_SQL}), n AS ({_SNAP_NEW_SQL})
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN o.h = n.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
+        "inverted_index": r"""
+            WITH pairs AS (
+                SELECT DISTINCT token, doc_id
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                               AS token
+                      FROM documents)
+            ),
+            dfs AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+            ranked AS (
+                SELECT token, doc_id,
+                       row_number() OVER (PARTITION BY token ORDER BY doc_id) AS r
+                FROM pairs
+            ),
+            posts AS (
+                SELECT token,
+                       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+                FROM ranked WHERE r <= 10 GROUP BY 1
+            )
+            SELECT dfs.token, df, postings
+            FROM dfs JOIN posts USING (token)
+            WHERE df >= 2
+        """,
         "html_extract": f"""
             WITH hdoc AS (
                 SELECT doc_id,

@@ -66,6 +66,9 @@ HEADLINE = [
     "bloom_dedup",
     "link_graph",
     "domain_pagerank",
+    "anchor_text",
+    "snapshot_delta",
+    "inverted_index",
 ]
 
 

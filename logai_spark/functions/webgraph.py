@@ -35,6 +35,10 @@ from pyspark.sql import DataFrame, functions as F
 
 HREF_RE = r'href="([^"]+)"'
 DOMAIN_RE = r"^[a-z]+://([^/]+)"
+# full <a ...>text</a> element: href in group 1, inner text in group 2.
+# [^<]* inner text (no nested tags) keeps the pattern RE2/Java/DuckDB-
+# portable — no lazy quantifiers across tags, no lookahead.
+ANCHOR_RE = r'<a href="([^"]+)"[^>]*>([^<]*)</a>'
 
 
 def link_edges(
@@ -55,6 +59,47 @@ def link_edges(
         .filter(F.col("dst") != "")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def anchor_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k anchor texts per DESTINATION domain — the classic
+    query-independent relevance/label signal (what the rest of the web
+    calls this host). Output: (domain, anchor, n_links, rank), rank 1..k
+    by (count desc, anchor asc).
+
+    Scale shape: anchor extraction is pure codegen (regexp_extract_all of
+    the full <a> element, group re-extraction per element); the
+    (domain, anchor) fold is ONE partial-agg shuffle — page bytes never
+    leave the map side. The top-k is a rank<=k filter that Catalyst
+    rewrites to WindowGroupLimit (partial map-side limits before the
+    exchange), so a hot domain with millions of distinct anchors never
+    buffers more than the per-partition top-k in any one task.
+    """
+    from pyspark.sql import Window
+
+    els = pages.select(
+        F.explode(F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 0)).alias("el")
+    )
+    pairs = els.select(
+        F.regexp_extract(
+            F.regexp_extract("el", ANCHOR_RE, 1), DOMAIN_RE, 1
+        ).alias("domain"),
+        F.trim(
+            F.regexp_replace(F.lower(F.regexp_extract("el", ANCHOR_RE, 2)), r"\s+", " ")
+        ).alias("anchor"),
+    ).filter((F.col("domain") != "") & (F.col("anchor") != ""))
+    counts = pairs.groupBy("domain", "anchor").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    w = Window.partitionBy("domain").orderBy(F.desc("n_links"), F.asc("anchor"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
     )
 
 

@@ -75,6 +75,10 @@ DOC_QUERIES = [
     "bloom_dedup",
     "link_graph",
     "domain_pagerank",
+    # round-4 session-8 ops
+    "anchor_text",
+    "snapshot_delta",
+    "inverted_index",
 ]
 
 
