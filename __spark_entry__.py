@@ -1934,6 +1934,25 @@ def _q_domain_pagerank(spark, sf_dir):
     ).orderBy("domain")
 
 
+def _q_hyperball(spark, sf_dir):
+    """HyperBall harmonic centrality (hyperball.hyperball_harmonic,
+    Boldi & Vigna 2013) over the link-graph fixture — the commoncrawl.org
+    host harmonic-centrality signal at its actual web-scale algorithm.
+    Registers are (node, reg, rho) ROWS so counter merges are map-side
+    partial max-aggregates (no hot-node neighbor buffer); one shuffle per
+    round. md5-derived registers make the SKETCH ITSELF deterministic, so
+    the oracle (unrolled DuckDB CTEs) checks the approximate values
+    exactly."""
+    from logai_spark.functions.hyperball import hyperball_harmonic
+    from logai_spark.functions.webgraph import link_edges
+
+    h = hyperball_harmonic(link_edges(_links_tbl(spark, sf_dir)), p=4, iters=4)
+    return h.select(
+        "domain",
+        (F.floor(F.col("harmonic") * 1e6 + 0.5) / 1e6).alias("harmonic"),
+    ).orderBy("domain")
+
+
 def _q_anchor_text(spark, sf_dir):
     """Top-k anchor texts per destination domain (webgraph.anchor_text) —
     the query-independent relevance signal. Extraction is pure codegen,
@@ -2074,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text": _q_anchor_text,
         "snapshot_delta": _q_snapshot_delta,
         "inverted_index": _q_inverted_index,
+        "hyperball_harmonic": _q_hyperball,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2404,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         STOPWORDS_EN,
         script_char_class,
     )
+    from logai_spark.functions.hyperball import hyperball_oracle_sql
     from logai_spark.functions.webgraph import pagerank_oracle_sql
 
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
@@ -2672,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_graph": _EDGES_SQL,
         "domain_pagerank": pagerank_oracle_sql(_EDGES_SQL, iters=5),
+        "hyperball_harmonic": hyperball_oracle_sql(_EDGES_SQL, p=4, iters=4),
         "anchor_text": r"""
             WITH html AS (
                 SELECT '<a href="http://dom' || (doc_id % 23) || '.net/a">site '

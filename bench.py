@@ -69,6 +69,7 @@ HEADLINE = [
     "anchor_text",
     "snapshot_delta",
     "inverted_index",
+    "hyperball_harmonic",
 ]
 
 

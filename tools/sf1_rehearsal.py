@@ -79,6 +79,7 @@ DOC_QUERIES = [
     "anchor_text",
     "snapshot_delta",
     "inverted_index",
+    "hyperball_harmonic",
 ]
 
 
