@@ -31,6 +31,21 @@ def main(argv: list[str] | None = None) -> int:
 
     bench = sub.add_parser("bench", help="run the repo benchmark")
 
+    wg = sub.add_parser(
+        "webgraph",
+        help="domain link graph: edges -> pagerank + harmonic + anchor texts",
+    )
+    wg.add_argument("--input", help="parquet dir of pages (url, html); omit for synthetic")
+    wg.add_argument("--output", required=True,
+                    help="output dir (edges/ domains/ anchors/ + manifest)")
+    wg.add_argument("--n-docs", type=int, default=10000,
+                    help="synthetic doc count when no --input")
+    wg.add_argument("--pr-iters", type=int, default=5)
+    wg.add_argument("--hb-iters", type=int, default=5)
+    wg.add_argument("--hb-p", type=int, default=8,
+                    help="HyperBall HLL precision (m = 2^p registers)")
+    wg.add_argument("--top-anchors", type=int, default=5)
+
     cur = sub.add_parser(
         "curate",
         help="run the corpus curation pipeline: dedup -> filter -> scrub -> pack",
@@ -135,6 +150,29 @@ def main(argv: list[str] | None = None) -> int:
     from logai_spark.sources.webpages import synth_webpages
 
     spark = get_spark("logai_spark_cli")
+
+    if args.cmd == "webgraph":
+        from logai_spark.plans.webgraph_job import (
+            inject_synthetic_links,
+            run_webgraph_job,
+        )
+
+        if args.input:
+            pages = spark.read.parquet(args.input)
+        else:
+            pages = inject_synthetic_links(synth_webpages(spark, args.n_docs))
+        manifest = run_webgraph_job(
+            spark,
+            pages,
+            args.output,
+            pr_iters=args.pr_iters,
+            hb_iters=args.hb_iters,
+            hb_p=args.hb_p,
+            top_anchors=args.top_anchors,
+        )
+        print(json.dumps(manifest))
+        spark.stop()
+        return 0
 
     if args.cmd == "curate":
         from pyspark.sql import functions as F
