@@ -132,6 +132,16 @@ def main(argv: list[str] | None = None) -> int:
                           "dedup (default: smallest id wins)")
     cur.add_argument("--url-col", default="url",
                      help="url column for --url-blocklist (default url)")
+    cur.add_argument("--domain-scores", default=None,
+                     help="parquet dir of (domain, pagerank, harmonic) "
+                          "rows (cli.py webgraph output); used with the "
+                          "--min-* floors below")
+    cur.add_argument("--min-harmonic", type=float, default=None,
+                     help="drop docs whose source domain's harmonic "
+                          "centrality is below this (unscored domains pass)")
+    cur.add_argument("--min-pagerank", type=float, default=None,
+                     help="drop docs whose source domain's pagerank is "
+                          "below this (unscored domains pass)")
     cur.add_argument("--epochs", default=None,
                      help="Pile-style per-source epoch weights for the "
                           "written corpus, e.g. src0=2.5,src1=1.0 "
@@ -240,6 +250,9 @@ def main(argv: list[str] | None = None) -> int:
                 url_col=args.url_col,
                 url_dedup=args.url_dedup,
                 url_ts_col=args.url_ts_col,
+                domain_scores=args.domain_scores,
+                domain_min_harmonic=args.min_harmonic,
+                domain_min_pagerank=args.min_pagerank,
                 epochs=(
                     {
                         k: float(v)

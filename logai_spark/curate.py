@@ -70,6 +70,18 @@ class CurationConfig:
     # stages, because it is the cheapest dedup pass a crawl can run.
     url_dedup: bool = False
     url_ts_col: str | None = None
+    # domain-prior filter — the consumer side of plans/webgraph_job.py:
+    # parquet path of (domain, pagerank, harmonic) rows; docs whose
+    # source_col domain scores below the floors drop. Runs with the
+    # blocklist, BEFORE dedup keeper election (domain verdicts, like
+    # blocklist verdicts, are not duplicate-invariant). UNSCORED domains
+    # PASS — rank tables lag the crawl by a snapshot. The scores table is
+    # |domains|-sized (broadcast-join territory at any realistic host
+    # count; ~2 GB even at Common Crawl's ~10^8 hosts), so the corpus
+    # never shuffles. None = skip.
+    domain_scores: str | None = None
+    domain_min_harmonic: float | None = None
+    domain_min_pagerank: float | None = None
     # C4 §2.2 line-level filter (webclean.line_filter) as the FIRST hygiene
     # stage: drops non-sentence lines in place and flags docs failing the
     # doc-level rules (lorem ipsum / brace / min sentences). False = skip.
@@ -176,13 +188,44 @@ def run_curation(
         docs = url_filter(
             docs, bl_df, url_col=c.url_col, id_col=c.id_col, action="drop"
         )
+    ds_df = None
+    if c.domain_scores and (
+        c.domain_min_harmonic is not None or c.domain_min_pagerank is not None
+    ):
+        # domain-prior filter (see CurationConfig.domain_scores): one
+        # broadcast LEFT join on the source domain + a null-passing floor
+        # filter — zero corpus shuffle, unscored domains survive.
+        ds_df = spark.read.parquet(c.domain_scores)
+        pre_counts["after_url_filter" if c.url_blocklist else "input"] = docs.count()
+        sel = ["domain"]
+        cond = F.lit(True)
+        if c.domain_min_harmonic is not None:
+            sel.append("harmonic")
+            cond &= F.col("_dsc.harmonic") >= c.domain_min_harmonic
+        if c.domain_min_pagerank is not None:
+            sel.append("pagerank")
+            cond &= F.col("_dsc.pagerank") >= c.domain_min_pagerank
+        scores = ds_df.select(*sel).alias("_dsc")
+        docs = (
+            docs.join(
+                F.broadcast(scores),
+                docs[c.source_col] == F.col("_dsc.domain"),
+                "left",
+            )
+            .filter(F.col("_dsc.domain").isNull() | cond)
+            .drop(*sel)
+        )
     if c.url_dedup:
         from logai_spark.functions.textops import url_dedup as _url_dedup
 
         # cheapest dedup first (FineWeb ordering): keeper election is one
         # partial-agg min/max(struct) over (normalized url, ts, id) — no
         # text moves — then the corpus reduces via a semi-join on the id.
-        pre_counts["after_url_filter" if c.url_blocklist else "input"] = docs.count()
+        pre_counts[
+            "after_domain_filter"
+            if ds_df is not None
+            else ("after_url_filter" if c.url_blocklist else "input")
+        ] = docs.count()
         sel = [c.id_col, c.url_col] + ([c.url_ts_col] if c.url_ts_col else [])
         keep = _url_dedup(
             docs.select(*sel), url_col=c.url_col, id_col=c.id_col,
@@ -363,6 +406,13 @@ def run_curation(
             input_fp += f":bl={sorted(bl_df.inputFiles())}"
         except Exception:
             input_fp += f":bl={c.url_blocklist}"
+    # the domain-scores table is an input too: a refreshed rank snapshot
+    # at the same path must recompute the ledger
+    if ds_df is not None:
+        try:
+            input_fp += f":ds={sorted(ds_df.inputFiles())}"
+        except Exception:
+            input_fp += f":ds={c.domain_scores}"
     # the classifier's positive reference corpus is an input too
     cls_ref_df = None
     if c.classifier_ref:
@@ -673,9 +723,16 @@ def _finish_curation(
     counts: dict[str, int] = {}
     if pre_counts:
         counts.update(pre_counts)
-        counts["after_url_dedup" if c.url_dedup else "after_url_filter"] = (
-            row["input"]
-        )
+        # label the post-pre-stage count after the LAST pre stage that ran
+        if c.url_dedup:
+            post = "after_url_dedup"
+        elif c.domain_scores and (
+            c.domain_min_harmonic is not None or c.domain_min_pagerank is not None
+        ):
+            post = "after_domain_filter"
+        else:
+            post = "after_url_filter"
+        counts[post] = row["input"]
     else:
         counts["input"] = row["input"]
     if "_lines_removed" in pre_cols:

@@ -665,3 +665,46 @@ def test_curation_url_dedup_keeps_null_url_docs(spark, tmp_path):
         spark.read.parquet(os.path.join(out, "curated")).collect()
     }
     assert written == {0, 2, 3}
+
+
+def test_curation_domain_prior_stage(spark, tmp_path):
+    # s1's harmonic centrality is below the floor -> its docs drop before
+    # dedup keeper election; s9 is UNSCORED and must pass
+    scores = spark.createDataFrame(
+        [("s0", 0.4, 5.0), ("s1", 0.1, 0.5)],
+        "domain string, pagerank double, harmonic double",
+    )
+    sp = str(tmp_path / "scores")
+    scores.write.parquet(sp)
+    docs = spark.createDataFrame(
+        [
+            (0, "the a of to and is in it " + "alpha beta " * 6, "en", "s0"),
+            (1, "the a of to and is in it " + "gamma delta " * 6, "en", "s1"),
+            (2, "the a of to and is in it " + "eps zeta " * 6, "en", "s9"),
+            # duplicate of doc 1's text hosted on the GOOD domain: with s1
+            # filtered first, doc 3 must win the exact-dedup election
+            (3, "the a of to and is in it " + "gamma delta " * 6, "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "cur_ds")
+    m = run_curation(
+        spark,
+        docs,
+        out,
+        CurationConfig(
+            keep_frac=1.0,
+            pack_budget=60,
+            domain_scores=sp,
+            domain_min_harmonic=2.0,
+        ),
+    )
+    c = m["counts"]
+    assert c["input"] == 4
+    assert c["after_domain_filter"] == 3          # doc 1 (s1) dropped
+    assert c["after_exact_dedup"] == 3            # doc 3 survives as keeper
+    written = {
+        r["doc_id"] for r in
+        spark.read.parquet(os.path.join(out, "curated")).collect()
+    }
+    assert written == {0, 2, 3}
