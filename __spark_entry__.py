@@ -2016,6 +2016,77 @@ def _q_inverted_index(spark, sf_dir):
     return inverted_index(d, max_postings=10, min_df=2).orderBy("token")
 
 
+def _robots_tbl(spark, sf_dir):
+    """Deterministic robots corpus over the dom{0..22}.net fixture domains:
+    d%3==0 domains disallow /p{d} and /q/ for everyone, d%3==1 domains have
+    bing-only rules (no * section), d%3==2 domains stack User-agent lines
+    (bot + *) before /r{d} — exercising section scoping, empty-value skips,
+    and UA-run star detection."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 23).alias("d"))
+        .distinct()
+    )
+    txt = (
+        F.when(
+            F.col("d") % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /p"), F.col("d"),
+                F.lit("\nDisallow: /q/\nDisallow:\n"),
+            ),
+        )
+        .when(F.col("d") % 3 == 1, F.lit("User-agent: bing\nDisallow: /all\n"))
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: bot\nUser-agent: *\nDisallow: /r"),
+                F.col("d"), F.lit("\n"),
+            )
+        )
+    )
+    return d.select(
+        F.concat(F.lit("dom"), F.col("d"), F.lit(".net")).alias("domain"),
+        txt.alias("robots_txt"),
+    )
+
+
+def _q_robots_rules(spark, sf_dir):
+    """robots.txt -> (domain, prefix) Disallow rules for User-agent: *
+    sections (robots.robots_rules): Spark-native line parsing with a
+    per-domain window assigning lines to their governing UA block (robots
+    files are KBs — no hot partition by construction). The oracle derives
+    the expected rule set from the fixture's INTENT, independent of the
+    parser."""
+    from logai_spark.functions.robots import robots_rules
+
+    return robots_rules(_robots_tbl(spark, sf_dir)).orderBy("domain", "prefix")
+
+
+def _q_robots_filter(spark, sf_dir):
+    """Crawl-politeness URL filter (robots.robots_filter, flag mode): rules
+    fold to one bounded array row per domain and BROADCAST; the probe is a
+    codegen exists(startswith) — the corpus never shuffles. Paths cover
+    blocked-by-/p, blocked-by-/r, safe, and no-star-section domains."""
+    from logai_spark.functions.robots import robots_filter, robots_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 23).alias("d")
+    )
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/r"), F.col("d"), F.lit("/y")))
+        .when(F.col("doc_id") % 2 == 0, F.concat(F.lit("/p"), F.col("d"), F.lit("/page")))
+        .otherwise(F.lit("/safe/page"))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://dom"), F.col("d"), F.lit(".net"), path).alias("url"),
+    )
+    return (
+        robots_filter(urls, robots_rules(_robots_tbl(spark, sf_dir)), action="flag")
+        .select("doc_id", "url", "robots_blocked")
+        .orderBy("doc_id")
+    )
+
+
 _SNAP_OLD_SQL = """
     SELECT 'http://s' || doc_id AS url, min(md5(text)) AS h
     FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
@@ -2058,11 +2129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards": _q_balanced_shards,
         "bpe_token_count": _q_bpe_token_count,
         "streaming_dedup": _q_streaming_dedup,
-        # -- green in r2 but rotated out of the r3 window ------------------
-        "label_encode": _q_label_encode,
-        "sequential_ids": _q_sequential_ids,
-        "masked_pairs": _q_masked_pairs,
-        "auc": _q_auc,
+        # -- round-4 session-8/9 additions (never driver-verified; take the
+        # window slots of the four r2-green rows, which rotate back out) ----
+        "snapshot_delta": _q_snapshot_delta,
+        "inverted_index": _q_inverted_index,
+        "hyperball_harmonic": _q_hyperball,
+        "robots_filter": _q_robots_filter,
         # -- new in round 4 --------------------------------------------------
         "image_stats": _q_image_stats,
         "audio_features": _q_audio_features,
@@ -2089,11 +2161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": _q_bloom_dedup,
         "link_graph": _q_link_graph,
         "domain_pagerank": _q_domain_pagerank,
-        # -- round-4 session-8 additions (next round's rotation window) -----
+        # -- round-4 session-8 additions -----------------------------------
         "anchor_text": _q_anchor_text,
-        "snapshot_delta": _q_snapshot_delta,
-        "inverted_index": _q_inverted_index,
-        "hyperball_harmonic": _q_hyperball,
+        # -- past the 50-row window: robots_rules is covered transitively by
+        # robots_filter (which builds on it); the four r2-green rows rotate
+        # back out; r3-green signature ops follow -----------------------------
+        "robots_rules": _q_robots_rules,
+        "label_encode": _q_label_encode,
+        "sequential_ids": _q_sequential_ids,
+        "masked_pairs": _q_masked_pairs,
+        "auc": _q_auc,
         # -- r3-green rows worth re-verifying (signature / complex ops) ----
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2694,6 +2771,30 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _EDGES_SQL,
         "domain_pagerank": pagerank_oracle_sql(_EDGES_SQL, iters=5),
         "hyperball_harmonic": hyperball_oracle_sql(_EDGES_SQL, p=4, iters=4),
+        # intent-derived oracles: the expected rule/flag sets follow from
+        # the fixture's CASE structure, independent of the Spark parser
+        "robots_rules": """
+            WITH ds AS (SELECT DISTINCT (doc_id % 23) AS d FROM documents)
+            SELECT 'dom' || d || '.net' AS domain, '/p' || d AS prefix
+            FROM ds WHERE d % 3 = 0
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/q/' FROM ds WHERE d % 3 = 0
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/r' || d FROM ds WHERE d % 3 = 2
+        """,
+        "robots_filter": """
+            WITH u AS (SELECT doc_id, doc_id % 23 AS d FROM documents)
+            SELECT doc_id,
+                   'http://dom' || d || '.net' ||
+                   CASE WHEN doc_id % 5 = 0 THEN '/r' || d || '/y'
+                        WHEN doc_id % 2 = 0 THEN '/p' || d || '/page'
+                        ELSE '/safe/page' END AS url,
+                   CASE WHEN d % 3 = 0 AND doc_id % 5 <> 0 AND doc_id % 2 = 0
+                        THEN TRUE
+                        WHEN d % 3 = 2 AND doc_id % 5 = 0 THEN TRUE
+                        ELSE FALSE END AS robots_blocked
+            FROM u
+        """,
         "anchor_text": r"""
             WITH html AS (
                 SELECT '<a href="http://dom' || (doc_id % 23) || '.net/a">site '

@@ -70,6 +70,7 @@ HEADLINE = [
     "snapshot_delta",
     "inverted_index",
     "hyperball_harmonic",
+    "robots_filter",
 ]
 
 

@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
 
     run = sub.add_parser("run", help="run the parse->enrich->route->aggregate pipeline")
     run.add_argument("--input", help="parquet dir of pages (url, warc_ts, html, text, lang); omit for synthetic")
+    run.add_argument("--input-warc", default=None,
+                     help="WARC archive glob (sources/warc.py ingest; "
+                          "alternative to --input — lang arrives as 'und' "
+                          "until enrichment)")
     run.add_argument("--output", required=True, help="output dir (routed/ + agg/ written inside)")
     run.add_argument("--n-docs", type=int, default=10000, help="synthetic doc count when no --input")
     run.add_argument("--window", default="1 hour")
@@ -271,6 +275,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.input:
         pages = spark.read.parquet(args.input)
+    elif args.input_warc:
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        from logai_spark.sources.warc import read_warc
+
+        paths = sorted(_glob.glob(args.input_warc))
+        if not paths:
+            print(f"error: no WARC files match {args.input_warc!r}", file=sys.stderr)
+            return 2
+        pages = (
+            read_warc(spark, paths)
+            .filter(F.col("rec_type") == "response")
+            .select("url", "warc_ts", "html", F.lit("und").alias("lang"))
+        )
     else:
         pages = synth_webpages(spark, args.n_docs)
     cfg = PipelineConfig(window=args.window, sample_fraction_for_mining=args.mine_sample)

@@ -1,0 +1,120 @@
+"""robots.txt rules -> URL filter (the crawl-politeness curation stage).
+
+Production web pipelines (RefinedWeb §3.1, Dolma) honor robots exclusions
+when (re)using crawl data. Two operators:
+
+- :func:`robots_rules` — parse a robots corpus (domain, robots_txt) into
+  (domain, prefix) Disallow rules for ``User-agent: *`` sections. The
+  1994 prefix semantics, deliberately: no ``*``/``$`` wildcards, no
+  Allow-overrides (documented contract; wildcard rules pass through as
+  literal prefixes that match nothing, the conservative-for-us direction).
+  Parsing is Spark-native: posexplode lines, a per-domain window assigns
+  each line to its governing User-agent BLOCK (a maximal run of
+  consecutive ``User-agent:`` lines), the block's star flag is one
+  partial agg, and Disallow lines join it back. Windows partition by
+  DOMAIN — robots files are KBs, so no hot partition exists by
+  construction.
+- :func:`robots_filter` — drop (or flag) corpus URLs whose path starts
+  with any of their domain's disallow prefixes. Rules fold to ONE array
+  row per domain (collect_list, bounded by robots-file size) and
+  broadcast; the probe is ``exists(rules, p -> startswith(path, p))`` —
+  pure codegen, the corpus never shuffles (same shape as the URL
+  blocklist stage).
+
+Reference surface: builder-brief web-pipeline extension; salesforce/logai
+has no crawl-politeness analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PATH_RE = r"^[a-z]+://[^/]+(/.*)?$"
+
+
+def robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, prefix) Disallow rules from ``User-agent: *`` sections.
+    Lines are trimmed and matched case-insensitively on the directive
+    name; empty Disallow values (= allow all) are dropped."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(text_col, r"\r?\n")).alias("pos", "line"),
+    ).select(
+        "domain",
+        "pos",
+        F.trim(F.regexp_replace("line", r"#.*$", "")).alias("line"),
+    )
+    is_ua = F.lower("line").startswith("user-agent:")
+    ua_val = F.trim(F.expr("substring(line, 12)"))
+    w = Window.partitionBy("domain").orderBy("pos")
+    marked = lines.select(
+        "domain",
+        "pos",
+        "line",
+        is_ua.alias("_ua"),
+        (is_ua & (ua_val == "*")).alias("_star"),
+    ).withColumn(
+        # a UA line NOT preceded by a UA line opens a new block; block id =
+        # running count of openers, so every line maps to the governing
+        # block above it (block 0 = header lines before any UA section)
+        "block",
+        F.sum(
+            (F.col("_ua") & ~F.coalesce(F.lag("_ua").over(w), F.lit(False)))
+            .cast("int")
+        ).over(w),
+    )
+    star_blocks = (
+        marked.filter("_ua")
+        .groupBy("domain", "block")
+        .agg(F.max(F.col("_star").cast("int")).alias("_s"))
+        .filter(F.col("_s") == 1)
+        .select("domain", "block")
+    )
+    disallow = marked.filter(
+        F.lower("line").startswith("disallow:")
+    ).select(
+        "domain",
+        "block",
+        F.trim(F.expr("substring(line, 10)")).alias("prefix"),
+    ).filter(F.col("prefix") != "")
+    return disallow.join(star_blocks, ["domain", "block"]).select(
+        "domain", "prefix"
+    ).distinct()
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    action: str = "drop",
+    flag_col: str = "robots_blocked",
+) -> DataFrame:
+    """Remove (``action='drop'``) or flag (``action='flag'``) rows whose
+    URL path falls under a Disallow prefix of its domain. One broadcast
+    LEFT join on the domain + a codegen exists() probe — the corpus never
+    shuffles; URLs on domains with no rules pass."""
+    per_domain = rules.groupBy("domain").agg(
+        F.collect_list("prefix").alias("_rules")
+    ).withColumnRenamed("domain", "_rdom")  # never shadow a caller column
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    path = F.coalesce(F.regexp_extract(F.col(url_col), PATH_RE, 1), F.lit(""))
+    blocked = F.when(
+        F.col("_rules").isNull(), F.lit(False)
+    ).otherwise(
+        F.exists(
+            "_rules",
+            lambda p: F.startswith(
+                F.when(path == "", F.lit("/")).otherwise(path), p
+            ),
+        )
+    )
+    j = urls.join(
+        F.broadcast(per_domain), host == per_domain["_rdom"], "left"
+    ).drop("_rdom")
+    if action == "flag":
+        return j.withColumn(flag_col, blocked).drop("_rules")
+    return j.filter(~blocked).drop("_rules")

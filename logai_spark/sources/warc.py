@@ -1,0 +1,189 @@
+"""WARC source — ingest Common-Crawl-style archives into the pages table.
+
+The pipeline's input (BASELINE.json input_hint) is a table of
+(url, warc_ts, html, ...); the container those pages actually arrive in is
+WARC (ISO 28500), so this connector is the ingest step that produces the
+table. Design:
+
+- **paths table, not binaryFile**: ``spark.read.format("binaryFile")``
+  materializes each archive as ONE row (a 1 GiB WARC segment = a 1 GiB
+  row). Instead the file LIST becomes the DataFrame and a ``mapInPandas``
+  worker streams each archive record-by-record with bounded memory —
+  one task per archive, the natural Common Crawl parallelism unit
+  (segments are ~1 GiB x 80,000 per crawl; repartition the path list to
+  spread them).
+- **gzip**: per-record gzip members concatenated (the Common Crawl
+  layout) decompress transparently — Python's gzip reader consumes
+  concatenated members as one stream.
+- **record framing**: version line + CRLF headers + empty line +
+  Content-Length body + CRLF CRLF. ``response`` records carry an HTTP
+  message; the connector strips the HTTP header block and yields the
+  entity body as ``html:binary``. Malformed records route to the
+  dead-letter side (rec_type='_malformed') instead of killing the task —
+  the same contract as the grok scanner's dead-letter route
+  (sources/readers.py).
+
+Files must be reachable from executors (shared FS — HDFS/S3/NFS mount);
+the local-mode tests use tmp dirs. A writer helper (:func:`warc_bytes`)
+exists so tests round-trip real framing instead of trusting the parser to
+validate itself.
+
+Reference surface: extends SURVEY.md §2.1's scan family (the reference
+reads csv/json/free-text only — file_data_loader.py); WARC is the
+web-corpus container its LogRecordObject never had.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("rec_type", T.StringType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("warc_file", T.StringType(), True),
+    ]
+)
+
+
+# ------------------------------------------------------------------ writer --
+
+
+def warc_bytes(
+    records: Iterable[tuple[str, str, bytes]],
+    http: bool = True,
+    compress: bool = False,
+) -> bytes:
+    """Serialize (url, iso_ts, body) triples as WARC response records —
+    the test-side writer that makes the reader's tests round-trips.
+    ``http=True`` wraps bodies in an HTTP/1.1 200 message like real
+    crawls; ``compress=True`` gzips each record as its own member
+    (the Common Crawl layout)."""
+    out = bytearray()
+    for url, ts, body in records:
+        if http:
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+            )
+        else:
+            payload = body
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+        out += gzip.compress(bytes(rec)) if compress else rec
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ reader --
+
+
+def _iter_records(stream: io.BufferedIOBase, fname: str) -> Iterator[dict]:
+    """Stream WARC records off a (decompressed) byte stream with bounded
+    memory: headers are read line-wise, bodies via one sized read."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue  # inter-record padding
+        if not line.startswith(b"WARC/"):
+            yield {"rec_type": "_malformed", "warc_file": fname}
+            return  # framing lost — cannot resync without Content-Length
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or not h.strip():
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.decode("ascii", "replace").strip().lower()] = (
+                    v.decode("utf-8", "replace").strip()
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            yield {"rec_type": "_malformed", "warc_file": fname}
+            return
+        body = stream.read(length)
+        rec_type = headers.get("warc-type", "")
+        if rec_type == "response" and b"\r\n\r\n" in body[:8192]:
+            # strip the HTTP message header block; keep the entity body
+            body = body.split(b"\r\n\r\n", 1)[1]
+        ts = None
+        raw_ts = headers.get("warc-date")
+        if raw_ts:
+            try:
+                ts = datetime.fromisoformat(raw_ts.replace("Z", "+00:00"))
+                if ts.tzinfo is not None:
+                    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+            except ValueError:
+                ts = None
+        yield {
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": ts,
+            "rec_type": rec_type or "_malformed",
+            "html": bytes(body),
+            "warc_file": fname,
+        }
+
+
+def read_warc(
+    spark: SparkSession,
+    paths: list[str],
+    rec_types: tuple[str, ...] = ("response",),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Pages DataFrame (url, warc_ts, rec_type, html, warc_file) from WARC
+    archives. ``rec_types`` filters record types ('_malformed' rows pass
+    any filter so callers can route them to a dead-letter sink);
+    ``partitions`` spreads the path list (default one task per file)."""
+    import pandas as pd
+
+    n = partitions or max(len(paths), 1)
+    path_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(n, "path")
+    want = set(rec_types)
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for p in b["path"]:
+                opener = gzip.open if p.endswith(".gz") else open
+                rows = []
+                with opener(p, "rb") as fh:
+                    for rec in _iter_records(fh, p):
+                        t = rec.get("rec_type")
+                        if t in want or t == "_malformed":
+                            rows.append(
+                                (
+                                    rec.get("url"),
+                                    rec.get("warc_ts"),
+                                    t,
+                                    rec.get("html"),
+                                    p,
+                                )
+                            )
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["url", "warc_ts", "rec_type", "html", "warc_file"],
+                    )
+
+    return path_df.mapInPandas(_read, WARC_SCHEMA)

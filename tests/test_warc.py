@@ -1,0 +1,75 @@
+"""WARC source connector: writer/reader round-trips + dead-letter route."""
+
+from __future__ import annotations
+
+import gzip
+
+from logai_spark.sources.warc import read_warc, warc_bytes
+
+
+def _recs():
+    return [
+        ("http://a.com/1", "2024-01-02T03:04:05Z", b"<html>alpha</html>"),
+        ("http://b.org/x", "2024-06-07T08:09:10Z", b"<html>beta &amp; more</html>"),
+    ]
+
+
+def test_warc_roundtrip_plain(spark, tmp_path):
+    p = tmp_path / "seg.warc"
+    p.write_bytes(warc_bytes(_recs()))
+    rows = read_warc(spark, [str(p)]).orderBy("url").collect()
+    assert [(r.url, bytes(r.html)) for r in rows] == [
+        ("http://a.com/1", b"<html>alpha</html>"),
+        ("http://b.org/x", b"<html>beta &amp; more</html>"),
+    ]
+    assert rows[0].warc_ts.isoformat() == "2024-01-02T03:04:05"
+    assert all(r.rec_type == "response" for r in rows)
+
+
+def test_warc_roundtrip_gzip_members(spark, tmp_path):
+    # per-record gzip members concatenated — the Common Crawl layout
+    p = tmp_path / "seg.warc.gz"
+    p.write_bytes(warc_bytes(_recs(), compress=True))
+    rows = read_warc(spark, [str(p)]).collect()
+    assert sorted(r.url for r in rows) == ["http://a.com/1", "http://b.org/x"]
+
+
+def test_warc_http_header_block_is_stripped(spark, tmp_path):
+    p = tmp_path / "seg.warc"
+    p.write_bytes(warc_bytes([("http://c.io/", "2024-01-01T00:00:00Z", b"BODY")]))
+    raw = p.read_bytes()
+    assert b"HTTP/1.1 200 OK" in raw  # the writer really wrote an HTTP message
+    (row,) = read_warc(spark, [str(p)]).collect()
+    assert bytes(row.html) == b"BODY"
+
+
+def test_warc_no_http_wrapper(spark, tmp_path):
+    p = tmp_path / "seg.warc"
+    p.write_bytes(warc_bytes([("http://d.io/", "2024-01-01T00:00:00Z", b"RAW")], http=False))
+    (row,) = read_warc(spark, [str(p)]).collect()
+    assert bytes(row.html) == b"RAW"
+
+
+def test_warc_malformed_routes_to_dead_letter(spark, tmp_path):
+    good = tmp_path / "good.warc"
+    good.write_bytes(warc_bytes(_recs()[:1]))
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"NOT A WARC FILE AT ALL\r\n")
+    rows = read_warc(spark, [str(good), str(bad)]).collect()
+    by_type = {r.rec_type for r in rows}
+    assert by_type == {"response", "_malformed"}
+    mal = [r for r in rows if r.rec_type == "_malformed"]
+    assert len(mal) == 1 and mal[0].warc_file.endswith("bad.warc")
+
+
+def test_warc_multiple_files_partitioned(spark, tmp_path):
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"seg{i}.warc"
+        p.write_bytes(
+            warc_bytes([(f"http://s{i}.net/", "2024-01-01T00:00:00Z", f"b{i}".encode())])
+        )
+        paths.append(str(p))
+    df = read_warc(spark, paths)
+    assert df.count() == 4
+    assert df.rdd.getNumPartitions() == 4  # one task per archive by default

@@ -80,6 +80,7 @@ DOC_QUERIES = [
     "snapshot_delta",
     "inverted_index",
     "hyperball_harmonic",
+    "robots_filter",
 ]
 
 
