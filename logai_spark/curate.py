@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -162,8 +163,24 @@ def run_curation(
 ) -> dict:
     """Run the curation pipeline over a documents table
     (id, text, lang, source). Writes ``curated/`` parquet and
-    ``_curation_manifest.json`` under ``output``; returns the manifest."""
+    ``_curation_manifest.json`` under ``output``; returns the manifest.
+
+    ``CURATE_TIMINGS=1`` adds a per-phase wall-clock breakdown to the
+    manifest (and forces the hygiene barrier with an explicit count so its
+    materialization cost is attributed, not folded into the ledger write) —
+    a profiling aid for scaling work, off in production."""
     c = cfg
+    timings: dict[str, float] | None = (
+        {} if os.environ.get("CURATE_TIMINGS") == "1" else None
+    )
+    _t0 = time.time()
+
+    def _tick(name: str) -> None:
+        nonlocal _t0
+        if timings is not None:
+            now = time.time()
+            timings[name] = round(now - _t0, 2)
+            _t0 = now
 
     # ------------------------------------------------------------------
     # 0. optional text-hygiene stages BEFORE dedup (normalizing first makes
@@ -277,17 +294,13 @@ def run_curation(
 
         # explode + hashed df-count + broadcast hot-set + id-keyed
         # reassembly (see boilerplate_rm docstring for the 10^12-doc shape)
-        bp = boilerplate_rm(
+        docs = boilerplate_rm(
             docs, id_col=c.id_col, text_col=c.text_col,
-            max_df=c.boilerplate_max_df,
-        )
-        docs = docs.drop(c.text_col).join(
-            bp.select(
-                c.id_col,
-                F.col("clean_text").alias(c.text_col),
-                F.col("n_removed").alias("_bp_removed"),
-            ),
-            c.id_col,
+            max_df=c.boilerplate_max_df, inplace=True,
+        ).select(
+            *[col for col in docs.columns if col != c.text_col],
+            c.text_col,
+            F.col("n_removed").alias("_bp_removed"),
         )
         pre_cols.append("_bp_removed")
     if c.paragraph_dedup:
@@ -297,16 +310,13 @@ def run_curation(
         # dedup: paragraph boundaries are exact-match keys, so removing
         # whole duplicated paragraphs first shrinks the window-hash table
         # the substring stage shuffles. Only (hash, id, pos) triples move.
-        pdd = paragraph_dedup(
-            docs, text_col=c.text_col, id_col=c.id_col, sep=c.paragraph_sep
-        )
-        docs = docs.drop(c.text_col).join(
-            pdd.select(
-                c.id_col,
-                F.col("clean_text").alias(c.text_col),
-                (F.col("n_paragraphs") - F.col("n_kept")).alias("_pd_removed"),
-            ),
-            c.id_col,
+        docs = paragraph_dedup(
+            docs, text_col=c.text_col, id_col=c.id_col, sep=c.paragraph_sep,
+            inplace=True,
+        ).select(
+            *[col for col in docs.columns if col != c.text_col],
+            c.text_col,
+            (F.col("n_paragraphs") - F.col("n_kept")).alias("_pd_removed"),
         )
         pre_cols.append("_pd_removed")
     if c.substring_window:
@@ -317,17 +327,13 @@ def run_curation(
         # the hygiene-cleaned text, BEFORE exact dedup, so trivially-
         # different copies whose difference was inside a removed duplicated
         # region become hash-equal downstream (the C4/Lee et al. ordering).
-        ss = substring_dedup(
+        docs = substring_dedup(
             docs, text_col=c.text_col, id_col=c.id_col,
-            window=c.substring_window,
-        )
-        docs = docs.drop(c.text_col).join(
-            ss.select(
-                c.id_col,
-                F.col("clean_text").alias(c.text_col),
-                (F.col("n_tokens") - F.col("n_kept")).alias("_ss_removed"),
-            ),
-            c.id_col,
+            window=c.substring_window, inplace=True,
+        ).select(
+            *[col for col in docs.columns if col != c.text_col],
+            c.text_col,
+            (F.col("n_tokens") - F.col("n_kept")).alias("_ss_removed"),
         )
         pre_cols.append("_ss_removed")
 
@@ -346,11 +352,15 @@ def run_curation(
     # DISK_ONLY, not MEMORY_*: corpus-sized text should never compete
     # with shuffle/execution memory.
     barrier = None
+    _tick("pre_stage_lazy_and_counts")
     if pre_cols or c.url_dedup or c.url_blocklist:
         from pyspark import StorageLevel
 
         docs = docs.persist(StorageLevel.DISK_ONLY)
         barrier = docs
+        if timings is not None:
+            docs.count()
+            _tick("barrier_materialize")
 
     # ------------------------------------------------------------------
     # Flag ledger: one boolean per drop reason on a THIN (id, lang,
@@ -451,7 +461,7 @@ def run_curation(
         try:
             return _finish_curation(
                 spark, docs, flags, pre_cols, output, c, True,
-                pre_counts=pre_counts,
+                pre_counts=pre_counts, timings=timings,
             )
         finally:
             if barrier is not None:
@@ -650,6 +660,7 @@ def run_curation(
     if os.path.exists(meta_path):
         os.remove(meta_path)
     flags.write.mode("overwrite").parquet(ledger_dir)
+    _tick("ledger_build_write")
     base.unpersist()
     with open(meta_path, "w") as fp:
         json.dump({"config_hash": cfg_hash}, fp)
@@ -657,7 +668,7 @@ def run_curation(
     try:
         return _finish_curation(
             spark, docs, flags, pre_cols, output, c, False,
-            pre_counts=pre_counts,
+            pre_counts=pre_counts, timings=timings,
         )
     finally:
         if barrier is not None:
@@ -673,11 +684,21 @@ def _finish_curation(
     c: CurationConfig,
     resumed: bool,
     pre_counts: dict[str, int] | None = None,
+    timings: dict[str, float] | None = None,
 ) -> dict:
     """Stages downstream of the checkpointed ledger: counts, PII scrub,
     packing, (sharded) write, manifest."""
     # column presence (not config) decides: a resumed ledger carries
     # _keep_gopher iff it was written with the stage on
+    _t0 = time.time()
+
+    def _tick(name: str) -> None:
+        nonlocal _t0
+        if timings is not None:
+            now = time.time()
+            timings[name] = round(now - _t0, 2)
+            _t0 = now
+
     has_gopher = "_keep_gopher" in flags.columns
     has_decon = "_keep_decon" in flags.columns
     has_c4 = "_c4_keep" in flags.columns
@@ -720,6 +741,7 @@ def _finish_curation(
     if "_ss_removed" in pre_cols:
         aggs.append(F.sum("_ss_removed").alias("ss_removed"))
     row = flags.agg(*aggs).collect()[0]
+    _tick("stage_counts_agg")
     counts: dict[str, int] = {}
     if pre_counts:
         counts.update(pre_counts)
@@ -867,6 +889,7 @@ def _finish_curation(
         final.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     else:
         final.write.mode("overwrite").parquet(out_dir)
+    _tick("pack_and_write")
     # audit the WRITTEN files, not the plan — one job for both counts
     waggs = [
         F.count(F.lit(1)).alias("n"),
@@ -875,6 +898,7 @@ def _finish_curation(
     if c.n_shards:
         waggs.append(F.count_distinct("shard").alias("s"))
     wrow = spark.read.parquet(out_dir).agg(*waggs).collect()[0]
+    _tick("write_audit")
     counts["written"] = wrow["n"]
     counts["packs"] = wrow["p"]
     if c.n_shards:
@@ -885,6 +909,8 @@ def _finish_curation(
         "counts": counts,
         "resumed_from_ledger": resumed,
     }
+    if timings is not None:
+        manifest["timings"] = timings
     with open(os.path.join(output, "_curation_manifest.json"), "w") as fp:
         json.dump(manifest, fp, indent=2, default=str)
     return manifest

@@ -141,8 +141,12 @@ def boilerplate_rm(
     text_col: str = "text",
     max_df: int = 100,
     sep: str = "\n",
+    inplace: bool = False,
 ) -> DataFrame:
     """Remove lines shared by more than ``max_df`` distinct documents.
+    ``inplace=True`` returns ALL caller columns with ``text_col`` rewritten
+    (plus the stat columns) — the pipeline variant that avoids a second
+    id-join to glue clean text back.
 
     Returns one row per input document: (id, clean_text, n_removed,
     n_lines). Documents whose every line is boilerplate come back with
@@ -180,24 +184,28 @@ def boilerplate_rm(
         .filter(F.col("_df") > max_df)
         .select("_lh", F.lit(True).alias("_hot"))
     )
-    flagged = lines.withColumn("_lh", F.xxhash64("line")).join(
-        F.broadcast(hot), "_lh", "left"
+    # only the HOT (id, pos) int pairs leave the flagging join; they fold
+    # to one thin (id, array<int>) row per affected doc and the rewrite
+    # happens on the original document row — line TEXT never crosses an
+    # exchange in this operator (the previous shape re-grouped the exploded
+    # line text per doc: one corpus-text exchange + a per-doc sort).
+    drop_tbl = (
+        lines.withColumn("_lh", F.xxhash64("line"))
+        .join(F.broadcast(hot), "_lh")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_drop_pos"))
     )
-    kept = F.when(F.col("_hot").isNull(), F.struct("pos", "line"))
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            # collect_list drops the NULLs the when() leaves for hot lines;
-            # array_sort on (pos, line) structs restores original order.
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
-                ),
-                sep,
-            ).alias("clean_text"),
-            F.sum(F.when(F.col("_hot").isNotNull(), 1).otherwise(0)).alias(
-                "n_removed"
-            ),
-            F.count(F.lit(1)).alias("n_lines"),
+    dp = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
+    lines_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    kept = F.filter(lines_arr, lambda l, i: ~F.array_contains(dp, i))
+    joined = df.join(drop_tbl, id_col, "left")
+    out_cols = [
+        F.array_join(kept, sep).alias("clean_text" if not inplace else text_col),
+        F.size(dp).alias("n_removed"),
+        F.size(lines_arr).alias("n_lines"),
+    ]
+    if inplace:
+        return joined.select(
+            *[c for c in df.columns if c != text_col], *out_cols
         )
-    )
+    return joined.select(F.col(id_col), *out_cols)
