@@ -2087,6 +2087,166 @@ def _q_robots_filter(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [(1, "spark window join"), (2, "customer query"), (3, "vector stream")]
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (webindex.bm25_topk): Lucene always-positive
+    idf, one corpus tokenize pass, query vocabulary broadcast so the
+    corpus-sized pair table filters before any other join, top-k via
+    rank<=k -> WindowGroupLimit. Scores floor-rounded at 4 dp; ranks
+    computed on the rounded score with doc_id tiebreak, so the oracle
+    reproduces rank and value exactly."""
+    from logai_spark.functions.webindex import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query"])
+    return bm25_topk(d, qs, k=10).orderBy("query_id", "rank")
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier politeness scheduling (frontier.crawl_frontier):
+    per-domain fetch slots (priority desc, url asc), hot domains capped by
+    a WindowGroupLimit rank filter, per-domain crawl delays broadcast with
+    a default fallback."""
+    from logai_spark.functions.frontier import crawl_frontier
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://dom"), F.col("doc_id") % 7, F.lit(".net/p"), F.col("doc_id")
+        ).alias("url"),
+        (F.col("doc_id") % 13).alias("prio"),
+    )
+    delays = spark.createDataFrame([("dom1.net", 100)], ["domain", "delay_ms"])
+    return crawl_frontier(
+        d, delay_ms=1000, max_per_domain=25, delays=delays, priority_col="prio"
+    ).orderBy("domain", "slot")
+
+
+def _q_cdx_index(spark, sf_dir):
+    """Web-archive capture index (webindex.cdx_index): SURT canonical key
+    (lowercase, scheme/www dropped, host segments reversed — pure codegen),
+    md5 content digest, (surt, ts) order. The fixture mixes case, www
+    prefixes, query strings, subdomains and path-less URLs to exercise
+    every canonicalization branch; ts is the capture epoch-ms as bigint
+    (engine-portable). Sorted output checked exactly; the n_shards path
+    (repartitionByRange + sortWithinPartitions = globally sorted shard
+    set) is pinned by tests."""
+    from logai_spark.functions.webindex import cdx_index
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("http://www.Dom"), F.col("doc_id") % 23, F.lit(".net/P"),
+                F.col("doc_id"), F.lit("?q="), F.col("doc_id") % 5,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("HTTP://Dom"), F.col("doc_id") % 23, F.lit(".net/p"),
+                F.col("doc_id"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://sub.dom"), F.col("doc_id") % 23, F.lit(".net"))
+        )
+        .alias("url"),
+        (F.lit(1767225600000) + F.col("doc_id") * 1000).alias("warc_ts"),
+        F.col("text").alias("html"),
+    )
+    return cdx_index(pages).orderBy("surt", "ts")
+
+
+_CDX_SQL = r"""
+    WITH pages AS (
+        SELECT CASE
+                 WHEN doc_id % 3 = 0 THEN 'http://www.Dom' || (doc_id % 23)
+                      || '.net/P' || doc_id || '?q=' || (doc_id % 5)
+                 WHEN doc_id % 3 = 1 THEN 'HTTP://Dom' || (doc_id % 23)
+                      || '.net/p' || doc_id
+                 ELSE 'http://sub.dom' || (doc_id % 23) || '.net'
+               END AS url,
+               1767225600000 + doc_id * 1000 AS ts,
+               text AS html
+        FROM documents),
+    lowered AS (SELECT lower(url) AS lurl, ts, url, html FROM pages),
+    parts AS (
+        SELECT regexp_replace(
+                   regexp_extract(lurl, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+                   '^www\.', '') AS host,
+               regexp_extract(lurl, '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1)
+                   AS pathq,
+               ts, url, html
+        FROM lowered)
+    SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')' || CASE WHEN pathq = '' THEN '/' ELSE pathq END AS surt,
+           ts, url, md5(html) AS digest
+    FROM parts
+"""
+
+
+_BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    pairs AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        GROUP BY 1, 2),
+    q AS (
+        SELECT DISTINCT query_id, unnest(string_split(query, ' ')) AS token
+        FROM (VALUES {_BM25_VALUES}) AS v(query_id, query)),
+    dfs AS (
+        SELECT token, count(*) AS df FROM pairs
+        WHERE token IN (SELECT token FROM q) GROUP BY 1),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+        SELECT q.query_id, p.doc_id,
+               floor(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+               ) * 10000 + 0.5) / 10000 AS score
+        FROM pairs p
+        JOIN q USING (token) JOIN dfs USING (token) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank,
+               doc_id, score
+        FROM scored)
+    SELECT query_id, rank::INT AS rank, doc_id, score
+    FROM ranked WHERE rank <= 10
+"""
+
+_FRONTIER_SQL = """
+    WITH u AS (
+        SELECT 'http://dom' || (doc_id % 7) || '.net/p' || doc_id AS url,
+               'dom' || (doc_id % 7) || '.net' AS domain,
+               doc_id % 13 AS prio
+        FROM documents),
+    slotted AS (
+        SELECT url, domain,
+               (row_number() OVER (PARTITION BY domain
+                                   ORDER BY prio DESC, url) - 1)::INT AS slot
+        FROM u)
+    SELECT url, domain, slot,
+           slot::BIGINT * (CASE WHEN domain = 'dom1.net' THEN 100
+                                ELSE 1000 END) AS fetch_at_ms
+    FROM slotted WHERE slot < 25
+"""
+
+
 _SNAP_OLD_SQL = """
     SELECT 'http://s' || doc_id AS url, min(md5(text)) AS h
     FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1
@@ -2167,6 +2327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # robots_filter (which builds on it); the four r2-green rows rotate
         # back out; r3-green signature ops follow -----------------------------
         "robots_rules": _q_robots_rules,
+        "bm25_topk": _q_bm25_topk,
+        "crawl_frontier": _q_crawl_frontier,
+        "cdx_index": _q_cdx_index,
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
@@ -2795,6 +2958,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE FALSE END AS robots_blocked
             FROM u
         """,
+        "bm25_topk": _BM25_SQL,
+        "crawl_frontier": _FRONTIER_SQL,
+        "cdx_index": _CDX_SQL,
         "anchor_text": r"""
             WITH html AS (
                 SELECT '<a href="http://dom' || (doc_id % 23) || '.net/a">site '

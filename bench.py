@@ -71,6 +71,9 @@ HEADLINE = [
     "inverted_index",
     "hyperball_harmonic",
     "robots_filter",
+    "bm25_topk",
+    "crawl_frontier",
+    "cdx_index",
 ]
 
 

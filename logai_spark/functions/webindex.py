@@ -75,3 +75,148 @@ def inverted_index(
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents per query, Okapi BM25 with
+    the Lucene always-positive idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (Robertson & Zaragoza 2009 eq. 3.3; Lucene BM25Similarity). Output
+    (query_id, rank, doc_id, score), score floor-rounded at 4 dp so an
+    independent engine reproduces the values bit-for-bit.
+
+    Scale shape (the query set is small — the corpus is not):
+
+    - the corpus tokenizes ONCE into (id, token, tf) pairs with doc length
+      carried through the scan projection (``size(tokens)`` — no second
+      pass); the groupBy is one partial-agg shuffle;
+    - query terms (deduped per query — the Lucene convention is equivalent
+      to per-unique-term boosts; we weight each distinct term once)
+      BROADCAST against the pair table, so only pairs whose token appears
+      in SOME query survive — the corpus-sized table is filtered before
+      anything else joins it;
+    - exact ``df`` per matched token is a partial agg over the filtered
+      pair table (exact: filtering by token keeps every (doc, token) row
+      of the matched tokens);
+    - corpus N / avgdl is a single global-agg row, broadcast-crossjoined;
+    - per-(query, doc) scores sum with map-side combine; the final top-k
+      is a rank<=k filter that compiles to WindowGroupLimit, so a query
+      matching 10^9 documents never buffers them in one task.
+
+    Ties break by doc_id ascending on the ROUNDED score, making rank
+    deterministic across engines and partitionings.
+    """
+    toks = tokenize_expr(text_col)
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokenize_expr(query_col)).alias("token"),
+        )
+        .distinct()
+    )
+    matched = pairs.join(F.broadcast(qterms.select("token").distinct()), "token")
+    dfs = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(tokenize_expr(text_col)).alias("_dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        matched.join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "id")
+        .agg(F.sum(term).alias("_s"))
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            (F.floor(F.col("_s") * 10000 + F.lit(0.5)) / 10000).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
+def surt_expr(col):
+    """SURT (Sort-friendly URI Reordering Transform) canonical key — the
+    key format of web-archive capture indexes (Common Crawl's CDX URL
+    index, Heritrix/OpenWayback canonicalization): lowercase, scheme
+    dropped, leading ``www.`` dropped, host segments REVERSED and
+    comma-joined, then ``)`` + path-and-query (``/`` when absent), e.g.
+    ``http://www.Example.com/A?q=1`` -> ``com,example)/a?q=1``. Reversing
+    the host makes one registered domain's captures (and its subdomains)
+    lexicographically contiguous, so a sorted index answers prefix scans.
+    Pure codegen (regexp + split/reverse/concat — RE2-safe, engine-
+    portable); non-URLs yield ``)`` + the default path, callers filter.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    host = F.regexp_replace(
+        F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1), r"^www\.", ""
+    )
+    pathq = F.regexp_extract(c, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        F.when(pathq == "", F.lit("/")).otherwise(pathq),
+    )
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str | None = "html",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """CDX-shaped capture index: (surt, ts, url, digest) — one row per
+    capture, ordered by (surt, ts) so lookups and domain-prefix scans are
+    binary searches, exactly the layout of Common Crawl's cdx-NNNNN
+    shards. ``digest`` is the md5 of the payload column (content-change
+    detection across captures; NULL payload -> NULL digest).
+
+    Scale shape: with ``n_shards`` the index range-partitions on surt
+    (``repartitionByRange`` — Spark samples split points, so shards
+    balance even though ``com,google)...`` is millions of captures) and
+    sorts WITHIN each shard; the result written with
+    ``partitionBy``-less parquet is a globally sorted shard set (shard i's
+    max key < shard i+1's min key). Without ``n_shards`` it is a plain
+    global sort (small indexes / the oracle row).
+    """
+    cols = [
+        surt_expr(url_col).alias("surt"),
+        F.col(ts_col).alias("ts"),
+        F.col(url_col).alias("url"),
+    ]
+    if payload_col is not None:
+        cols.append(F.md5(F.col(payload_col).cast("binary")).alias("digest"))
+    out = pages.select(*cols)
+    if n_shards:
+        return out.repartitionByRange(n_shards, "surt", "ts").sortWithinPartitions(
+            "surt", "ts"
+        )
+    return out.orderBy("surt", "ts")

@@ -81,6 +81,9 @@ DOC_QUERIES = [
     "inverted_index",
     "hyperball_harmonic",
     "robots_filter",
+    "bm25_topk",
+    "crawl_frontier",
+    "cdx_index",
 ]
 
 
