@@ -2032,14 +2032,18 @@ def _robots_tbl(spark, sf_dir):
             F.col("d") % 3 == 0,
             F.concat(
                 F.lit("User-agent: *\nDisallow: /p"), F.col("d"),
-                F.lit("\nDisallow: /q/\nDisallow:\n"),
+                F.lit("\nDisallow: /q/\nDisallow:\nCrawl-delay: "),
+                F.col("d"), F.lit(".5\n"),
             ),
         )
-        .when(F.col("d") % 3 == 1, F.lit("User-agent: bing\nDisallow: /all\n"))
+        .when(
+            F.col("d") % 3 == 1,
+            F.lit("User-agent: bing\nDisallow: /all\nCrawl-delay: 9\n"),
+        )
         .otherwise(
             F.concat(
                 F.lit("User-agent: bot\nUser-agent: *\nDisallow: /r"),
-                F.col("d"), F.lit("\n"),
+                F.col("d"), F.lit("\nCrawl-delay: oops\n"),
             )
         )
     )
@@ -2121,6 +2125,17 @@ def _q_crawl_frontier(spark, sf_dir):
     return crawl_frontier(
         d, delay_ms=1000, max_per_domain=25, delays=delays, priority_col="prio"
     ).orderBy("domain", "slot")
+
+
+def _q_robots_delays(spark, sf_dir):
+    """Crawl-delay extraction (robots.robots_delays): star-section delays
+    in seconds (fractional) -> (domain, delay_ms), largest wins, malformed
+    values and non-star sections ignored (the fixture plants a bing-only
+    delay and an 'oops' value). Feeds crawl_frontier's broadcast delays
+    table. Oracle derives the expected set from the fixture's intent."""
+    from logai_spark.functions.robots import robots_delays
+
+    return robots_delays(_robots_tbl(spark, sf_dir)).orderBy("domain")
 
 
 def _q_cdx_index(spark, sf_dir):
@@ -2330,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "crawl_frontier": _q_crawl_frontier,
         "cdx_index": _q_cdx_index,
+        "robots_delays": _q_robots_delays,
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
@@ -2961,6 +2977,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "crawl_frontier": _FRONTIER_SQL,
         "cdx_index": _CDX_SQL,
+        "robots_delays": """
+            WITH ds AS (SELECT DISTINCT (doc_id % 23) AS d FROM documents)
+            SELECT 'dom' || d || '.net' AS domain,
+                   (d * 1000 + 500)::BIGINT AS delay_ms
+            FROM ds WHERE d % 3 = 0
+        """,
         "anchor_text": r"""
             WITH html AS (
                 SELECT '<a href="http://dom' || (doc_id % 23) || '.net/a">site '

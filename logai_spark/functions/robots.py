@@ -32,14 +32,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 PATH_RE = r"^[a-z]+://[^/]+(/.*)?$"
 
 
-def robots_rules(
-    robots: DataFrame,
-    domain_col: str = "domain",
-    text_col: str = "robots_txt",
-) -> DataFrame:
-    """(domain, prefix) Disallow rules from ``User-agent: *`` sections.
-    Lines are trimmed and matched case-insensitively on the directive
-    name; empty Disallow values (= allow all) are dropped."""
+def _star_blocks(
+    robots: DataFrame, domain_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared section parser: returns (marked_lines, star_blocks) where
+    marked_lines = (domain, pos, line, block) with every line assigned to
+    its governing User-agent BLOCK, and star_blocks = the (domain, block)
+    pairs whose UA set includes ``*``."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(text_col, r"\r?\n")).alias("pos", "line"),
@@ -74,6 +73,18 @@ def robots_rules(
         .filter(F.col("_s") == 1)
         .select("domain", "block")
     )
+    return marked, star_blocks
+
+
+def robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, prefix) Disallow rules from ``User-agent: *`` sections.
+    Lines are trimmed and matched case-insensitively on the directive
+    name; empty Disallow values (= allow all) are dropped."""
+    marked, star_blocks = _star_blocks(robots, domain_col, text_col)
     disallow = marked.filter(
         F.lower("line").startswith("disallow:")
     ).select(
@@ -118,3 +129,34 @@ def robots_filter(
     if action == "flag":
         return j.withColumn(flag_col, blocked).drop("_rules")
     return j.filter(~blocked).drop("_rules")
+
+
+def robots_delays(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, delay_ms) from ``Crawl-delay:`` lines in ``User-agent: *``
+    sections — the nonstandard-but-ubiquitous politeness directive
+    (seconds, fractional allowed). Non-numeric values are ignored; a
+    domain stating several star-section delays keeps the LARGEST (the
+    conservative reading). Feed the result straight into
+    :func:`logai_spark.functions.frontier.crawl_frontier` as its
+    ``delays`` table — rules gate WHAT may be fetched, delays pace WHEN."""
+    marked, star_blocks = _star_blocks(robots, domain_col, text_col)
+    delays = (
+        marked.filter(F.lower("line").startswith("crawl-delay:"))
+        .select(
+            "domain",
+            "block",
+            (F.trim(F.expr("substring(line, 13)")).try_cast("double") * 1000)
+            .try_cast("long")
+            .alias("delay_ms"),
+        )
+        .filter(F.col("delay_ms").isNotNull() & (F.col("delay_ms") >= 0))
+    )
+    return (
+        delays.join(star_blocks, ["domain", "block"])
+        .groupBy("domain")
+        .agg(F.max("delay_ms").alias("delay_ms"))
+    )

@@ -84,3 +84,64 @@ def test_robots_filter_bare_domain_url_matches_root_rule(spark):
         [Row(url="http://d.io"), Row(url="http://d.io/page")]
     )
     assert robots_filter(urls, rules).count() == 0  # bare URL counts as "/"
+
+
+def test_robots_delays_star_sections_only(spark):
+    from pyspark.sql import Row
+
+    from logai_spark.functions.robots import robots_delays
+
+    robots = spark.createDataFrame(
+        [
+            Row(
+                domain="a.com",
+                robots_txt=(
+                    "User-agent: googlebot\nCrawl-delay: 99\n\n"
+                    "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n"
+                ),
+            ),
+            Row(
+                domain="b.com",
+                robots_txt=(
+                    "User-agent: *\nCrawl-delay: oops\n\n"
+                    "User-agent: bot\nUser-agent: *\nCrawl-delay: 1\n"
+                    "\nUser-agent: *\nCrawl-delay: 4\n"
+                ),
+            ),
+            Row(domain="c.com", robots_txt="User-agent: *\nDisallow: /y\n"),
+        ],
+        ["domain", "robots_txt"],
+    )
+    got = {r.domain: r.delay_ms for r in robots_delays(robots).collect()}
+    # a.com: star section 2.5s -> 2500ms (googlebot's 99 ignored)
+    # b.com: 'oops' ignored; max(1s, 4s) = 4000ms
+    # c.com: no Crawl-delay -> absent
+    assert got == {"a.com": 2500, "b.com": 4000}
+
+
+def test_robots_delays_feed_frontier(spark):
+    from pyspark.sql import Row
+
+    from logai_spark.functions.frontier import crawl_frontier
+    from logai_spark.functions.robots import robots_delays, robots_filter, robots_rules
+
+    robots = spark.createDataFrame(
+        [
+            Row(
+                domain="a.com",
+                robots_txt="User-agent: *\nDisallow: /private\nCrawl-delay: 2\n",
+            )
+        ],
+        ["domain", "robots_txt"],
+    )
+    urls = spark.createDataFrame(
+        [("http://a.com/private/x",), ("http://a.com/2",), ("http://a.com/1",)],
+        ["url"],
+    )
+    allowed = robots_filter(urls, robots_rules(robots))
+    sched = crawl_frontier(allowed, delay_ms=1000, delays=robots_delays(robots))
+    got = {r.url: (r.slot, r.fetch_at_ms) for r in sched.collect()}
+    assert got == {
+        "http://a.com/1": (0, 0),
+        "http://a.com/2": (1, 2000),
+    }
