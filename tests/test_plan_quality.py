@@ -181,3 +181,26 @@ def test_paragraph_dedup_never_shuffles_text(spark, qs):
     p = _plan(qs["paragraph_dedup"](spark, SF))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_window_dedup_text_stays_out_of_aggregates(spark, qs):
+    """The session-9 rewrite contract: dropped positions fold via a
+    collect_set of INTS and the text is rebuilt by filtering the original
+    row's unit array — the old shape's per-doc re-sort of collected unit
+    text (array_sort over collect_list of (pos, unit) structs) must never
+    reappear in any _window_dedup consumer or boilerplate_rm."""
+    for name in ("paragraph_dedup", "span_dedup", "substring_dedup",
+                 "boilerplate_rm"):
+        p = _plan(qs[name](spark, SF))
+        assert "collect_set" in p, name
+        assert "array_sort(collect_list" not in p, name
+
+
+def test_frontier_and_bm25_window_group_limits(spark, qs):
+    """Hot-group caps must compile to WindowGroupLimit (partial map-side
+    limits BEFORE the exchange): crawl_frontier's per-domain cap and
+    bm25's top-k both rely on it, and neither may degrade to a loop join."""
+    for name in ("crawl_frontier", "bm25_topk"):
+        p = _plan(qs[name](spark, SF))
+        assert "WindowGroupLimit" in p, name
+        assert "CartesianProduct" not in p, name
