@@ -2127,6 +2127,50 @@ def _q_crawl_frontier(spark, sf_dir):
     ).orderBy("domain", "slot")
 
 
+def _q_host_stats(spark, sf_dir):
+    """Per-host crawl summary (webgraph.host_stats — the Common Crawl
+    host-index shape): page/distinct-URL counts, text volume, dominant
+    language + share. Two thin partial-agg shuffles; URLs repeat within a
+    domain (doc_id % 40) so n_urls < n_pages exercises the dedicated
+    distinct agg."""
+    from logai_spark.functions.webgraph import host_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://dom"), F.col("doc_id") % 7, F.lit(".net/p"),
+            F.col("doc_id") % 40,
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    return host_stats(d).orderBy("domain")
+
+
+_HOST_STATS_SQL = """
+    WITH base AS (
+        SELECT 'dom' || (doc_id % 7) || '.net' AS domain,
+               'http://dom' || (doc_id % 7) || '.net/p' || (doc_id % 40) AS url,
+               lang, length(coalesce(text, '')) AS len
+        FROM documents),
+    per_lang AS (
+        SELECT domain, lang, count(*) AS n, sum(len) AS chars
+        FROM base GROUP BY 1, 2),
+    rolled AS (
+        SELECT domain, sum(n) AS n_pages, sum(chars) AS text_chars,
+               floor(sum(chars)::DOUBLE / sum(n) * 10000 + 0.5) / 10000
+                   AS mean_chars,
+               max(struct_pack(n := n, lang := lang)).lang AS top_lang,
+               floor(max(struct_pack(n := n, lang := lang)).n::DOUBLE
+                     / sum(n) * 10000 + 0.5) / 10000 AS top_lang_share
+        FROM per_lang GROUP BY 1),
+    urls AS (
+        SELECT domain, count(DISTINCT url) AS n_urls FROM base GROUP BY 1)
+    SELECT domain, n_pages, n_urls, text_chars, mean_chars,
+           top_lang, top_lang_share
+    FROM rolled JOIN urls USING (domain)
+"""
+
+
 def _q_robots_delays(spark, sf_dir):
     """Crawl-delay extraction (robots.robots_delays): star-section delays
     in seconds (fractional) -> (domain, delay_ms), largest wins, malformed
@@ -2346,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "cdx_index": _q_cdx_index,
         "robots_delays": _q_robots_delays,
+        "host_stats": _q_host_stats,
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
@@ -2977,6 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "crawl_frontier": _FRONTIER_SQL,
         "cdx_index": _CDX_SQL,
+        "host_stats": _HOST_STATS_SQL,
         "robots_delays": """
             WITH ds AS (SELECT DISTINCT (doc_id % 23) AS d FROM documents)
             SELECT 'dom' || d || '.net' AS domain,

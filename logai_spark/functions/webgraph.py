@@ -211,3 +211,58 @@ def pagerank_oracle_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT domain, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM r{iters}"
     )
+
+
+def host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host crawl summary — the Common Crawl host-index shape: one row
+    per domain with page count, distinct-URL count, total text characters,
+    mean page length (floor-rounded 4 dp for engine parity) and the
+    dominant language with its share. The operational dashboard table a
+    crawl publishes per snapshot (commoncrawl.org's host-level index
+    carries exactly this family of columns next to the §2.13 rank scores).
+
+    Scale shape: two partial-agg shuffles on thin keys and nothing else —
+    (domain, lang) counts fold map-side first, then one domain-keyed agg
+    takes totals + max_by struct for the dominant language (ties break to
+    the lexicographically larger lang — deterministic in any engine);
+    distinct URLs use the standard two-phase partial-distinct plan. Page
+    text contributes only length() — bytes never shuffle.
+    """
+    from logai_spark.functions.textops import url_domain_expr
+
+    base = pages.select(
+        url_domain_expr(url_col).alias("domain"),
+        F.col(lang_col).alias("_lang"),
+        F.col(url_col).alias("_url"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_len"),
+    )
+    per_lang = base.groupBy("domain", "_lang").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_len").alias("_chars"),
+    )
+    # distinct URLs need their own domain-keyed agg: summing per-lang
+    # distincts would double-count a URL recrawled under two langs
+    urls = base.groupBy("domain").agg(F.count_distinct("_url").alias("n_urls"))
+    rolled = per_lang.groupBy("domain").agg(
+        F.sum("_n").alias("n_pages"),
+        F.sum("_chars").alias("text_chars"),
+        (
+            F.floor(F.sum("_chars") / F.sum("_n") * 10000 + F.lit(0.5)) / 10000
+        ).alias("mean_chars"),
+        F.max(F.struct(F.col("_n"), F.col("_lang")))["_lang"].alias("top_lang"),
+        (
+            F.floor(
+                F.max(F.struct(F.col("_n"), F.col("_lang")))["_n"]
+                / F.sum("_n") * 10000 + F.lit(0.5)
+            ) / 10000
+        ).alias("top_lang_share"),
+    )
+    return rolled.join(urls, "domain").select(
+        "domain", "n_pages", "n_urls", "text_chars", "mean_chars",
+        "top_lang", "top_lang_share",
+    )

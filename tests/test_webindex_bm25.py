@@ -184,3 +184,24 @@ def test_cdx_index_range_shards_globally_sorted(spark):
         assert p == sorted(p)
     flat = [s for p in nonempty for s in p]
     assert flat == sorted(flat)  # shard ranges don't overlap
+
+
+def test_host_stats(spark):
+    from logai_spark.functions.webgraph import host_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.com/1", "aaaa", "en"),
+            ("http://a.com/1", "bb", "de"),     # recrawl, different lang
+            ("http://a.com/2", "cccccc", "en"),
+            ("http://b.org/x", "dd", "fr"),
+        ],
+        ["url", "text", "lang"],
+    )
+    got = {r.domain: r for r in host_stats(pages).collect()}
+    a = got["a.com"]
+    assert (a.n_pages, a.n_urls, a.text_chars) == (3, 2, 12)
+    assert a.top_lang == "en" and a.top_lang_share == 0.6667
+    assert a.mean_chars == 4.0
+    b = got["b.org"]
+    assert (b.n_pages, b.n_urls, b.top_lang) == (1, 1, "fr")
