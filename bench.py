@@ -74,6 +74,7 @@ HEADLINE = [
     "bm25_topk",
     "crawl_frontier",
     "cdx_index",
+    "host_stats",
 ]
 
 

@@ -84,6 +84,7 @@ DOC_QUERIES = [
     "bm25_topk",
     "crawl_frontier",
     "cdx_index",
+    "host_stats",
 ]
 
 
