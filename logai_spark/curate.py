@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 from logai_spark.functions.textops import (
     exact_dedup,
     pii_redact,
-    quality_floor,
     repetition_stats,
 )
 from logai_spark.operators.features import pack_sequences
@@ -503,14 +502,24 @@ def run_curation(
             base_src, text_col=c.text_col, id_col=c.id_col, keep_cols=carried
         ).select(c.id_col, *carried, "repetition_keep")
         repfull_cols = ["repetition_keep"]
+    # quality is row-local, so it rides the SAME ledger-seeding scan and
+    # stage 4 below runs entirely on the thin ledger — no corpus re-read,
+    # no survivors semi-join against the persisted text
+    from logai_spark.functions.textops import quality_score
+
+    base_src = quality_score(base_src, c.text_col).select(
+        *base_src.columns, "quality"
+    )
     flags = (
         repetition_stats(
             base_src, text_col=c.text_col, id_col=c.id_col,
-            keep_cols=[c.lang_col, *pre_cols, *gopher_cols, *repfull_cols],
+            keep_cols=[c.lang_col, "quality", *pre_cols, *gopher_cols,
+                       *repfull_cols],
         )
         .select(
             c.id_col,
             c.lang_col,
+            F.col("quality"),
             *pre_cols,
             (F.col("top_bigram_frac") <= c.max_top_bigram_frac).alias("_keep_rep"),
             *(
@@ -639,14 +648,19 @@ def run_curation(
     if c.classifier_ref:
         pre_quality = pre_quality & F.col("_keep_cls")
 
-    # 4. per-language quality cut computed over the survivors of 1-3
-    qsurv = docs.join(
-        base.filter(pre_quality).select(c.id_col), c.id_col, "left_semi"
+    # 4. per-language quality cut computed over the survivors of 1-3 — on
+    #    the THIN ledger (quality was computed in the seeding scan): one
+    #    per-lang percentile partial agg + a broadcast cutoff join, same
+    #    math as textops.quality_floor, zero corpus re-reads
+    surv = base.filter(pre_quality).select(c.id_col, c.lang_col, "quality")
+    cut = surv.groupBy(c.lang_col).agg(
+        F.expr(f"percentile(quality, {1.0 - c.keep_frac})").alias("_cutoff")
     )
-    kept = quality_floor(
-        qsurv, keep_frac=c.keep_frac, lang_col=c.lang_col,
-        text_col=c.text_col, id_col=c.id_col,
-    ).select(c.id_col, "quality", F.lit(True).alias("_keep_quality"))
+    kept = (
+        surv.join(F.broadcast(cut), c.lang_col)
+        .filter(F.col("quality") >= F.col("_cutoff"))
+        .select(c.id_col, F.lit(True).alias("_keep_quality"))
+    )
     flags = base.join(kept, c.id_col, "left").withColumn(
         "_keep_quality", F.coalesce("_keep_quality", F.lit(False))
     )
