@@ -2319,11 +2319,13 @@ _SNAP_NEW_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
-    # 50 entries, so rows that have never had a driver-verified correctness
-    # row (the round-3 curation/streaming additions, the four rows rotated
-    # out between r2 and r3, and the thirteen round-4 additions) are
-    # front-loaded; everything past position 50 is a row already
-    # driver-green in an earlier round's window.
+    # 50 entries, so the window is packed exclusively with rows that have
+    # never had a driver-verified correctness row (round-3
+    # curation/streaming additions + round-4 additions through session 8);
+    # everything past position 50 is either driver-green from an earlier
+    # round's window or a session-9+ row covered by the local
+    # tools/check_oracle.py gate at sf0.01 + sf0.1 (robots_rules is also
+    # covered transitively by robots_filter).
     return {
         # -- never driver-verified (round-3 additions) --------------------
         "sessionize": _q_sessionize,
