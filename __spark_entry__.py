@@ -2319,85 +2319,27 @@ _SNAP_NEW_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
-    # 50 entries, so the window is packed exclusively with rows that have
-    # never had a driver-verified correctness row (round-3
-    # curation/streaming additions + round-4 additions through session 8);
-    # everything past position 50 is either driver-green from an earlier
-    # round's window or a session-9+ row covered by the local
-    # tools/check_oracle.py gate at sf0.01 + sf0.1 (robots_rules is also
-    # covered transitively by robots_filter).
+    # 50 entries. Round-5 window: positions 1-7 are the rows that were never
+    # driver-verified (or red) after round 4 — url_dedup (r4 red: oracle tz
+    # cast, fixed below) and the six session-9 crawl rows; positions 8-11 are
+    # the r2-stale rotations VERDICT-r4 asked for; the remainder re-verifies
+    # r3/r2-green signature and single-shuffle ops. Everything past position
+    # 50 is driver-green in CORRECTNESS_r04.
     return {
-        # -- never driver-verified (round-3 additions) --------------------
-        "sessionize": _q_sessionize,
-        "asof_join": _q_asof_join,
-        "repetition_stats": _q_repetition_stats,
-        "pii_redact": _q_pii_redact,
-        "hash_sample": _q_hash_sample,
-        "mixture_sample": _q_mixture_sample,
-        "top_ngrams": _q_top_ngrams,
-        "incremental_dedup": _q_incremental_dedup,
-        "pack_sequences": _q_pack_sequences,
-        "quality_floor": _q_quality_floor,
-        "decontaminate": _q_decontaminate,
-        "bigram_lm": _q_bigram_lm,
-        "domain_cap": _q_domain_cap,
-        "url_normalize": _q_url_normalize,
-        "winnow": _q_winnow,
-        "vocab_drift": _q_vocab_drift,
-        "text_normalize": _q_text_normalize,
-        "boilerplate_rm": _q_boilerplate_rm,
-        "keep_best": _q_keep_best,
-        "balanced_shards": _q_balanced_shards,
-        "bpe_token_count": _q_bpe_token_count,
-        "streaming_dedup": _q_streaming_dedup,
-        # -- round-4 session-8/9 additions (never driver-verified; take the
-        # window slots of the four r2-green rows, which rotate back out) ----
-        "snapshot_delta": _q_snapshot_delta,
-        "inverted_index": _q_inverted_index,
-        "hyperball_harmonic": _q_hyperball,
-        "robots_filter": _q_robots_filter,
-        # -- new in round 4 --------------------------------------------------
-        "image_stats": _q_image_stats,
-        "audio_features": _q_audio_features,
-        "wordpiece_tokens": _q_wordpiece_tokens,
-        "gopher_rules": _q_gopher_rules,
-        "span_dedup": _q_span_dedup,
-        "dsir_select": _q_dsir_select,
-        "perplexity_bucket": _q_perplexity_bucket,
-        "cross_near_dup": _q_cross_near_dup,
-        "semantic_dedup": _q_semantic_dedup,
-        "token_budget": _q_token_budget,
-        "substring_dedup": _q_substring_dedup,
-        "line_filter": _q_line_filter,
-        "quality_classifier": _q_quality_classifier,
-        "gopher_repetition": _q_gopher_repetition,
-        "epoch_upsample": _q_epoch_upsample,
-        "url_filter": _q_url_filter,
-        # -- new in round-4 session 6 --------------------------------------
-        "simhash_pairs": _q_simhash_pairs,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "html_extract": _q_html_extract,
+        # -- never driver-verified / r4-red (positions 1-7) ----------------
         "url_dedup": _q_url_dedup,
-        # -- round-4 session-7 additions -----------------------------------
-        "bloom_dedup": _q_bloom_dedup,
-        "link_graph": _q_link_graph,
-        "domain_pagerank": _q_domain_pagerank,
-        # -- round-4 session-8 additions -----------------------------------
-        "anchor_text": _q_anchor_text,
-        # -- past the 50-row window: robots_rules is covered transitively by
-        # robots_filter (which builds on it); the four r2-green rows rotate
-        # back out; r3-green signature ops follow -----------------------------
         "robots_rules": _q_robots_rules,
         "bm25_topk": _q_bm25_topk,
         "crawl_frontier": _q_crawl_frontier,
         "cdx_index": _q_cdx_index,
         "robots_delays": _q_robots_delays,
         "host_stats": _q_host_stats,
+        # -- r2-stale rotations (positions 8-11) ---------------------------
         "label_encode": _q_label_encode,
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
         "auc": _q_auc,
-        # -- r3-green rows worth re-verifying (signature / complex ops) ----
+        # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
         "iplom_templates": _q_iplom_templates,
@@ -2420,8 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counts": _q_streaming_counts,
         "streaming_sessions": _q_streaming_sessions,
         "counter_vector": _q_counter_vector,
-        # ------------------- position 51+ (past the driver window): ------
-        # all driver-green in r2 AND r3, simpler single-shuffle shapes.
+        # -- r2/r3-green single-shuffle shapes ------------------------------
         "sliding_window": _q_sliding_window,
         "session_concat": _q_session_concat,
         "eval_metrics": _q_eval_metrics,
@@ -2439,6 +2380,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "pad_trim": _q_pad_trim,
         "sliding_window_step": _q_sliding_window_step,
+        # ------------------- position 51+ (past the driver window): -------
+        # all driver-green in CORRECTNESS_r04.
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
+        "hash_sample": _q_hash_sample,
+        "mixture_sample": _q_mixture_sample,
+        "top_ngrams": _q_top_ngrams,
+        "incremental_dedup": _q_incremental_dedup,
+        "pack_sequences": _q_pack_sequences,
+        "quality_floor": _q_quality_floor,
+        "decontaminate": _q_decontaminate,
+        "bigram_lm": _q_bigram_lm,
+        "domain_cap": _q_domain_cap,
+        "url_normalize": _q_url_normalize,
+        "winnow": _q_winnow,
+        "vocab_drift": _q_vocab_drift,
+        "text_normalize": _q_text_normalize,
+        "boilerplate_rm": _q_boilerplate_rm,
+        "keep_best": _q_keep_best,
+        "balanced_shards": _q_balanced_shards,
+        "bpe_token_count": _q_bpe_token_count,
+        "streaming_dedup": _q_streaming_dedup,
+        "snapshot_delta": _q_snapshot_delta,
+        "inverted_index": _q_inverted_index,
+        "hyperball_harmonic": _q_hyperball,
+        "robots_filter": _q_robots_filter,
+        "image_stats": _q_image_stats,
+        "audio_features": _q_audio_features,
+        "wordpiece_tokens": _q_wordpiece_tokens,
+        "gopher_rules": _q_gopher_rules,
+        "span_dedup": _q_span_dedup,
+        "dsir_select": _q_dsir_select,
+        "perplexity_bucket": _q_perplexity_bucket,
+        "cross_near_dup": _q_cross_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
+        "token_budget": _q_token_budget,
+        "substring_dedup": _q_substring_dedup,
+        "line_filter": _q_line_filter,
+        "quality_classifier": _q_quality_classifier,
+        "gopher_repetition": _q_gopher_repetition,
+        "epoch_upsample": _q_epoch_upsample,
+        "url_filter": _q_url_filter,
+        "simhash_pairs": _q_simhash_pairs,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "html_extract": _q_html_extract,
+        "bloom_dedup": _q_bloom_dedup,
+        "link_graph": _q_link_graph,
+        "domain_pagerank": _q_domain_pagerank,
+        "anchor_text": _q_anchor_text,
         "token_position_stats": _q_token_position_stats,
         "feature_mean": _q_feature_mean,
         "pivot_counts": _q_pivot_counts,
@@ -2451,7 +2443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_runs": _q_collapse_runs,
         "split_by_span": _q_split_by_span,
     }
-
 
 # DuckDB-side helpers reused across oracles
 _DD_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -2983,7 +2974,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://site' || (pk % 50) || '.example.com/p' || pk
                        AS url_norm,
                    max(doc_id) AS keeper_id,
-                   to_timestamp(1600000000 + max(doc_id)) AS keeper_ts,
+                   to_timestamp(1600000000 + max(doc_id))::timestamp AS keeper_ts,
                    count(*) AS n_dups
             FROM u GROUP BY pk
         """,

@@ -22,6 +22,30 @@ TABLES = [
 ]
 
 
+def schema_kinds(df: pd.DataFrame) -> dict:
+    """Coarse per-column type kinds, taken BEFORE normalization.
+
+    The driver compares Spark-vs-DuckDB Arrow schemas, so tz-aware vs naive
+    timestamps (TIMESTAMPTZ vs TIMESTAMP) is a hard mismatch even when the
+    instants agree — exactly the class that made url_dedup red in r4 while
+    the old tz_localize(None) normalization here reported OK. Distinguish
+    ts-tz from ts; bucket numerics coarsely (the driver tolerates width)."""
+    kinds = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            kinds[c] = "ts-tz" if getattr(s.dtype, "tz", None) is not None else "ts"
+        elif pd.api.types.is_bool_dtype(s):
+            kinds[c] = "bool"
+        elif pd.api.types.is_float_dtype(s):
+            kinds[c] = "float"
+        elif pd.api.types.is_integer_dtype(s):
+            kinds[c] = "int"
+        else:
+            kinds[c] = "obj"
+    return kinds
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -62,19 +86,30 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = normalize(fn(spark, sf_dir).toPandas())
+            sraw = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             continue
+        sdf = normalize(sraw)
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
             continue
         try:
-            ddf = normalize(con.execute(oracles[name]).fetchdf())
+            draw = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            continue
+        ddf = normalize(draw)
+        skind, dkind = schema_kinds(sraw), schema_kinds(draw)
+        bad = {c for c in set(skind) & set(dkind) if skind[c] != dkind[c]}
+        if bad:
+            failures.append(name)
+            print(
+                f"FAIL {name}: schema kinds differ "
+                f"{ {c: (skind[c], dkind[c]) for c in sorted(bad)} }"
+            )
             continue
         if list(sdf.columns) != list(ddf.columns):
             failures.append(name)
