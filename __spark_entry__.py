@@ -480,6 +480,28 @@ def _q_image_stats(spark, sf_dir):
     )
 
 
+def _q_png_stats(spark, sf_dir):
+    """REAL PNG decode path (functions/multimodal.py decode_png: stdlib
+    zlib inflate + per-scanline None/Sub/Up/Average/Paeth unfilter — no
+    PIL): the same deterministic pixels as image_stats, encoded as genuine
+    8-bit truecolor PNG with the scanline filter cycling (id+y)%5 so the
+    corpus exercises every unfilter path, then distributed mapInPandas
+    decode + per-channel means. The oracle recomputes the stats DIRECTLY
+    from the raw pixel arrays — identical VALUES to image_stats — so any
+    encoder/decoder round-trip bug breaks the hash. VERDICT-r4 #6."""
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        synth_real_media,
+    )
+
+    media = synth_real_media(
+        spark, _MEDIA_N, seed=_MEDIA_SEED, kind="image", image_codec="png"
+    )
+    return extract_image_stats(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2156,7 +2178,10 @@ _HOST_STATS_SQL = """
         SELECT domain, lang, count(*) AS n, sum(len) AS chars
         FROM base GROUP BY 1, 2),
     rolled AS (
-        SELECT domain, sum(n) AS n_pages, sum(chars) AS text_chars,
+        SELECT domain,
+               -- DuckDB sum(int) is HUGEINT -> pandas float; Spark sum is
+               -- long. Cast so the Arrow schemas agree (int vs int).
+               sum(n)::BIGINT AS n_pages, sum(chars)::BIGINT AS text_chars,
                floor(sum(chars)::DOUBLE / sum(n) * 10000 + 0.5) / 10000
                    AS mean_chars,
                max(struct_pack(n := n, lang := lang)).lang AS top_lang,
@@ -2254,7 +2279,8 @@ _BM25_SQL = f"""
         SELECT doc_id,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS t
         FROM documents),
-    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    dl AS (SELECT doc_id,
+                  len(list_filter(t, x -> len(x) > 0)) AS dl FROM toks),
     pairs AS (
         SELECT doc_id, token, count(*) AS tf
         FROM (SELECT doc_id, unnest(t) AS token FROM toks)
@@ -2317,6 +2343,107 @@ _SNAP_NEW_SQL = """
 """
 
 
+_WARC_FIX_RECS = {
+    # file -> (http, compress, [(url, iso_ts, body_str)])
+    "fix0.warc": (True, False, [
+        ("http://a.com/1", "2024-01-02T03:04:05Z", "<html>alpha 1</html>"),
+        ("http://a.com/2", "2024-01-02T03:04:06Z", "<html>beta 2</html>"),
+    ]),
+    # non-HTTP record whose body contains an early CRLFCRLF: the reader
+    # must NOT truncate it (Content-Type gate, ADVICE-r4)
+    "fix1.warc": (False, False, [
+        ("http://b.org/x", "2024-06-07T08:09:10Z", "PREFIX\r\n\r\nSUFFIX"),
+    ]),
+    # per-record gzip members — the Common Crawl layout
+    "fix2.warc.gz": (True, True, [
+        ("http://c.net/y", "2025-01-01T00:00:00Z", "<html>gamma</html>"),
+        ("http://c.net/z", "2025-01-01T00:00:01Z", "<html>delta</html>"),
+    ]),
+}
+_WARC_FIX_DIR = None
+
+
+def _warc_fixture_dir() -> str:
+    """Write the deterministic WARC fixture archives once per process
+    (plus one malformed file that must dead-letter)."""
+    global _WARC_FIX_DIR
+    if _WARC_FIX_DIR is None:
+        import tempfile
+
+        from logai_spark.sources.warc import warc_bytes
+
+        d = tempfile.mkdtemp(prefix="warc_oracle_fix_")
+        for fname, (http, compress, recs) in _WARC_FIX_RECS.items():
+            payload = warc_bytes(
+                [(u, t, b.encode()) for u, t, b in recs],
+                http=http,
+                compress=compress,
+            )
+            with open(os.path.join(d, fname), "wb") as fh:
+                fh.write(payload)
+        with open(os.path.join(d, "fix3.warc"), "wb") as fh:
+            fh.write(b"NOT A WARC FILE\r\n")
+        _WARC_FIX_DIR = d
+    return _WARC_FIX_DIR
+
+
+def _q_warc_scan(spark, sf_dir):
+    """WARC archive source (sources/warc.py read_warc): deterministic
+    synthetic archives — HTTP-wrapped records (header block stripped),
+    a non-HTTP record whose body contains an early CRLFCRLF (must survive
+    whole: the Content-Type strip gate, ADVICE-r4), per-record gzip
+    members (the Common Crawl layout), and a malformed file that must
+    surface as a '_malformed' dead-letter row rather than failing the
+    scan. One task per archive (explicit path slicing). The oracle is a
+    VALUES reconstruction of every expected row — reader bugs in header
+    stripping, gzip member handling, timestamp parsing or dead-letter
+    routing all break the hash. VERDICT-r4 #7."""
+    from pyspark.sql import functions as F
+
+    from logai_spark.sources.warc import read_warc
+
+    d = _warc_fixture_dir()
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.startswith("fix")
+    )
+    return read_warc(spark, paths).select(
+        "url",
+        "warc_ts",
+        "rec_type",
+        F.col("html").cast("string").alias("body"),
+        F.regexp_extract("warc_file", r"([^/]+)$", 1).alias("archive"),
+    )
+
+
+def _warc_scan_oracle_sql() -> str:
+    def _sqlstr(s: str) -> str:
+        # ANSI SQL string literal; control chars spliced via chr() so the
+        # oracle engine reproduces CRLF bytes exactly (repr-style backslash
+        # escapes are NOT interpreted by standard SQL strings)
+        body = s.replace("'", "''").replace(
+            chr(13) + chr(10), "' || chr(13) || chr(10) || '"
+        )
+        return "'" + body + "'"
+
+    rows = []
+    for fname, (http, _compress, recs) in _WARC_FIX_RECS.items():
+        for u, t, b in recs:
+            ts = t.replace("T", " ").rstrip("Z")
+            rows.append(
+                "({}, TIMESTAMP '{}', 'response', {}, '{}')".format(
+                    _sqlstr(u), ts, _sqlstr(b), fname
+                )
+            )
+    # the dead-letter row carries no parsed payload: url/ts/body NULL
+    rows.append("(NULL, NULL, '_malformed', NULL, 'fix3.warc')")
+    return (
+        "SELECT url, warc_ts::timestamp AS warc_ts, rec_type, body, archive "
+        "FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(url, warc_ts, rec_type, body, archive)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's DuckDB oracle verifies only the FIRST
     # 50 entries. Round-5 window: positions 1-7 are the rows that were never
@@ -2339,6 +2466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequential_ids": _q_sequential_ids,
         "masked_pairs": _q_masked_pairs,
         "auc": _q_auc,
+        # -- new this round (position 12) -----------------------------------
+        "png_stats": _q_png_stats,
+        "warc_scan": _q_warc_scan,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -3552,6 +3682,8 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "image_stats": _media_oracle_sql("image"),
+        "png_stats": _media_oracle_sql("image"),
+        "warc_scan": _warc_scan_oracle_sql(),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

@@ -29,7 +29,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-PATH_RE = r"^[a-z]+://[^/]+(/.*)?$"
+from logai_spark.functions.textops import url_domain_expr
+
+# Scheme/host are case-insensitive per RFC 3986; the PATH is not — so the
+# scheme prefix here tolerates case without lowercasing the captured path.
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$"
 
 
 def _star_blocks(
@@ -108,10 +112,14 @@ def robots_filter(
     URL path falls under a Disallow prefix of its domain. One broadcast
     LEFT join on the domain + a codegen exists() probe — the corpus never
     shuffles; URLs on domains with no rules pass."""
-    per_domain = rules.groupBy("domain").agg(
-        F.collect_list("prefix").alias("_rules")
-    ).withColumnRenamed("domain", "_rdom")  # never shadow a caller column
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    # Host matching is case-insensitive and port-blind (RFC 3986): lowercase
+    # BOTH sides so 'HTTP://A.com/x' cannot bypass a.com's Disallow rules,
+    # and reuse url_domain_expr (lowercased host, :port stripped) so the
+    # key agrees with crawl_frontier / the domain-blocklist stages.
+    per_domain = rules.groupBy(
+        F.lower("domain").alias("_rdom")  # never shadow a caller column
+    ).agg(F.collect_list("prefix").alias("_rules"))
+    host = url_domain_expr(F.col(url_col))
     path = F.coalesce(F.regexp_extract(F.col(url_col), PATH_RE, 1), F.lit(""))
     blocked = F.when(
         F.col("_rules").isNull(), F.lit(False)

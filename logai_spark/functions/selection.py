@@ -126,12 +126,16 @@ def dsir_select(
         .agg(round4(F.sum("log_ratio")).alias("dsir_score"))
     )
     # gram-less docs score 0 (empty sum), matching the smoothed model's
-    # indifference rather than silently vanishing from the candidate set
-    scores = (
-        raw.select(id_col)
-        .join(scores, id_col, "left")
-        .select(id_col, F.coalesce("dsir_score", F.lit(0.0)).alias("dsir_score"))
+    # indifference rather than silently vanishing from the candidate set.
+    # Row-local filter + union, NOT a left join of the full id table onto
+    # scores — that compiled to a corpus-wide SortMergeJoin (VERDICT-r4 #5).
+    # size() on NULL text is NULL under ANSI (Spark 4 default) and -1
+    # legacy, hence the coalesce + <= 0. Disjoint by construction: scores
+    # only contains ids that exploded >= 1 gram.
+    gramless = raw.filter(F.coalesce(F.size(_grams(text_col)), F.lit(0)) <= 0).select(
+        F.col(id_col), F.lit(0.0).alias("dsir_score")
     )
+    scores = scores.unionByName(gramless)
 
     if gumbel:
         u = (

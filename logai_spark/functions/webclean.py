@@ -167,9 +167,15 @@ def span_dedup(
     # NB: the explicit lambda matters — F.trim has an optional second
     # parameter in Spark 4, so passing it bare makes transform() feed the
     # element INDEX as the trim string
+    # coalesce NULL text to '' first (as substring/paragraph_dedup do) so a
+    # NULL-text doc comes back as ('', 0, 0), not (NULL, NULL, NULL) — the
+    # documented "empty text rather than disappearing" contract
     sents = F.filter(
         F.transform(
-            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), F.lit(0)),
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(SENTENCE_RE), F.lit(0),
+            ),
             lambda s: F.trim(s),
         ),
         lambda s: F.length(s) > 0,

@@ -94,20 +94,32 @@ def bm25_topk(
     (query_id, rank, doc_id, score), score floor-rounded at 4 dp so an
     independent engine reproduces the values bit-for-bit.
 
-    Scale shape (the query set is small — the corpus is not):
+    Scale shape (the query set is small — the corpus is not). The governing
+    rule: THE CORPUS NEVER SHUFFLES. The broadcast query vocabulary joins
+    the exploded token stream BELOW the (id, token) aggregation, so the
+    only rows that ever cross an exchange are the query-matched pairs:
 
-    - the corpus tokenizes ONCE into (id, token, tf) pairs with doc length
-      carried through the scan projection (``size(tokens)`` — no second
-      pass); the groupBy is one partial-agg shuffle;
-    - query terms (deduped per query — the Lucene convention is equivalent
-      to per-unique-term boosts; we weight each distinct term once)
-      BROADCAST against the pair table, so only pairs whose token appears
-      in SOME query survive — the corpus-sized table is filtered before
-      anything else joins it;
-    - exact ``df`` per matched token is a partial agg over the filtered
-      pair table (exact: filtering by token keeps every (doc, token) row
-      of the matched tokens);
-    - corpus N / avgdl is a single global-agg row, broadcast-crossjoined;
+    - pair table: one scan projection tokenizes each doc (empty/blank docs
+      tokenize to dl=0 — the plain-split reference definition), explodes,
+      probes the broadcast vocabulary (map-side), THEN groups by
+      (id, token) — the shuffle carries matched pairs only, never the
+      corpus vocabulary (previously this aggregated all tokens corpus-wide
+      three plan-copies deep: ~30 AQE stages and 3 full-width exchanges at
+      sf0.1; this shape runs 4 thin ones);
+    - exact ``df`` per matched token is a second partial agg over the SAME
+      pair-table subtree — a zero-effect column pin (``0 * first(tf)``
+      etc.) keeps Catalyst's per-consumer column pruning from
+      canonicalizing its exchange differently, so ReuseExchange collapses
+      the two into one physical tokenize+shuffle wherever the optimizer
+      honors it (and when it does not, the duplicate is a narrow re-scan,
+      not a corpus-wide shuffle);
+    - corpus N / avgdl come from a separate size-only projection scan
+      (no explode, no shuffle — a single partial-agg row,
+      broadcast-crossjoined). In a standing search service these are
+      index-build-time constants; recomputing them costs one narrow
+      column-pruned pass;
+    - query terms are deduped per query (the Lucene convention — each
+      distinct term weighted once) and broadcast everywhere they appear;
     - per-(query, doc) scores sum with map-side combine; the final top-k
       is a rank<=k filter that compiles to WindowGroupLimit, so a query
       matching 10^9 documents never buffers them in one task.
@@ -115,16 +127,9 @@ def bm25_topk(
     Ties break by doc_id ascending on the ROUNDED score, making rank
     deterministic across engines and partitionings.
     """
-    toks = tokenize_expr(text_col)
-    pairs = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("token"),
-        )
-        .groupBy("id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
+    # drop the ''-token that tokenize_expr yields on empty/blank text so an
+    # empty doc is dl=0, not dl=1
+    toks = F.filter(tokenize_expr(text_col), lambda t: F.length(t) > 0)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -132,9 +137,31 @@ def bm25_topk(
         )
         .distinct()
     )
-    matched = pairs.join(F.broadcast(qterms.select("token").distinct()), "token")
-    dfs = matched.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(F.size(tokenize_expr(text_col)).alias("_dl")).agg(
+    _qtok = qterms.select("token").distinct().withColumnRenamed("token", "_qt")
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+        .join(F.broadcast(_qtok), F.col("token") == F.col("_qt"))
+        .drop("_qt")
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    # zero-effect pin: references every pair-table column without changing
+    # the value, so the df consumer prunes the pairs exchange to the same
+    # column set as the score join and ReuseExchange collapses them (see
+    # docstring). No column here is ever NULL (the vocab join dropped all
+    # NULL tokens; tf/dl are aggregates over non-empty groups).
+    _pin = (
+        F.first("tf") * 0
+        + F.first("dl") * 0
+        + F.length(F.first("token")) * 0
+        + F.coalesce(F.length(F.first("id").cast("string")), F.lit(0)) * 0
+    )
+    dfs = pairs.groupBy("token").agg((F.count(F.lit(1)) + _pin).alias("df"))
+    stats = docs.select(F.size(toks).alias("_dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("_dl").alias("avgdl")
     )
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -143,7 +170,7 @@ def bm25_topk(
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )
     scored = (
-        matched.join(F.broadcast(dfs), "token")
+        pairs.join(F.broadcast(dfs), "token")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(qterms), "token")
         .groupBy("query_id", "id")

@@ -75,11 +75,14 @@ def warc_bytes(
                 + f"Content-Length: {len(body)}\r\n\r\n".encode()
                 + body
             )
+            ctype = b"application/http; msgtype=response"
         else:
             payload = body
+            ctype = b"application/octet-stream"
         rec = (
             b"WARC/1.0\r\n"
             b"WARC-Type: response\r\n"
+            + b"Content-Type: " + ctype + b"\r\n"
             + f"WARC-Target-URI: {url}\r\n".encode()
             + f"WARC-Date: {ts}\r\n".encode()
             + f"Content-Length: {len(payload)}\r\n".encode()
@@ -123,9 +126,21 @@ def _iter_records(stream: io.BufferedIOBase, fname: str) -> Iterator[dict]:
             return
         body = stream.read(length)
         rec_type = headers.get("warc-type", "")
-        if rec_type == "response" and b"\r\n\r\n" in body[:8192]:
-            # strip the HTTP message header block; keep the entity body
-            body = body.split(b"\r\n\r\n", 1)[1]
+        if rec_type == "response":
+            # strip the HTTP message header block; keep the entity body.
+            # Gate on the record's Content-Type (application/http per ISO
+            # 28500) so a non-HTTP body with an early CRLFCRLF is not
+            # truncated; fall back to a body sniff (HTTP/ status line) only
+            # when the header is absent. No size window — header blocks
+            # larger than 8 KB are legal and must still be stripped.
+            ctype = headers.get("content-type", "")
+            is_http = (
+                ctype.startswith("application/http")
+                if ctype
+                else body.startswith(b"HTTP/")
+            )
+            if is_http and b"\r\n\r\n" in body:
+                body = body.split(b"\r\n\r\n", 1)[1]
         ts = None
         raw_ts = headers.get("warc-date")
         if raw_ts:
@@ -157,9 +172,15 @@ def read_warc(
     import pandas as pd
 
     n = partitions or max(len(paths), 1)
+    # explicit even slicing: hash-partitioning on path with n == len(paths)
+    # routinely collides (and round-robin starts each input partition at a
+    # random offset, so tiny path lists still collide) — parallelize with
+    # numSlices deals the driver-side path list one-per-slice, guaranteeing
+    # one archive per task
     path_df = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(n, "path")
+        spark.sparkContext.parallelize([(p,) for p in paths], n),
+        "path string",
+    )
     want = set(rec_types)
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -212,3 +212,108 @@ def test_real_media_stats_match_raw_arrays(spark):
         r = got_a[i]
         assert (r["n_samples"], r["zcr"]) == (n, zcr)
         assert (r["rms"], r["peak"]) == (rms, peak)
+
+
+# ----------------------------------------------------------------- PNG codec
+
+
+def test_png_roundtrip_every_filter():
+    """encode_png/decode_png round-trip bit-exact for each scanline filter
+    (None/Sub/Up/Average/Paeth) and for per-row filter cycling."""
+    import numpy as np
+
+    from logai_spark.functions.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        synth_image_pixels,
+    )
+
+    for i in range(4):
+        px = synth_image_pixels(i, seed=7)
+        for ft in range(5):
+            assert (decode_png(encode_png(px, ft)) == px).all(), ft
+        cyc = [(i + y) % 5 for y in range(px.shape[0])]
+        assert (decode_png(encode_png(px, cyc)) == px).all()
+        # magic sniff routes PNG through decode_image's real path
+        assert (decode_image(encode_png(px, 4)) == px).all()
+
+
+def test_png_gray_palette_rgba_color_types():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from logai_spark.functions.multimodal import PNG_MAGIC, _png_chunk, decode_png
+
+    h, w = 5, 7
+
+    def png(ctype, raw_rows, extra=b""):
+        ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        body = b"".join(b"\x00" + r.tobytes() for r in raw_rows)
+        return PNG_MAGIC + ihdr + extra + _png_chunk(b"IDAT", zlib.compress(body)) + _png_chunk(b"IEND", b"")
+
+    gray = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    assert (decode_png(png(0, gray)) == np.repeat(gray[:, :, None], 3, axis=2)).all()
+
+    rgba = np.random.default_rng(0).integers(0, 256, (h, w, 4), dtype=np.uint8)
+    assert (decode_png(png(6, rgba.reshape(h, -1))) == rgba[:, :, :3]).all()
+
+    plte = np.random.default_rng(1).integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = np.random.default_rng(2).integers(0, 16, (h, w), dtype=np.uint8)
+    out = decode_png(png(3, idx, extra=_png_chunk(b"PLTE", plte.tobytes())))
+    assert (out == plte[idx]).all()
+
+
+def test_png_rejects_bad_inputs():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from logai_spark.functions.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+        encode_png,
+        synth_image_pixels,
+    )
+
+    px = synth_image_pixels(0, seed=7)
+    good = encode_png(px, 2)
+    # corrupt one IDAT byte -> CRC failure, loud
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 6
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth and interlace rejected loudly
+    for depth, inter in ((16, 0), (8, 1)):
+        ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, inter))
+        body = zlib.compress(b"\x00" * (4 * (4 * 3 + 1)))
+        p = PNG_MAGIC + ihdr + _png_chunk(b"IDAT", body) + _png_chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(p)
+    with pytest.raises(ValueError):
+        decode_png(b"nonsense bytes")
+
+
+def test_png_stats_spark_path_matches_raw_pixels(spark):
+    """Distributed decode over real PNG payloads (per-row filter cycling)
+    reproduces stats computed from the raw pixel arrays."""
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        image_stat_tuple,
+        synth_image_pixels,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, 6, seed=7, kind="image", image_codec="png")
+    got = {r["media_id"]: r for r in extract_image_stats(media).collect()}
+    for i in range(6):
+        w, h, mr, mg, mb = image_stat_tuple(synth_image_pixels(i, 7))
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)

@@ -145,3 +145,31 @@ def test_robots_delays_feed_frontier(spark):
         "http://a.com/1": (0, 0),
         "http://a.com/2": (1, 2000),
     }
+
+
+def test_robots_filter_host_case_and_port_insensitive(spark):
+    """RFC 3986: scheme and host compare case-insensitively, and the rules
+    table keys on the bare (port-less) domain — so 'HTTP://A.com/private'
+    and 'http://a.com:8080/private' must both hit a.com's Disallow rules
+    (the fail-open bypass ADVICE-r4 verified live)."""
+    rules = robots_rules(_robots(spark))
+    urls = spark.createDataFrame(
+        [
+            Row(url="HTTP://A.com/private/doc"),   # upper scheme + host
+            Row(url="http://A.COM/tmp/x"),          # upper host only
+            Row(url="http://a.com:8080/private/y"), # explicit port
+            Row(url="http://a.com/PRIVATE/z"),      # path stays case-SENSITIVE
+        ]
+    )
+    kept = {r.url for r in robots_filter(urls, rules).collect()}
+    assert kept == {"http://a.com/PRIVATE/z"}
+
+
+def test_robots_filter_rule_domain_case_insensitive(spark):
+    rules = robots_rules(
+        spark.createDataFrame(
+            [Row(domain="E.IO", robots_txt="User-agent: *\nDisallow: /no\n")]
+        )
+    )
+    urls = spark.createDataFrame([Row(url="http://e.io/no/1"), Row(url="http://e.io/ok")])
+    assert {r.url for r in robots_filter(urls, rules).collect()} == {"http://e.io/ok"}

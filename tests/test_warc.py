@@ -73,3 +73,51 @@ def test_warc_multiple_files_partitioned(spark, tmp_path):
     df = read_warc(spark, paths)
     assert df.count() == 4
     assert df.rdd.getNumPartitions() == 4  # one task per archive by default
+
+
+def test_warc_non_http_body_with_crlfcrlf_not_truncated(spark, tmp_path):
+    """A non-HTTP response body containing an early CRLFCRLF must survive
+    whole: the header-strip is gated on Content-Type application/http
+    (ISO 28500), not a blind body split (ADVICE-r4 regression)."""
+    body = b"PREFIX\r\n\r\nSUFFIX"
+    p = tmp_path / "seg.warc"
+    p.write_bytes(warc_bytes([("http://e.io/", "2024-01-01T00:00:00Z", body)], http=False))
+    (row,) = read_warc(spark, [str(p)]).collect()
+    assert bytes(row.html) == body
+
+
+def test_warc_http_header_block_over_8kb_still_stripped(spark, tmp_path):
+    """Header blocks larger than the old 8 KB sniff window are legal and
+    must still be stripped (the ADVICE-r4 fix dropped the window)."""
+    from logai_spark.sources.warc import _iter_records
+    import io as _io
+
+    big_hdr = b"HTTP/1.1 200 OK\r\nX-Pad: " + b"a" * 9000 + b"\r\n\r\n"
+    body = big_hdr + b"ENTITY"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"WARC-Target-URI: http://f.io/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n" + body + b"\r\n\r\n"
+    )
+    (out,) = list(_iter_records(_io.BufferedReader(_io.BytesIO(rec)), "f.warc"))
+    assert out["html"] == b"ENTITY"
+
+
+def test_warc_one_archive_per_task_no_hash_collision(spark, tmp_path):
+    """Round-robin repartition: every task gets exactly one archive —
+    hash-on-path with n == len(paths) routinely stacked 2+ archives in one
+    task while others sat empty (ADVICE-r4)."""
+    paths = []
+    for i in range(8):
+        p = tmp_path / f"s{i}.warc"
+        p.write_bytes(
+            warc_bytes([(f"http://h{i}.net/", "2024-01-01T00:00:00Z", f"b{i}".encode())])
+        )
+        paths.append(str(p))
+    df = read_warc(spark, paths)
+    sizes = df.rdd.glom().map(len).collect()
+    assert sorted(sizes) == [1] * 8

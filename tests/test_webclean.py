@@ -373,3 +373,14 @@ def test_paragraph_dedup_custom_sep_and_trim(spark):
     assert out[0]["clean_text"] == "a :: b :: c"
     assert out[0]["n_paragraphs"] == 3 and out[0]["n_kept"] == 3
     assert out[1]["clean_text"] == "d"  # 'b' already owned by doc 0
+
+
+def test_span_dedup_null_text_returns_empty_not_null(spark):
+    """A NULL-text doc must come back as ('', 0, 0) — the documented
+    'empty text rather than disappearing' contract (ADVICE-r4 regression:
+    the window-dedup rewrite dropped the coalesce)."""
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df).collect()}
+    for i in (1, 2):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_sentences"] == 0 and out[i]["n_kept"] == 0

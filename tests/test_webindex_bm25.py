@@ -69,6 +69,66 @@ def test_bm25_no_match_query_absent(spark):
     assert bm25_topk(docs, qs).count() == 0
 
 
+def test_bm25_empty_doc_counts_in_n_with_dl_zero(spark):
+    """Empty/blank docs count in N with dl=0 (the plain-split reference
+    definition): adding one empty doc changes N (hence idf and avgdl) but
+    never contributes a (doc, token) pair (ADVICE-r4: tokenize_expr on ''
+    yields [''] which silently counted dl=1)."""
+    docs = spark.createDataFrame(DOCS + [(6, ""), (7, "   ")], ["doc_id", "text"])
+    qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_topk(docs, qs, k=10).collect()
+    }
+
+    import math
+    toks = {d: t.lower().split() for d, t in DOCS}
+    toks[6] = []
+    toks[7] = []
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    exp = {}
+    for qid, q in QUERIES:
+        for d, words in toks.items():
+            s = 0.0
+            for term in dict.fromkeys(q.split()):
+                tf = words.count(term)
+                if not tf:
+                    continue
+                df = sum(term in w for w in toks.values())
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(words) / avgdl))
+            if s > 0:
+                exp[(qid, d)] = math.floor(s * 10000 + 0.5) / 10000
+    assert got == exp
+
+
+def test_bm25_corpus_never_shuffles_unmatched_tokens(spark):
+    """The corpus never shuffles: the broadcast vocab join sits BELOW the
+    (id, token) aggregation, so every corpus explode in the executed plan
+    feeds a BroadcastHashJoin before any exchange, and at most two corpus
+    tokenize passes exist (pair table + df consumer; the N/avgdl stats
+    scan is size-only, no explode). ADVICE-r4: previously three corpus
+    tokenizes each fed a corpus-wide groupBy shuffle."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
+    out = bm25_topk(docs, qs, k=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan prints Final AND Initial sections — grade the final
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("explode(filter(split(") == 1
+    assert "ReusedExchange" in final  # df consumer reuses the pairs exchange
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+    # structural pin: the corpus explode is immediately consumed by the
+    # broadcast vocab probe (same codegen stage, BHJ directly above the
+    # Generate) — no unmatched token reaches an exchange
+    import re
+    m = re.search(r"explode\(filter\(split\(", final)
+    pre = final[: m.start()].splitlines()[-3:]
+    assert any("BroadcastHashJoin" in ln for ln in pre), pre
+
+
 def test_bm25_plan_broadcasts_and_window_limit(spark):
     docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
     qs = spark.createDataFrame(QUERIES, ["query_id", "query"])
