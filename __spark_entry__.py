@@ -502,6 +502,28 @@ def _q_png_stats(spark, sf_dir):
     )
 
 
+def _q_jpeg_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode path (functions/jpegcodec.py: marker
+    parse, Annex K Huffman entropy decode with DC prediction + byte
+    unstuffing, dequant, exact float IDCT, JFIF YCbCr->RGB; layouts cycle
+    4:4:4 / 4:2:0 / grayscale by id). The fixture is the codec's bit-exact
+    class — flat 8x8 gray blocks, where every AC coefficient is 0 and the
+    dc_q=8 DC step is lossless — so a LOSSY codec still gets a value-hash
+    oracle: the oracle recomputes stats from the raw pixel arrays, never
+    touching the codec."""
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        synth_real_media,
+    )
+
+    media = synth_real_media(
+        spark, _MEDIA_N, seed=_MEDIA_SEED, kind="image", image_codec="jpeg"
+    )
+    return extract_image_stats(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2469,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (position 12) -----------------------------------
         "png_stats": _q_png_stats,
         "warc_scan": _q_warc_scan,
+        "jpeg_stats": _q_jpeg_stats,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2811,10 +2834,13 @@ def _media_oracle_sql(kind: str) -> str:
         synth_image_pixels,
     )
 
-    if kind == "image":
+    if kind in ("image", "jpeg"):
+        from logai_spark.functions.multimodal import synth_block_gray_pixels
+
+        synth = synth_image_pixels if kind == "image" else synth_block_gray_pixels
         vals = ", ".join(
             "({}, {}, {}, {!r}, {!r}, {!r})".format(
-                i, *image_stat_tuple(synth_image_pixels(i, _MEDIA_SEED))
+                i, *image_stat_tuple(synth(i, _MEDIA_SEED))
             )
             for i in range(_MEDIA_N)
         )
@@ -3684,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": _media_oracle_sql("image"),
         "png_stats": _media_oracle_sql("image"),
         "warc_scan": _warc_scan_oracle_sql(),
+        "jpeg_stats": _media_oracle_sql("jpeg"),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

@@ -1,14 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Three formats decode for REAL with zero extra dependencies:
+Four formats decode for REAL with zero extra dependencies:
 - BMP images (24-bit uncompressed BI_RGB, the format every encoder can
   write): pure-struct parse in :func:`decode_bmp`;
 - PNG images (8-bit gray/RGB/palette/RGBA, non-interlaced — the most
   common web image container): stdlib ``zlib`` inflate + per-scanline
   unfilter in :func:`decode_png`;
+- baseline JPEG (SOF0: grayscale / 4:4:4 / 4:2:0): pure-Python Huffman +
+  float IDCT in :mod:`logai_spark.functions.jpegcodec`;
 - WAV audio (PCM 8/16/32-bit): stdlib ``wave`` in :func:`decode_wav`.
 ``decode_image``/``decode_audio`` sniff the payload magic and route to the
-real decoder; other containers (JPEG/MP3/…) still raise
+real decoder; other containers (MP3/progressive JPEG/…) still raise
 NotImplementedError unless ``fake=True`` substitutes the deterministic
 md5-seeded test double (no PIL/librosa in this container — see brief).
 Everything AROUND the decode — schemas, Arrow batch shapes, mapInPandas
@@ -317,9 +319,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from logai_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only BMP and PNG decode without PIL/opencv (not installed); pass "
-        "fake=True for the deterministic test double"
+        "only BMP, PNG and baseline JPEG decode without PIL/opencv (not "
+        "installed); pass fake=True for the deterministic test double"
     )
 
 
@@ -555,6 +561,21 @@ def synth_image_pixels(media_id: int, seed: int = 7, h: int = 12, w: int = 17) -
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+def synth_block_gray_pixels(
+    media_id: int, seed: int = 7, h: int = 16, w: int = 32
+) -> np.ndarray:
+    """Deterministic per-id image of flat 8x8 GRAY blocks (r=g=b per
+    block) — the fixture class the baseline JPEG codec round-trips
+    BIT-EXACTLY (jpegcodec module docstring), so a lossy codec still gets
+    a value-hash oracle row. 16x16-aligned (h, w multiples of 16) so the
+    4:2:0 variant is exact too."""
+    assert h % 16 == 0 and w % 16 == 0
+    rng = np.random.default_rng(_stable_seed(seed, "jblk", media_id))
+    vals = rng.integers(0, 256, size=(h // 8, w // 8), dtype=np.uint8)
+    g = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+
+
 def synth_audio_samples(media_id: int, seed: int = 7, n: int = 400) -> np.ndarray:
     """Deterministic per-id int16 PCM (md5-seeded PCG64)."""
     rng = np.random.default_rng(_stable_seed(seed, "wav", media_id))
@@ -576,12 +597,26 @@ def synth_real_media(
             rows = []
             for i in pdf["id"]:
                 if kind == "image":
-                    px = synth_image_pixels(int(i), seed)
-                    if image_codec == "png":
+                    if image_codec == "jpeg":
+                        from logai_spark.functions.jpegcodec import encode_jpeg
+
+                        # block-gray pixels (bit-exact class); the layout
+                        # cycles 4:4:4 / 4:2:0 / grayscale by id so the
+                        # corpus exercises every decoder component layout
+                        px = synth_block_gray_pixels(int(i), seed)
+                        variant = int(i) % 3
+                        payload = encode_jpeg(
+                            px,
+                            subsample=(variant == 1),
+                            gray=(variant == 2),
+                        )
+                    elif image_codec == "png":
+                        px = synth_image_pixels(int(i), seed)
                         payload = encode_png(
                             px, [(int(i) + y) % 5 for y in range(px.shape[0])]
                         )
                     else:
+                        px = synth_image_pixels(int(i), seed)
                         payload = encode_bmp(px)
                     meta = {
                         "kind": "image",

@@ -317,3 +317,82 @@ def test_png_stats_spark_path_matches_raw_pixels(spark):
         r = got[i]
         assert (r["width"], r["height"]) == (w, h)
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
+
+
+# ---------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_flat_gray_blocks_bit_exact_all_layouts():
+    """The codec's exactness class: flat 8x8 gray blocks survive the full
+    lossy pipeline bit-for-bit in 4:4:4, 4:2:0 AND grayscale layouts —
+    exercising marker parse, Huffman, DC prediction, stuffing, IDCT and
+    color conversion with a value-equality check."""
+    from logai_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from logai_spark.functions.multimodal import decode_image, synth_block_gray_pixels
+
+    for i in range(4):
+        px = synth_block_gray_pixels(i)
+        assert (decode_jpeg(encode_jpeg(px)) == px).all()
+        assert (decode_jpeg(encode_jpeg(px, subsample=True)) == px).all()
+        assert (decode_jpeg(encode_jpeg(px, gray=True)) == px).all()
+        assert (decode_image(encode_jpeg(px)) == px).all()  # magic sniff
+
+
+def test_jpeg_lossy_bounds_and_odd_dims():
+    import numpy as np
+
+    from logai_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)  # pads to MCU grid
+    out = decode_jpeg(encode_jpeg(img, dc_q=8, ac_q=4))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+    # smooth gradient at q=1 is near-lossless
+    sm = np.stack([np.tile(np.arange(32), (24, 1)) * 4 % 256] * 3, axis=2).astype(np.uint8)
+    assert np.abs(
+        decode_jpeg(encode_jpeg(sm, dc_q=1, ac_q=1)).astype(int) - sm.astype(int)
+    ).mean() < 0.1
+    # 4:2:0 keeps luma faithful even on noise (chroma loss is by design)
+    def lum(a):
+        a = a.astype(float)
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    out = decode_jpeg(encode_jpeg(img, dc_q=8, ac_q=4, subsample=True))
+    assert np.abs(lum(out) - lum(img)).mean() < 3.0
+
+
+def test_jpeg_rejects_unsupported_loudly():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from logai_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from logai_spark.functions.multimodal import synth_block_gray_pixels
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive) in a real stream
+    px = synth_block_gray_pixels(0)
+    buf = bytearray(encode_jpeg(px))
+    at = buf.index(b"\xff\xc0")
+    buf[at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_stats_spark_path_matches_raw_pixels(spark):
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        image_stat_tuple,
+        synth_block_gray_pixels,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, 6, seed=7, kind="image", image_codec="jpeg")
+    got = {r["media_id"]: r for r in extract_image_stats(media).collect()}
+    for i in range(6):
+        w, h, mr, mg, mb = image_stat_tuple(synth_block_gray_pixels(i, 7))
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
