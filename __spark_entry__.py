@@ -524,6 +524,25 @@ def _q_jpeg_stats(spark, sf_dir):
     )
 
 
+def _q_gif_stats(spark, sf_dir):
+    """REAL GIF decode path (functions/gifcodec.py: variable-width LSB-first
+    LZW with code growth + CLEAR resets, global color table, 4-pass
+    interlace — interlaced/sequential alternate by id). GIF is LOSSLESS for
+    palette-limited pixels, so the oracle recomputes exact stats from the
+    raw pixel arrays, never touching the codec."""
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        synth_real_media,
+    )
+
+    media = synth_real_media(
+        spark, _MEDIA_N, seed=_MEDIA_SEED, kind="image", image_codec="gif"
+    )
+    return extract_image_stats(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2492,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_stats": _q_png_stats,
         "warc_scan": _q_warc_scan,
         "jpeg_stats": _q_jpeg_stats,
+        "gif_stats": _q_gif_stats,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2834,10 +2854,17 @@ def _media_oracle_sql(kind: str) -> str:
         synth_image_pixels,
     )
 
-    if kind in ("image", "jpeg"):
-        from logai_spark.functions.multimodal import synth_block_gray_pixels
+    if kind in ("image", "jpeg", "gif"):
+        from logai_spark.functions.multimodal import (
+            synth_block_gray_pixels,
+            synth_palette_pixels,
+        )
 
-        synth = synth_image_pixels if kind == "image" else synth_block_gray_pixels
+        synth = {
+            "image": synth_image_pixels,
+            "jpeg": synth_block_gray_pixels,
+            "gif": synth_palette_pixels,
+        }[kind]
         vals = ", ".join(
             "({}, {}, {}, {!r}, {!r}, {!r})".format(
                 i, *image_stat_tuple(synth(i, _MEDIA_SEED))
@@ -3711,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
         "png_stats": _media_oracle_sql("image"),
         "warc_scan": _warc_scan_oracle_sql(),
         "jpeg_stats": _media_oracle_sql("jpeg"),
+        "gif_stats": _media_oracle_sql("gif"),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

@@ -1,6 +1,6 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Four formats decode for REAL with zero extra dependencies:
+Five formats decode for REAL with zero extra dependencies:
 - BMP images (24-bit uncompressed BI_RGB, the format every encoder can
   write): pure-struct parse in :func:`decode_bmp`;
 - PNG images (8-bit gray/RGB/palette/RGBA, non-interlaced — the most
@@ -8,6 +8,8 @@ Four formats decode for REAL with zero extra dependencies:
   unfilter in :func:`decode_png`;
 - baseline JPEG (SOF0: grayscale / 4:4:4 / 4:2:0): pure-Python Huffman +
   float IDCT in :mod:`logai_spark.functions.jpegcodec`;
+- GIF87a/89a (palette + LZW, interlace, local/global color tables):
+  pure-Python LZW in :mod:`logai_spark.functions.gifcodec`;
 - WAV audio (PCM 8/16/32-bit): stdlib ``wave`` in :func:`decode_wav`.
 ``decode_image``/``decode_audio`` sniff the payload magic and route to the
 real decoder; other containers (MP3/progressive JPEG/…) still raise
@@ -323,9 +325,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         from logai_spark.functions.jpegcodec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from logai_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "only BMP, PNG and baseline JPEG decode without PIL/opencv (not "
-        "installed); pass fake=True for the deterministic test double"
+        "only BMP, PNG, baseline JPEG and GIF decode without PIL/opencv "
+        "(not installed); pass fake=True for the deterministic test double"
     )
 
 
@@ -576,6 +582,18 @@ def synth_block_gray_pixels(
     return np.ascontiguousarray(np.stack([g, g, g], axis=2))
 
 
+def synth_palette_pixels(
+    media_id: int, seed: int = 7, h: int = 14, w: int = 19, ncolors: int = 23
+) -> np.ndarray:
+    """Deterministic per-id image drawn from a per-id random palette of
+    ``ncolors`` RGB colors — the <=256-distinct-color class GIF encodes
+    LOSSLESSLY, so the gif_stats oracle checks exact values. Odd h/w
+    exercise interlace pass boundaries and LZW sub-block splits."""
+    rng = np.random.default_rng(_stable_seed(seed, "gpal", media_id))
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncolors, size=(h, w))]
+
+
 def synth_audio_samples(media_id: int, seed: int = 7, n: int = 400) -> np.ndarray:
     """Deterministic per-id int16 PCM (md5-seeded PCG64)."""
     rng = np.random.default_rng(_stable_seed(seed, "wav", media_id))
@@ -615,6 +633,14 @@ def synth_real_media(
                         payload = encode_png(
                             px, [(int(i) + y) % 5 for y in range(px.shape[0])]
                         )
+                    elif image_codec == "gif":
+                        from logai_spark.functions.gifcodec import encode_gif
+
+                        # palette-limited pixels (GIF is lossless there);
+                        # alternate interlaced / sequential by id so the
+                        # corpus exercises both row orders
+                        px = synth_palette_pixels(int(i), seed)
+                        payload = encode_gif(px, interlace=(int(i) % 2 == 1))
                     else:
                         px = synth_image_pixels(int(i), seed)
                         payload = encode_bmp(px)

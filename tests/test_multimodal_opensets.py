@@ -396,3 +396,92 @@ def test_jpeg_stats_spark_path_matches_raw_pixels(spark):
         r = got[i]
         assert (r["width"], r["height"]) == (w, h)
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
+
+
+def test_gif_roundtrip_lossless_and_interlace():
+    import numpy as np
+
+    from logai_spark.functions.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+        ncol = int(rng.integers(1, 257))
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, size=(h, w))]
+        for interlace in (False, True):
+            assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+    # dict-full CLEAR/reset path: 256-color noise big enough to exhaust 4096 codes
+    big = rng.integers(0, 256, size=(120, 200), dtype=np.uint8)
+    imgb = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)[big]
+    assert np.array_equal(decode_gif(encode_gif(imgb)), imgb)
+
+
+def test_gif_hand_assembled_bytes_decode_exactly():
+    """Decoder validated against bytes bit-packed BY HAND from the GIF89a
+    spec layout (not via our encoder) — pins the width-growth convention."""
+    import struct
+
+    import numpy as np
+
+    from logai_spark.functions.gifcodec import decode_gif
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    codes = [4, 0, 1, 2, 3, 0, 1, 5]  # clear, literals, eoi
+    widths = [3, 3, 3, 3, 4, 4, 4, 4]  # decoder grows after entry 7 lands
+    bitbuf = nbits = 0
+    out = bytearray()
+    for c, w in zip(codes, widths):
+        bitbuf |= c << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    lzw = bytes(out)
+    payload = (
+        b"GIF89a" + struct.pack("<HHBBB", 3, 2, 0x80 | (1 << 4) | 1, 0, 0) + pal
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic-control ext: skipped
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 2, 0)
+        + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    exp = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[255, 255, 255], [255, 0, 0], [0, 255, 0]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_gif(payload), exp)
+
+
+def test_gif_rejects_bad_inputs():
+    import numpy as np
+
+    from logai_spark.functions.gifcodec import decode_gif, encode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError):  # >256 distinct colors can't palette
+        rng = np.random.default_rng(0)
+        encode_gif(rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8))
+    ok = encode_gif(np.full((4, 4, 3), 9, dtype=np.uint8))
+    with pytest.raises(ValueError):  # truncated LZW stream
+        decode_gif(ok[:-6] + b"\x00\x3b")
+
+
+def test_gif_stats_spark_path_matches_raw_pixels(spark):
+    from logai_spark.functions.multimodal import (
+        extract_image_stats,
+        image_stat_tuple,
+        synth_palette_pixels,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, 6, seed=7, kind="image", image_codec="gif")
+    got = {r["media_id"]: r for r in extract_image_stats(media).collect()}
+    for i in range(6):
+        w, h, mr, mg, mb = image_stat_tuple(synth_palette_pixels(i, 7))
+        r = got[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
