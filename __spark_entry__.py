@@ -543,6 +543,27 @@ def _q_gif_stats(spark, sf_dir):
     )
 
 
+def _q_mp3_meta(spark, sf_dir):
+    """REAL MP3 frame-header walk (functions/mp3meta.py: sync + version/
+    layer/bitrate/samplerate field parse, ID3v2/v1 tag skip, CRC bit,
+    Xing/Info VBR tag, exact per-frame duration sum). Fixtures cycle
+    MPEG-1/2/2.5, mono/stereo, CBR/VBR, CRC and tag presence by id; the
+    oracle recomputes metadata from the fixture parameters, independent
+    of the parser."""
+    from logai_spark.functions.multimodal import (
+        extract_audio_meta,
+        synth_real_media,
+    )
+
+    media = synth_real_media(
+        spark, _MEDIA_N, seed=_MEDIA_SEED, kind="audio", audio_codec="mp3"
+    )
+    return extract_audio_meta(media).select(
+        "media_id", "n_frames", "duration_ms", "sample_rate", "channels",
+        "bitrate_kbps", "vbr",
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2512,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_scan": _q_warc_scan,
         "jpeg_stats": _q_jpeg_stats,
         "gif_stats": _q_gif_stats,
+        "mp3_meta": _q_mp3_meta,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2890,6 +2912,25 @@ def _media_oracle_sql(kind: str) -> str:
         "SELECT media_id::bigint AS media_id, n_samples::bigint AS n_samples, "
         "rms::double AS rms, zcr::bigint AS zcr, peak::double AS peak "
         f"FROM (VALUES {vals}) AS t(media_id, n_samples, rms, zcr, peak)"
+    )
+
+
+def _mp3_meta_oracle_sql() -> str:
+    from logai_spark.functions.mp3meta import synth_mp3_meta_tuple
+
+    rows = []
+    for i in range(_MEDIA_N):
+        nf, dur, sr, ch, kbps, vbr = synth_mp3_meta_tuple(i, _MEDIA_SEED)
+        rows.append(f"({i}, {nf}, {dur}, {sr}, {ch}, {kbps!r}, {str(vbr).lower()})")
+    vals = ", ".join(rows)
+    return (
+        "SELECT media_id::bigint AS media_id, n_frames::bigint AS n_frames, "
+        "duration_ms::bigint AS duration_ms, sample_rate::int AS sample_rate, "
+        "channels::int AS channels, bitrate_kbps::double AS bitrate_kbps, "
+        "vbr::boolean AS vbr "
+        f"FROM (VALUES {vals}) "
+        "AS t(media_id, n_frames, duration_ms, sample_rate, channels, "
+        "bitrate_kbps, vbr)"
     )
 
 
@@ -3739,6 +3780,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_scan": _warc_scan_oracle_sql(),
         "jpeg_stats": _media_oracle_sql("jpeg"),
         "gif_stats": _media_oracle_sql("gif"),
+        "mp3_meta": _mp3_meta_oracle_sql(),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

@@ -502,6 +502,54 @@ def extract_audio_features(
     return df.select(id_col, media_col).mapInPandas(batches, schema)
 
 
+def extract_audio_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """mapInPandas: MP3 frame-header walk (REAL, functions/mp3meta.py) ->
+    per-asset stream metadata, the ffprobe-grade surface a crawl pipeline
+    filters/buckets audio corpora on. Output (media_id, n_frames,
+    duration_ms, sample_rate, channels, bitrate_kbps, vbr)."""
+    from logai_spark.functions.mp3meta import parse_mp3_meta
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("bitrate_kbps", T.DoubleType()),
+            T.StructField("vbr", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, m in zip(pdf[id_col], pdf[media_col]):
+                meta = parse_mp3_meta(bytes(m))
+                rows.append(
+                    (
+                        int(mid),
+                        meta.n_frames,
+                        meta.duration_ms,
+                        meta.sample_rate,
+                        meta.channels,
+                        meta.bitrate_kbps,
+                        meta.vbr,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "duration_ms", "sample_rate",
+                    "channels", "bitrate_kbps", "vbr",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema)
+
+
 def audio_feature_tuple(x: np.ndarray) -> tuple[int, float, int, float]:
     """(n_samples, rms, zero_crossings, peak) from float64 mono PCM —
     shared by the Spark path and the independent oracle replica."""
@@ -602,7 +650,7 @@ def synth_audio_samples(media_id: int, seed: int = 7, n: int = 400) -> np.ndarra
 
 def synth_real_media(
     spark, n: int, seed: int = 7, kind: str = "image", sample_rate: int = 8000,
-    image_codec: str = "bmp",
+    image_codec: str = "bmp", audio_codec: str = "pcm",
 ) -> DataFrame:
     """Deterministic media table whose payloads are REAL containers (BMP /
     PNG / WAV bytes from the encoders above), generated distributed via
@@ -650,6 +698,19 @@ def synth_real_media(
                         "height": px.shape[0],
                         "duration_ms": 0,
                         "codec": image_codec,
+                    }
+                elif kind == "audio" and audio_codec == "mp3":
+                    from logai_spark.functions.mp3meta import synth_mp3
+
+                    # REAL frame headers (version/channel/CBR-VBR/CRC/tags
+                    # cycle by id); payload filler is never decoded
+                    payload = synth_mp3(int(i), seed)
+                    meta = {
+                        "kind": "audio",
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": 0,  # the extractor's job to compute
+                        "codec": "mp3",
                     }
                 else:
                     s = synth_audio_samples(int(i), seed)

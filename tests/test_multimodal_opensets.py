@@ -485,3 +485,52 @@ def test_gif_stats_spark_path_matches_raw_pixels(spark):
         r = got[i]
         assert (r["width"], r["height"]) == (w, h)
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (mr, mg, mb)
+
+
+def test_mp3_meta_parse_matches_fixture_params():
+    from logai_spark.functions.mp3meta import (
+        parse_mp3_meta,
+        synth_mp3,
+        synth_mp3_meta_tuple,
+    )
+
+    for i in range(24):  # cycles MPEG version, channels, CBR/VBR, CRC, tags
+        m = parse_mp3_meta(synth_mp3(i))
+        assert (
+            m.n_frames, m.duration_ms, m.sample_rate, m.channels,
+            m.bitrate_kbps, m.vbr,
+        ) == synth_mp3_meta_tuple(i)
+
+
+def test_mp3_meta_rejects_malformed_loudly():
+    from logai_spark.functions.mp3meta import parse_mp3_meta, synth_mp3
+
+    ok = synth_mp3(1)
+    with pytest.raises(ValueError):
+        parse_mp3_meta(ok[:-3])  # truncated final frame
+    with pytest.raises(ValueError):
+        parse_mp3_meta(b"\x00\x01" + ok)  # lost sync
+    with pytest.raises(ValueError):
+        parse_mp3_meta(b"ID3\x03\x00\x00\x00\x00\x00\x05hello")  # tags only
+    # Layer II header must be named, not garbled
+    h = bytearray(ok if ok[:3] != b"ID3" else synth_mp3(3))
+    frame0 = h.index(b"\xff", 0)
+    h[frame0 + 1] = (h[frame0 + 1] & ~0x06) | 0x04  # layer bits -> II
+    with pytest.raises(ValueError, match="Layer"):
+        parse_mp3_meta(bytes(h))
+
+
+def test_mp3_meta_spark_path(spark):
+    from logai_spark.functions.multimodal import (
+        extract_audio_meta,
+        synth_real_media,
+    )
+    from logai_spark.functions.mp3meta import synth_mp3_meta_tuple
+
+    media = synth_real_media(spark, 8, seed=7, kind="audio", audio_codec="mp3")
+    got = {r["media_id"]: r for r in extract_audio_meta(media).collect()}
+    for i in range(8):
+        nf, dur, sr, ch, kbps, vbr = synth_mp3_meta_tuple(i, 7)
+        r = got[i]
+        assert (r["n_frames"], r["duration_ms"], r["sample_rate"]) == (nf, dur, sr)
+        assert (r["channels"], r["bitrate_kbps"], r["vbr"]) == (ch, kbps, vbr)
