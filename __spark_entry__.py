@@ -564,6 +564,25 @@ def _q_mp3_meta(spark, sf_dir):
     )
 
 
+def _q_mp4_meta(spark, sf_dir):
+    """REAL MP4/ISO-BMFF container parse (functions/mp4meta.py: box walk
+    with largesize/to-EOF sizes, ftyp brand, mvhd v0/v1 timescale+duration,
+    per-trak tkhd 16.16 dims + hdlr handler). Fixtures cycle mvhd version,
+    av/video-only/audio-only layouts and largesize mdat by id; the oracle
+    recomputes metadata from fixture parameters, independent of the
+    parser."""
+    from logai_spark.functions.multimodal import (
+        extract_video_meta,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, _MEDIA_N, seed=_MEDIA_SEED, kind="video")
+    return extract_video_meta(media).select(
+        "media_id", "brand", "duration_ms", "n_tracks", "has_video",
+        "has_audio", "width", "height",
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2534,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_stats": _q_jpeg_stats,
         "gif_stats": _q_gif_stats,
         "mp3_meta": _q_mp3_meta,
+        "mp4_meta": _q_mp4_meta,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2931,6 +2951,28 @@ def _mp3_meta_oracle_sql() -> str:
         f"FROM (VALUES {vals}) "
         "AS t(media_id, n_frames, duration_ms, sample_rate, channels, "
         "bitrate_kbps, vbr)"
+    )
+
+
+def _mp4_meta_oracle_sql() -> str:
+    from logai_spark.functions.mp4meta import synth_mp4_meta_tuple
+
+    rows = []
+    for i in range(_MEDIA_N):
+        brand, dur, nt, hv, ha, w, h = synth_mp4_meta_tuple(i, _MEDIA_SEED)
+        rows.append(
+            f"({i}, '{brand}', {dur}, {nt}, {str(hv).lower()}, "
+            f"{str(ha).lower()}, {w}, {h})"
+        )
+    vals = ", ".join(rows)
+    return (
+        "SELECT media_id::bigint AS media_id, brand::varchar AS brand, "
+        "duration_ms::bigint AS duration_ms, n_tracks::int AS n_tracks, "
+        "has_video::boolean AS has_video, has_audio::boolean AS has_audio, "
+        "width::int AS width, height::int AS height "
+        f"FROM (VALUES {vals}) "
+        "AS t(media_id, brand, duration_ms, n_tracks, has_video, has_audio, "
+        "width, height)"
     )
 
 
@@ -3781,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_stats": _media_oracle_sql("jpeg"),
         "gif_stats": _media_oracle_sql("gif"),
         "mp3_meta": _mp3_meta_oracle_sql(),
+        "mp4_meta": _mp4_meta_oracle_sql(),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

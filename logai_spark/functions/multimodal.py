@@ -550,6 +550,49 @@ def extract_audio_meta(
     return df.select(id_col, media_col).mapInPandas(batches, schema)
 
 
+def extract_video_meta(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """mapInPandas: MP4/ISO-BMFF box-tree parse (REAL, functions/mp4meta.py)
+    -> per-asset container metadata (brand, duration, track layout, video
+    dimensions). Frame decode stays stubbed (sample_video_frames)."""
+    from logai_spark.functions.mp4meta import parse_mp4_meta
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("brand", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_tracks", T.IntegerType()),
+            T.StructField("has_video", T.BooleanType()),
+            T.StructField("has_audio", T.BooleanType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, m in zip(pdf[id_col], pdf[media_col]):
+                meta = parse_mp4_meta(bytes(m))
+                rows.append(
+                    (
+                        int(mid), meta.brand, meta.duration_ms, meta.n_tracks,
+                        meta.has_video, meta.has_audio, meta.width, meta.height,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "brand", "duration_ms", "n_tracks",
+                    "has_video", "has_audio", "width", "height",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema)
+
+
 def audio_feature_tuple(x: np.ndarray) -> tuple[int, float, int, float]:
     """(n_samples, rms, zero_crossings, peak) from float64 mono PCM —
     shared by the Spark path and the independent oracle replica."""
@@ -711,6 +754,19 @@ def synth_real_media(
                         "height": 0,
                         "duration_ms": 0,  # the extractor's job to compute
                         "codec": "mp3",
+                    }
+                elif kind == "video":
+                    from logai_spark.functions.mp4meta import synth_mp4
+
+                    # REAL ISO-BMFF box tree (mvhd v0/v1, track layouts,
+                    # largesize mdat cycle by id); mdat filler never decoded
+                    payload = synth_mp4(int(i), seed)
+                    meta = {
+                        "kind": "video",
+                        "width": 0,
+                        "height": 0,
+                        "duration_ms": 0,  # the extractor's job to compute
+                        "codec": "mp4",
                     }
                 else:
                     s = synth_audio_samples(int(i), seed)

@@ -534,3 +534,50 @@ def test_mp3_meta_spark_path(spark):
         r = got[i]
         assert (r["n_frames"], r["duration_ms"], r["sample_rate"]) == (nf, dur, sr)
         assert (r["channels"], r["bitrate_kbps"], r["vbr"]) == (ch, kbps, vbr)
+
+
+def test_mp4_meta_parse_matches_fixture_params():
+    from logai_spark.functions.mp4meta import (
+        parse_mp4_meta,
+        synth_mp4,
+        synth_mp4_meta_tuple,
+    )
+
+    for i in range(24):  # cycles mvhd v0/v1, track layouts, largesize mdat
+        m = parse_mp4_meta(synth_mp4(i))
+        assert (
+            m.brand, m.duration_ms, m.n_tracks, m.has_video, m.has_audio,
+            m.width, m.height,
+        ) == synth_mp4_meta_tuple(i)
+
+
+def test_mp4_meta_rejects_malformed_loudly():
+    import struct
+
+    from logai_spark.functions.mp4meta import parse_mp4_meta, synth_mp4
+
+    with pytest.raises(ValueError):
+        parse_mp4_meta(synth_mp4(2)[:30])  # truncated mid-box
+    with pytest.raises(ValueError):
+        parse_mp4_meta(b"\x00\x00\x00\x08mdat")  # no moov
+    with pytest.raises(ValueError):  # child overruns parent
+        parse_mp4_meta(
+            struct.pack(">I", 16) + b"moov" + struct.pack(">I", 200)
+            + b"mvhd" + bytes(4)
+        )
+
+
+def test_mp4_meta_spark_path(spark):
+    from logai_spark.functions.multimodal import (
+        extract_video_meta,
+        synth_real_media,
+    )
+    from logai_spark.functions.mp4meta import synth_mp4_meta_tuple
+
+    media = synth_real_media(spark, 8, seed=7, kind="video")
+    got = {r["media_id"]: r for r in extract_video_meta(media).collect()}
+    for i in range(8):
+        brand, dur, nt, hv, ha, w, h = synth_mp4_meta_tuple(i, 7)
+        r = got[i]
+        assert (r["brand"], r["duration_ms"], r["n_tracks"]) == (brand, dur, nt)
+        assert (r["has_video"], r["has_audio"], r["width"], r["height"]) == (hv, ha, w, h)
