@@ -583,6 +583,26 @@ def _q_mp4_meta(spark, sf_dir):
     )
 
 
+def _q_sitemap_urls(spark, sf_dir):
+    """sitemap.xml parse (functions/sitemaps.py): zero-shuffle codegen
+    explode+regexp over (domain, sitemap_xml) rows — urlset entries with
+    loc/lastmod/changefreq/priority (protocol default 0.5), sitemapindex
+    rows flagged kind='sitemap', CDATA and XML entities unescaped.
+    Fixtures cycle optional tags, CDATA, entities and index files by
+    domain id; the oracle recomputes rows from fixture parameters."""
+    from logai_spark.functions.sitemaps import (
+        sitemap_entries,
+        synth_sitemap_xml,
+    )
+
+    rows = [(f"d{i}.example", synth_sitemap_xml(i)) for i in range(_SITEMAP_N)]
+    df = spark.createDataFrame(rows, ["domain", "sitemap_xml"])
+    return sitemap_entries(df).orderBy("domain", "kind", "loc")
+
+
+_SITEMAP_N = 17
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2554,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_stats": _q_gif_stats,
         "mp3_meta": _q_mp3_meta,
         "mp4_meta": _q_mp4_meta,
+        "sitemap_urls": _q_sitemap_urls,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2973,6 +2994,32 @@ def _mp4_meta_oracle_sql() -> str:
         f"FROM (VALUES {vals}) "
         "AS t(media_id, brand, duration_ms, n_tracks, has_video, has_audio, "
         "width, height)"
+    )
+
+
+def _sitemap_oracle_sql() -> str:
+    from logai_spark.functions.sitemaps import synth_sitemap_rows
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = [
+        f"({lit(d)}, {lit(k)}, {lit(loc)}, {lit(lm)}, {lit(cf)}, {lit(pr)})"
+        for i in range(_SITEMAP_N)
+        for (d, k, loc, lm, cf, pr) in synth_sitemap_rows(i)
+    ]
+    vals = ", ".join(rows)
+    return (
+        "SELECT domain::varchar AS domain, kind::varchar AS kind, "
+        "loc::varchar AS loc, lastmod::varchar AS lastmod, "
+        "changefreq::varchar AS changefreq, priority::double AS priority "
+        f"FROM (VALUES {vals}) "
+        "AS t(domain, kind, loc, lastmod, changefreq, priority) "
+        "ORDER BY domain, kind, loc"
     )
 
 
@@ -3824,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_stats": _media_oracle_sql("gif"),
         "mp3_meta": _mp3_meta_oracle_sql(),
         "mp4_meta": _mp4_meta_oracle_sql(),
+        "sitemap_urls": _sitemap_oracle_sql(),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """
