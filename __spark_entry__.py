@@ -583,6 +583,18 @@ def _q_mp4_meta(spark, sf_dir):
     )
 
 
+def _q_robots_sitemaps(spark, sf_dir):
+    """Sitemap: directive extraction (robots.robots_sitemaps): global
+    per the sitemaps.org protocol (UA-section independent), absolute
+    URLs only, case-insensitive directive, duplicates collapsed. Links
+    the robots surface to sitemap_entries/crawl_frontier."""
+    from logai_spark.functions.robots import robots_sitemaps
+
+    return robots_sitemaps(_robots_tbl(spark, sf_dir)).orderBy(
+        "domain", "sitemap_url"
+    )
+
+
 def _q_sitemap_urls(spark, sf_dir):
     """sitemap.xml parse (functions/sitemaps.py): zero-shuffle codegen
     explode+regexp over (domain, sitemap_xml) rows — urlset entries with
@@ -2156,12 +2168,21 @@ def _robots_tbl(spark, sf_dir):
             F.concat(
                 F.lit("User-agent: *\nDisallow: /p"), F.col("d"),
                 F.lit("\nDisallow: /q/\nDisallow:\nCrawl-delay: "),
-                F.col("d"), F.lit(".5\n"),
+                F.col("d"),
+                # Sitemap: global directive — duplicate collapses, the
+                # relative value is ignored (protocol requires absolute)
+                F.lit(".5\nSitemap: http://dom"), F.col("d"),
+                F.lit(".net/sitemap.xml\nSitemap: http://dom"), F.col("d"),
+                F.lit(".net/sitemap.xml\nSitemap: /relative.xml\n"),
             ),
         )
         .when(
             F.col("d") % 3 == 1,
-            F.lit("User-agent: bing\nDisallow: /all\nCrawl-delay: 9\n"),
+            F.concat(
+                F.lit("siTemap:   http://cdn"), F.col("d"),
+                F.lit(".example/sm.xml   \n"),
+                F.lit("User-agent: bing\nDisallow: /all\nCrawl-delay: 9\n"),
+            ),
         )
         .otherwise(
             F.concat(
@@ -2575,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp3_meta": _q_mp3_meta,
         "mp4_meta": _q_mp4_meta,
         "sitemap_urls": _q_sitemap_urls,
+        "robots_sitemaps": _q_robots_sitemaps,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -2994,6 +3016,22 @@ def _mp4_meta_oracle_sql() -> str:
         f"FROM (VALUES {vals}) "
         "AS t(media_id, brand, duration_ms, n_tracks, has_video, has_audio, "
         "width, height)"
+    )
+
+
+def _robots_sitemaps_oracle_sql() -> str:
+    rows = []
+    for d in range(23):
+        if d % 3 == 0:
+            rows.append(f"('dom{d}.net', 'http://dom{d}.net/sitemap.xml')")
+        elif d % 3 == 1:
+            rows.append(f"('dom{d}.net', 'http://cdn{d}.example/sm.xml')")
+    vals = ", ".join(rows)
+    return (
+        "SELECT domain::varchar AS domain, "
+        "sitemap_url::varchar AS sitemap_url "
+        f"FROM (VALUES {vals}) AS t(domain, sitemap_url) "
+        "ORDER BY domain, sitemap_url"
     )
 
 
@@ -3872,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
         "mp3_meta": _mp3_meta_oracle_sql(),
         "mp4_meta": _mp4_meta_oracle_sql(),
         "sitemap_urls": _sitemap_oracle_sql(),
+        "robots_sitemaps": _robots_sitemaps_oracle_sql(),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

@@ -168,3 +168,32 @@ def robots_delays(
         .groupBy("domain")
         .agg(F.max("delay_ms").alias("delay_ms"))
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, sitemap_url) from ``Sitemap:`` lines — the discovery hook
+    that links robots.txt to :func:`logai_spark.functions.sitemaps
+    .sitemap_entries`. Per the sitemaps.org protocol the directive is
+    GLOBAL (independent of any User-agent section), takes an absolute
+    URL, and may repeat; relative or schemeless values are ignored (the
+    protocol requires absolute). Row-local explode+filter plus one
+    bounded distinct — robots files are domain-bounded KBs."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")).alias(
+            "_line"
+        ),
+    ).select(
+        "domain", F.trim(F.regexp_replace("_line", r"#.*$", "")).alias("_line")
+    )
+    url = F.trim(F.expr("substring(_line, 9)"))
+    return (
+        lines.filter(F.lower("_line").startswith("sitemap:"))
+        .select("domain", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+        .distinct()
+    )

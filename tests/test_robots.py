@@ -173,3 +173,28 @@ def test_robots_filter_rule_domain_case_insensitive(spark):
     )
     urls = spark.createDataFrame([Row(url="http://e.io/no/1"), Row(url="http://e.io/ok")])
     assert {r.url for r in robots_filter(urls, rules).collect()} == {"http://e.io/ok"}
+
+
+def test_robots_sitemaps_directive(spark):
+    from logai_spark.functions.robots import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.net",
+                "User-agent: *\nDisallow: /x\n"
+                "Sitemap: http://a.net/s.xml\n"
+                "sitemap: http://a.net/s.xml\n"  # case + duplicate
+                "Sitemap: /relative.xml\n"  # not absolute -> ignored
+                "Sitemap: https://cdn.example/a.xml # trailing comment\n",
+            ),
+            ("b.net", "User-agent: *\nDisallow: /\n"),  # no directive
+            ("c.net", None),
+        ],
+        ["domain", "robots_txt"],
+    )
+    got = {(r["domain"], r["sitemap_url"]) for r in robots_sitemaps(robots).collect()}
+    assert got == {
+        ("a.net", "http://a.net/s.xml"),
+        ("a.net", "https://cdn.example/a.xml"),
+    }
