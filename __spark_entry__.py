@@ -583,6 +583,28 @@ def _q_mp4_meta(spark, sf_dir):
     )
 
 
+def _q_video_frames(spark, sf_dir):
+    """REAL end-to-end video frame decode (functions/avicodec.py RIFF/AVI
+    container walk -> per-frame baseline-JPEG entropy decode via
+    functions/jpegcodec.py) -> one row per frame with dims + channel
+    means + container n_frames/fps. Frames are the flat 8x8 gray-block
+    class the JPEG codec round-trips bit-exactly, so the oracle
+    recomputes stats from the RAW per-frame pixel arrays — independent
+    of both the AVI writer/parser and the JPEG encoder/decoder."""
+    from logai_spark.functions.multimodal import (
+        extract_video_frame_stats,
+        synth_real_media,
+    )
+
+    media = synth_real_media(
+        spark, _MEDIA_N, seed=_MEDIA_SEED, kind="video", video_codec="avi"
+    )
+    return extract_video_frame_stats(media).select(
+        "media_id", "frame_idx", "width", "height", "mean_r", "mean_g",
+        "mean_b", "n_frames", "fps",
+    )
+
+
 def _q_robots_sitemaps(spark, sf_dir):
     """Sitemap: directive extraction (robots.robots_sitemaps): global
     per the sitemaps.org protocol (UA-section independent), absolute
@@ -2595,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_stats": _q_gif_stats,
         "mp3_meta": _q_mp3_meta,
         "mp4_meta": _q_mp4_meta,
+        "video_frames": _q_video_frames,
         "sitemap_urls": _q_sitemap_urls,
         "robots_sitemaps": _q_robots_sitemaps,
         # -- r3-green signature / complex ops re-verified ------------------
@@ -2975,6 +2998,38 @@ def _media_oracle_sql(kind: str) -> str:
         "SELECT media_id::bigint AS media_id, n_samples::bigint AS n_samples, "
         "rms::double AS rms, zcr::bigint AS zcr, peak::double AS peak "
         f"FROM (VALUES {vals}) AS t(media_id, n_samples, rms, zcr, peak)"
+    )
+
+
+def _video_frames_oracle_sql() -> str:
+    """Expected per-frame stats recomputed from the RAW fixture pixel
+    arrays (never the AVI/JPEG code paths the Spark query exercises) plus
+    the fixture's own (n_frames, fps) parameters."""
+    from logai_spark.functions.avicodec import (
+        synth_avi_frame_pixels,
+        synth_avi_params,
+    )
+    from logai_spark.functions.multimodal import image_stat_tuple
+
+    rows = []
+    for i in range(_MEDIA_N):
+        n_frames, _w, _h, rate, scale = synth_avi_params(i)
+        fps = rate / scale
+        for fi in range(n_frames):
+            w, h, mr, mg, mb = image_stat_tuple(
+                synth_avi_frame_pixels(i, fi, _MEDIA_SEED)
+            )
+            rows.append(
+                f"({i}, {fi}, {w}, {h}, {mr!r}, {mg!r}, {mb!r}, {n_frames}, {fps!r})"
+            )
+    vals = ", ".join(rows)
+    return (
+        "SELECT media_id::bigint AS media_id, frame_idx::int AS frame_idx, "
+        "width::int AS width, height::int AS height, mean_r::double AS mean_r, "
+        "mean_g::double AS mean_g, mean_b::double AS mean_b, "
+        "n_frames::int AS n_frames, fps::double AS fps "
+        f"FROM (VALUES {vals}) AS t(media_id, frame_idx, width, height, "
+        "mean_r, mean_g, mean_b, n_frames, fps)"
     )
 
 
@@ -3909,6 +3964,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_stats": _media_oracle_sql("gif"),
         "mp3_meta": _mp3_meta_oracle_sql(),
         "mp4_meta": _mp4_meta_oracle_sql(),
+        "video_frames": _video_frames_oracle_sql(),
         "sitemap_urls": _sitemap_oracle_sql(),
         "robots_sitemaps": _robots_sitemaps_oracle_sql(),
         "audio_features": _media_oracle_sql("audio"),

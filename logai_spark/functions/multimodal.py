@@ -439,9 +439,16 @@ def sample_video_frames(
     id_col: str = "media_id",
     fake_decode: bool = False,
 ) -> DataFrame:
-    """Frame sampling: emits n_frames rows per video (media_id, frame_idx,
-    frame: binary). The decode stub treats the payload as n_frames segments;
-    a real decoder would seek keyframes."""
+    """Frame sampling: emits up to n_frames rows per video (media_id,
+    frame_idx, frame: binary pixels). REAL for MJPEG-in-AVI (magic-sniffed
+    RIFF/AVI — functions/avicodec.py container walk + jpegcodec entropy
+    decode): frames are picked evenly spaced across the stream
+    (idx = i*total//n), frame_idx is the TRUE stream position. Other
+    codecs (H.264-in-MP4 etc.) need native decoders and keep the
+    documented stub: the payload is sliced into n_frames interleaved
+    segments, each hashed into a deterministic fake image (fake_decode
+    path), so plumbing — schema, partitioning, batch shape — is testable
+    without the codec."""
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -451,9 +458,22 @@ def sample_video_frames(
     )
 
     def batches(it):
+        from logai_spark.functions.avicodec import avi_frames
+
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, m in zip(pdf[id_col], pdf[media_col]):
+                m = bytes(m) if m else b""
+                if not fake_decode and m[:4] == b"RIFF" and m[8:12] == b"AVI ":
+                    payloads = avi_frames(m)
+                    total = len(payloads)
+                    take = min(n_frames, total)
+                    picked = sorted({i * total // take for i in range(take)})
+                    for fi in picked:
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(decode_image(payloads[fi]).tobytes())
+                    continue
                 for i in range(n_frames):
                     seg = m[i::n_frames] if m else b""
                     img = decode_image(bytes(seg), fake=fake_decode)
@@ -462,6 +482,60 @@ def sample_video_frames(
                     frames.append(img.tobytes())
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(batches, schema)
+
+
+def extract_video_frame_stats(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """mapInPandas: REAL end-to-end video decode for MJPEG-in-AVI
+    (avicodec.py RIFF walk -> per-frame jpegcodec decode) -> one row per
+    frame: (media_id, frame_idx, width, height, mean_r, mean_g, mean_b,
+    n_frames, fps). The per-frame stats reuse image_stat_tuple so the
+    oracle replica recomputes them from raw pixels, independent of both
+    codecs."""
+    from logai_spark.functions.avicodec import avi_frames, parse_avi
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, m in zip(pdf[id_col], pdf[media_col]):
+                m = bytes(m)
+                meta = parse_avi(m)
+                for fi, payload in enumerate(avi_frames(m)):
+                    img = decode_image(payload)
+                    rows.append(
+                        (int(mid), fi, *image_stat_tuple(img), meta.n_frames, meta.fps)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "n_frames", "fps",
+                ],
+            ).astype(
+                {
+                    "frame_idx": "int32", "width": "int32",
+                    "height": "int32", "n_frames": "int32",
+                }
             )
 
     return df.select(id_col, media_col).mapInPandas(batches, schema)
@@ -693,7 +767,7 @@ def synth_audio_samples(media_id: int, seed: int = 7, n: int = 400) -> np.ndarra
 
 def synth_real_media(
     spark, n: int, seed: int = 7, kind: str = "image", sample_rate: int = 8000,
-    image_codec: str = "bmp", audio_codec: str = "pcm",
+    image_codec: str = "bmp", audio_codec: str = "pcm", video_codec: str = "mp4",
 ) -> DataFrame:
     """Deterministic media table whose payloads are REAL containers (BMP /
     PNG / WAV bytes from the encoders above), generated distributed via
@@ -756,17 +830,25 @@ def synth_real_media(
                         "codec": "mp3",
                     }
                 elif kind == "video":
-                    from logai_spark.functions.mp4meta import synth_mp4
+                    if video_codec == "avi":
+                        from logai_spark.functions.avicodec import synth_avi
 
-                    # REAL ISO-BMFF box tree (mvhd v0/v1, track layouts,
-                    # largesize mdat cycle by id); mdat filler never decoded
-                    payload = synth_mp4(int(i), seed)
+                        # REAL RIFF/AVI with REAL baseline-JPEG frames
+                        # (MJPG): frame decode is fully exercisable
+                        payload = synth_avi(int(i), seed)
+                    else:
+                        from logai_spark.functions.mp4meta import synth_mp4
+
+                        # REAL ISO-BMFF box tree (mvhd v0/v1, track
+                        # layouts, largesize mdat cycle by id); mdat
+                        # filler never decoded
+                        payload = synth_mp4(int(i), seed)
                     meta = {
                         "kind": "video",
                         "width": 0,
                         "height": 0,
                         "duration_ms": 0,  # the extractor's job to compute
-                        "codec": "mp4",
+                        "codec": video_codec,
                     }
                 else:
                     s = synth_audio_samples(int(i), seed)
