@@ -637,6 +637,102 @@ def _q_sitemap_urls(spark, sf_dir):
 _SITEMAP_N = 17
 
 
+def _charset_fix_rows() -> list[tuple]:
+    """Deterministic charset fixtures: (id, raw bytes, expected codec,
+    expected decoded text). Every expectation is a hand-written constant —
+    the oracle never calls the sniffing code under test."""
+    return [
+        (0, "<p>plain utf-8 café</p>".encode("utf-8"),
+         "utf-8", "<p>plain utf-8 café</p>"),
+        # BOMs win over everything and are stripped from the text
+        (1, b"\xef\xbb\xbf" + "<p>bom — page</p>".encode("utf-8"),
+         "utf-8-sig", "<p>bom — page</p>"),
+        (2, b"\xff\xfe" + "<p>utf16 little</p>".encode("utf-16-le"),
+         "utf-16-le", "<p>utf16 little</p>"),
+        # invalid utf-8, no meta -> windows-1252 fallback
+        (3, "<p>“smart” café</p>".encode("cp1252"),
+         "cp1252", "<p>“smart” café</p>"),
+        # meta prescan, quoted/unquoted/uppercase, http-equiv form
+        (4, '<meta charset="shift_jis"><p>日本語のページ</p>'.encode("shift_jis"),
+         "shift_jis", '<meta charset="shift_jis"><p>日本語のページ</p>'),
+        (5, ('<meta http-equiv="Content-Type" content="text/html; '
+             'charset=gb2312"><p>中文网页</p>').encode("gb18030"),
+         "gb18030", ('<meta http-equiv="Content-Type" content="text/html; '
+                     'charset=gb2312"><p>中文网页</p>')),
+        (6, "<META CHARSET=WINDOWS-1251><p>Русский текст</p>".encode("cp1251"),
+         "cp1251", "<META CHARSET=WINDOWS-1251><p>Русский текст</p>"),
+        # a meta claiming utf-16 was readable as ASCII, so content is utf-8
+        (7, '<meta charset="utf-16"><p>lying meta é</p>'.encode("utf-8"),
+         "utf-8", '<meta charset="utf-16"><p>lying meta é</p>'),
+        # unknown label -> utf-8 trial -> cp1252 fallback (\xe9 = é)
+        (8, b'<meta charset="klingon"><p>caf\xe9 unknown</p>',
+         "cp1252", '<meta charset="klingon"><p>café unknown</p>'),
+        (9, None, "utf-8", ""),
+    ]
+
+
+def _q_charset_sniff(spark, sf_dir):
+    """WHATWG-style charset sniff + decode (functions/charset.py): BOM >
+    1024-byte meta prescan > strict utf-8 trial > windows-1252 fallback,
+    one Arrow pandas_udf projection over the binary html column (zero
+    shuffle — the step in front of html_extract that real Common-Crawl
+    pages need, ~25-30% of the web being non-UTF-8). Fixtures cover every
+    sniff branch; the oracle is a VALUES reconstruction of hand-written
+    expected (charset, text) pairs, so a wrong label table, an unstripped
+    BOM, or a mojibaked decode all break the hash."""
+    from logai_spark.functions.charset import charset_decode
+
+    rows = [(i, raw) for i, raw, _, _ in _charset_fix_rows()]
+    df = spark.createDataFrame(rows, "fid int, html binary")
+    return charset_decode(df).select(
+        "fid", "charset", F.col("decoded_text").alias("text")
+    )
+
+
+def _charset_sniff_oracle_sql() -> str:
+    vals = ", ".join(
+        "({}, '{}', '{}')".format(i, cs, txt.replace("'", "''"))
+        for i, _, cs, txt in _charset_fix_rows()
+    )
+    return (
+        "SELECT fid, charset, text FROM (VALUES "
+        + vals
+        + ") AS t(fid, charset, text)"
+    )
+
+
+def _q_wet_roundtrip(spark, sf_dir):
+    """WET sink + source round trip (sources/warc.py write_wet/read_warc):
+    the Common Crawl WARC->WET derivative, produced distributedly (one
+    conversion-record archive per partition, per-record gzip members,
+    manifest-row lineage per file) and re-read as a conversion scan. The
+    query derives deterministic url/ts per doc, writes every sf document
+    through the sink, reads the archives back, and returns (url, ts,
+    text); the oracle reconstructs the same rows straight from the
+    documents table — a framing, Content-Length, encoding, timestamp or
+    NULL-text bug anywhere in the writer OR reader breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from logai_spark.sources.warc import read_warc, write_wet
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.select(
+        F.concat(F.lit("https://example.com/doc/"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        "text",
+    ).repartition(8)
+    out = tempfile.mkdtemp(prefix="wet_oracle_")
+    manifest = write_wet(pages, out).collect()  # action performs the write
+    paths = sorted(m.wet_file for m in manifest)
+    return read_warc(spark, paths, rec_types=("conversion",)).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("text")
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2620,6 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         "sitemap_urls": _q_sitemap_urls,
         "robots_sitemaps": _q_robots_sitemaps,
+        "charset_sniff": _q_charset_sniff,
+        "wet_roundtrip": _q_wet_roundtrip,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -3967,6 +4065,12 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _video_frames_oracle_sql(),
         "sitemap_urls": _sitemap_oracle_sql(),
         "robots_sitemaps": _robots_sitemaps_oracle_sql(),
+        "charset_sniff": _charset_sniff_oracle_sql(),
+        "wet_roundtrip": (
+            "SELECT 'https://example.com/doc/' || doc_id AS url, "
+            "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND "
+            "AS warc_ts, coalesce(text, '') AS text FROM documents"
+        ),
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """

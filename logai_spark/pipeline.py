@@ -76,12 +76,19 @@ class PipelineConfig:
     # cross-check the routed parquet row count against the aggregate-derived
     # manifest totals before writing the manifest (fail loudly on mismatch)
     verify_write: bool = True
+    # WHATWG charset sniff (BOM > meta prescan > utf-8 trial > cp1252) in
+    # front of html->text extraction. Off by default: the pinned per-url
+    # byte-identity invariant is defined against the utf-8 reference
+    # extractor, and sniffed output is byte-identical on valid-UTF-8 pages
+    # anyway — enable on corpora with mixed encodings (real Common Crawl).
+    charset_sniff: bool = False
 
 
 def extract_parse(
     pages: DataFrame,
     templates: list[tuple[str, int]],
     config: DrainConfig | None = None,
+    charset_sniff: bool = False,
 ) -> DataFrame:
     """Fused stage 1+2+3: html -> text -> lines -> matched templates, in ONE
     mapInPandas stage.
@@ -97,7 +104,12 @@ def extract_parse(
     from pyspark.sql import types as T
 
     from logai_spark.parse.distributed import build_matcher
-    from logai_spark.sources.webpages import extract_text_reference
+    from logai_spark.sources.webpages import (
+        extract_text_reference,
+        extract_text_sniffed,
+    )
+
+    extractor = extract_text_sniffed if charset_sniff else extract_text_reference
 
     import hashlib
 
@@ -138,7 +150,7 @@ def extract_parse(
         for pdf in batches:
             lines_col, tids_col = [], []
             for html in pdf["html"]:
-                text = extract_text_reference(html)
+                text = extractor(html)
                 lines = [ln for ln in text.split("\n") if ln]
                 lines_col.append(lines)
                 tids_col.append([tid_of(ln) for ln in lines])
@@ -285,7 +297,9 @@ def run_pipeline(
             pages_to_lines(pages), "logline", templates, cfg.drain
         )
     else:
-        parsed = extract_parse(pages, templates, cfg.drain)
+        parsed = extract_parse(
+            pages, templates, cfg.drain, charset_sniff=cfg.charset_sniff
+        )
 
     enriched = enrich(parsed, lang_dimension(spark), "lang", select=["lang_name", "script"])
 

@@ -94,6 +94,90 @@ def warc_bytes(
     return bytes(out)
 
 
+WET_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("wet_file", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    compress: bool = True,
+) -> DataFrame:
+    """Write extracted text as WET archives (WARC 'conversion' records) —
+    the Common Crawl WARC->WET derivative format, produced distributedly.
+
+    One output file per input partition (``part-NNNNN.warc.wet[.gz]``),
+    written executor-side with bounded memory (records are serialized one
+    at a time; gzip as concatenated per-record members so the files are
+    splittable at record granularity, the Common Crawl layout the reader
+    already consumes). Returns the MANIFEST DataFrame (wet_file,
+    n_records, n_bytes) — an action on it performs the write; the
+    manifest is the checkpointable lineage record per sink-file, matching
+    the pipeline's per-partition metrics contract. ``read_warc(...,
+    rec_types=('conversion',))`` round-trips the output exactly.
+
+    Scale: repartition the input to the intended file count first (a
+    100 TB corpus at ~150 MB/file wants ~700k files — one task each, no
+    shuffle beyond the caller's explicit repartition). out_dir must be an
+    executor-reachable shared FS, as with read_warc.
+    """
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.wet.gz" if compress else ".warc.wet"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n_rec = n_bytes = 0
+        with open(path, "wb") as fh:
+            for b in batches:
+                for url, ts, text in zip(b[url_col], b[ts_col], b[text_col]):
+                    body = ("" if text is None else str(text)).encode("utf-8")
+                    iso = (
+                        pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and not pd.isna(ts)
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    rec = (
+                        b"WARC/1.0\r\n"
+                        b"WARC-Type: conversion\r\n"
+                        b"Content-Type: text/plain\r\n"
+                        + f"WARC-Target-URI: {url}\r\n".encode()
+                        + f"WARC-Date: {iso}\r\n".encode()
+                        + f"Content-Length: {len(body)}\r\n".encode()
+                        + b"\r\n"
+                        + body
+                        + b"\r\n\r\n"
+                    )
+                    if compress:
+                        rec = gzip.compress(rec, mtime=0)  # reproducible bytes
+                    fh.write(rec)
+                    n_rec += 1
+                    n_bytes += len(rec)
+        # empty partitions still wrote a (valid, zero-record) file; surface
+        # it in the manifest so compaction can sweep it
+        yield pd.DataFrame(
+            {"wet_file": [path], "n_records": [n_rec], "n_bytes": [n_bytes]}
+        )
+
+    return df.select(url_col, ts_col, text_col).mapInPandas(
+        _write, WET_MANIFEST_SCHEMA
+    )
+
+
 # ------------------------------------------------------------------ reader --
 
 

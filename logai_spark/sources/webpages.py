@@ -133,7 +133,10 @@ def extract_text_reference(html_bytes: bytes) -> str:
     space-normalization (data_loader.py:96-106, preprocessor.py:44-53); LogAI
     itself has no HTML extractor, so this function is the pinned reference.
     """
-    txt = html_bytes.decode("utf-8", errors="replace")
+    return _strip_html(html_bytes.decode("utf-8", errors="replace"))
+
+
+def _strip_html(txt: str) -> str:
     txt = _TAG_STRIP.sub(" ", txt)
     txt = _TAGS.sub("\n", txt)
     txt = _html.unescape(txt)
@@ -143,6 +146,18 @@ def extract_text_reference(html_bytes: bytes) -> str:
         if ln:
             lines.append(ln)
     return "\n".join(lines)
+
+
+def extract_text_sniffed(html_bytes: bytes) -> str:
+    """The reference extractor with WHATWG charset sniffing in front
+    (functions/charset.py) instead of blind utf-8: byte-identical to
+    :func:`extract_text_reference` on valid-UTF-8 pages (the strict trial
+    accepts them first), mojibake-free on the ~25-30% of real web pages
+    that aren't. Opt-in via ``PipelineConfig.charset_sniff`` — the pinned
+    per-url invariant stays defined against the utf-8 reference."""
+    from logai_spark.functions.charset import decode_html
+
+    return _strip_html(decode_html(html_bytes))
 
 
 def extract_text_udf():

@@ -121,3 +121,65 @@ def test_warc_one_archive_per_task_no_hash_collision(spark, tmp_path):
     df = read_warc(spark, paths)
     sizes = df.rdd.glom().map(len).collect()
     assert sorted(sizes) == [1] * 8
+
+
+# ----------------------------------------------------------------- WET sink
+
+
+def _pages_df(spark, n=37):
+    import datetime as dt
+
+    rows = [
+        (
+            f"https://example.com/doc/{i}",
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+            f"doc {i} line one\nline two é 中文" if i % 5 else None,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+
+
+def test_wet_roundtrip_gzip(spark, tmp_path):
+    from logai_spark.sources.warc import read_warc, write_wet
+
+    pages = _pages_df(spark).repartition(4)
+    man = write_wet(pages, str(tmp_path / "wet")).collect()
+    assert len(man) == 4  # one file per partition
+    assert sum(m.n_records for m in man) == 37
+    paths = sorted(m.wet_file for m in man)
+    back = read_warc(spark, paths, rec_types=("conversion",))
+    got = {
+        r.url: (r.warc_ts, r.html.decode("utf-8"))
+        for r in back.collect()
+    }
+    assert len(got) == 37
+    for r in pages.collect():
+        ts, text = got[r.url]
+        assert ts == r.warc_ts
+        assert text == (r.text or "")  # NULL text -> empty conversion body
+
+
+def test_wet_uncompressed_and_empty_partition(spark, tmp_path):
+    from logai_spark.sources.warc import read_warc, write_wet
+
+    pages = _pages_df(spark, n=2).repartition(4)  # 2 rows over 4 partitions
+    man = write_wet(pages, str(tmp_path / "wet"), compress=False).collect()
+    assert len(man) == 4 and sum(m.n_records for m in man) == 2
+    empties = [m for m in man if m.n_records == 0]
+    assert empties and all(m.n_bytes == 0 for m in empties)
+    paths = sorted(m.wet_file for m in man)
+    back = read_warc(spark, paths, rec_types=("conversion",))
+    assert back.count() == 2
+
+
+def test_wet_manifest_is_lazy_until_action(spark, tmp_path):
+    from logai_spark.sources.warc import write_wet
+
+    out = tmp_path / "wet_lazy"
+    man = write_wet(_pages_df(spark, n=3), str(out))
+    import os
+
+    assert not any(f.startswith("part-") for f in os.listdir(out))
+    man.collect()
+    assert any(f.startswith("part-") for f in os.listdir(out))
