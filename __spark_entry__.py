@@ -733,6 +733,65 @@ def _q_wet_roundtrip(spark, sf_dir):
     )
 
 
+_ICETABLE_DIRS: dict[str, str] = {}
+
+
+def _q_icetable_timetravel(spark, sf_dir):
+    """IceTable snapshot-log table format (sources/icetable.py): the
+    north-rule Iceberg semantics — atomic commits, snapshot isolation,
+    time travel, non-destructive rollback — evidenced end to end. The
+    query commits the documents table in three snapshots (append id%3==0,
+    append id%3==1, overwrite with id%3==2) then rolls back to v2, and
+    returns per-snapshot (n_docs, sum_chars) read AT each pinned
+    snapshot; v4 additionally reads through manifest min/max file
+    skipping (between doc_id 0..max), which must not change results. The
+    oracle recomputes each snapshot's expected membership straight from
+    the documents table — a commit that leaks rows across snapshots,
+    a rollback that loses files, or pruning that drops a live file all
+    break the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from logai_spark.sources import icetable as it
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    key = os.path.abspath(sf_dir)
+    if key not in _ICETABLE_DIRS:
+        t = tempfile.mkdtemp(prefix="icetable_oracle_") + "/tbl"
+        it.append(
+            docs.filter(F.col("doc_id") % 3 == 0), t,
+            commit_key="s1", stats_cols=["doc_id"],
+        )
+        it.append(
+            docs.filter(F.col("doc_id") % 3 == 1), t,
+            commit_key="s2", stats_cols=["doc_id"],
+        )
+        it.overwrite(
+            docs.filter(F.col("doc_id") % 3 == 2), t,
+            commit_key="s3", stats_cols=["doc_id"],
+        )
+        it.rollback(t, to_version=2)
+        _ICETABLE_DIRS[key] = t
+    t = _ICETABLE_DIRS[key]
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    parts = []
+    for v in (1, 2, 3, 4):
+        between = ("doc_id", 0, int(hi)) if v == 4 else None
+        parts.append(
+            it.read(spark, t, snapshot=v, between=between)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+            .select(F.lit(v).alias("snapshot"), "n_docs", "sum_chars")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def _q_audio_features(spark, sf_dir):
     """REAL audio decode path (stdlib wave PCM, functions/multimodal.py
     decode_wav): deterministic int16 PCM -> genuine WAV container ->
@@ -2718,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "charset_sniff": _q_charset_sniff,
         "wet_roundtrip": _q_wet_roundtrip,
+        "icetable_timetravel": _q_icetable_timetravel,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -4071,6 +4131,19 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND "
             "AS warc_ts, coalesce(text, '') AS text FROM documents"
         ),
+        "icetable_timetravel": """
+            WITH snap AS (
+                SELECT 1 AS snapshot, 0 AS lo, 0 AS hi UNION ALL
+                SELECT 2, 0, 1 UNION ALL
+                SELECT 3, 2, 2 UNION ALL
+                SELECT 4, 0, 1)
+            SELECT s.snapshot AS snapshot,
+                   COUNT(*)::bigint AS n_docs,
+                   SUM(d.n_chars)::bigint AS sum_chars
+            FROM snap s JOIN documents d
+              ON (d.doc_id % 3) BETWEEN s.lo AND s.hi
+            GROUP BY s.snapshot
+        """,
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "auc": """
