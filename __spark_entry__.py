@@ -733,6 +733,56 @@ def _q_wet_roundtrip(spark, sf_dir):
     )
 
 
+def _q_wat_roundtrip(spark, sf_dir):
+    """WAT sink + parse round trip (sources/warc.py write_wat/parse_wat):
+    the third Common Crawl derivative (WARC/WAT/WET). The query derives a
+    deterministic html per doc (title + two outlinks), writes every sf
+    document through the WAT sink (envelope computed as zero-shuffle
+    to_json codegen, WARC metadata records, per-record gzip members),
+    reads the archives back as a metadata scan and decodes with ONE
+    from_json projection; the oracle reconstructs title/links straight
+    from the documents table — an envelope-shape, framing, JSON-escape or
+    link-extraction bug anywhere in the writer OR reader breaks the
+    hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from logai_spark.sources.warc import parse_wat, read_warc, write_wat
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pages = docs.select(
+        F.concat(F.lit("https://example.com/doc/"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc-"),
+                F.col("doc_id"),
+                F.lit('</title></head><body><a href="https://example.com/doc/'),
+                F.col("doc_id") + 1,
+                F.lit('">next</a><a href="https://other.org/'),
+                F.col("doc_id") % 7,
+                F.lit('">o</a></body></html>'),
+            ),
+            "utf-8",
+        ).alias("html"),
+    ).repartition(8)
+    out = tempfile.mkdtemp(prefix="wat_oracle_")
+    manifest = write_wat(pages, out).collect()
+    paths = sorted(m.wet_file for m in manifest)
+    back = parse_wat(read_warc(spark, paths, rec_types=("metadata",)))
+    return back.select(
+        "url",
+        "warc_ts",
+        "title",
+        F.size("links").alias("n_links"),
+        F.col("links")[0].alias("link_1"),
+        F.col("links")[1].alias("link_2"),
+    )
+
+
 _ICETABLE_DIRS: dict[str, str] = {}
 
 
@@ -2777,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "charset_sniff": _q_charset_sniff,
         "wet_roundtrip": _q_wet_roundtrip,
+        "wat_roundtrip": _q_wat_roundtrip,
         "icetable_timetravel": _q_icetable_timetravel,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
@@ -4131,6 +4182,16 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND "
             "AS warc_ts, coalesce(text, '') AS text FROM documents"
         ),
+        "wat_roundtrip": """
+            SELECT 'https://example.com/doc/' || doc_id AS url,
+                   (TIMESTAMP '2024-01-01 00:00:00'
+                    + INTERVAL (doc_id) SECOND)::timestamp AS warc_ts,
+                   'doc-' || doc_id AS title,
+                   2 AS n_links,
+                   'https://example.com/doc/' || (doc_id + 1) AS link_1,
+                   'https://other.org/' || (doc_id % 7) AS link_2
+            FROM documents
+        """,
         "icetable_timetravel": """
             WITH snap AS (
                 SELECT 1 AS snapshot, 0 AS lo, 0 AS hi UNION ALL

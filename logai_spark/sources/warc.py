@@ -178,6 +178,136 @@ def write_wet(
     )
 
 
+def wat_payload_expr(html_col: str = "html"):
+    """The WAT metadata envelope for a page as ONE codegen JSON projection
+    (Common Crawl's WAT shape, the fields this engine consumes: head title
+    + outlinks). Title/links extraction is regexp codegen — page bytes
+    never reach Python; ``to_json`` fixes field order so the payload is
+    byte-deterministic for the oracle."""
+    from pyspark.sql import functions as F
+
+    from logai_spark.functions.webgraph import HREF_RE
+
+    h = F.coalesce(F.col(html_col).cast("string"), F.lit(""))
+    title = F.regexp_extract(h, r"(?is)<title[^>]*>([^<]*)</title>", 1)
+    links = F.transform(
+        F.regexp_extract_all(h, F.lit(HREF_RE), F.lit(1)),
+        lambda u: F.struct(u.alias("url")),
+    )
+    html_meta = F.struct(
+        F.struct(title.alias("Title")).alias("Head"),
+        links.alias("Links"),
+    )
+    # the published WAT nesting: Envelope > Payload-Metadata >
+    # HTTP-Response-Metadata > HTML-Metadata
+    return F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(html_meta.alias("HTML-Metadata")).alias(
+                        "HTTP-Response-Metadata"
+                    ),
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope"),
+        )
+    )
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    compress: bool = True,
+) -> DataFrame:
+    """WAT sink: WARC ``metadata`` records whose JSON body describes each
+    page (title + outlinks) — the third member of Common Crawl's
+    WARC/WAT/WET triple (the first two: :func:`read_warc`,
+    :func:`write_wet`). The envelope is computed Spark-side
+    (:func:`wat_payload_expr`, zero-shuffle codegen); the Python writer
+    only frames records, one output file per partition with bounded
+    memory and per-record gzip members, mirroring write_wet's layout and
+    manifest contract. ``read_warc(rec_types=('metadata',))`` +
+    :func:`parse_wat` round-trips it."""
+    import os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    thin = df.select(
+        url_col, ts_col, wat_payload_expr(html_col).alias("_wat")
+    )
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.wat.gz" if compress else ".warc.wat"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        n_rec = n_bytes = 0
+        with open(path, "wb") as fh:
+            for b in batches:
+                for url, ts, wat in zip(b[url_col], b[ts_col], b["_wat"]):
+                    body = ("" if wat is None else str(wat)).encode("utf-8")
+                    iso = (
+                        pd.Timestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+                        if ts is not None and not pd.isna(ts)
+                        else "1970-01-01T00:00:00Z"
+                    )
+                    rec = (
+                        b"WARC/1.0\r\n"
+                        b"WARC-Type: metadata\r\n"
+                        b"Content-Type: application/json\r\n"
+                        + f"WARC-Target-URI: {url}\r\n".encode()
+                        + f"WARC-Date: {iso}\r\n".encode()
+                        + f"Content-Length: {len(body)}\r\n".encode()
+                        + b"\r\n"
+                        + body
+                        + b"\r\n\r\n"
+                    )
+                    if compress:
+                        rec = gzip.compress(rec, mtime=0)  # reproducible
+                    fh.write(rec)
+                    n_rec += 1
+                    n_bytes += len(rec)
+        yield pd.DataFrame(
+            {"wet_file": [path], "n_records": [n_rec], "n_bytes": [n_bytes]}
+        )
+
+    return thin.mapInPandas(_write, WET_MANIFEST_SCHEMA)
+
+
+def parse_wat(df: DataFrame, body_col: str = "html") -> DataFrame:
+    """Decode WAT metadata rows (as read by ``read_warc(rec_types=
+    ('metadata',))``) back to (url, warc_ts, title, links) — one
+    ``from_json`` codegen projection, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    schema = (
+        "struct<Envelope:struct<`Payload-Metadata`:struct<"
+        "`HTTP-Response-Metadata`:struct<`HTML-Metadata`:struct<"
+        "Head:struct<Title:string>,"
+        "Links:array<struct<url:string>>>>>>>"
+    )
+    parsed = F.from_json(F.col(body_col).cast("string"), schema)
+    meta = parsed["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]
+    return df.select(
+        "url",
+        "warc_ts",
+        meta["Head"]["Title"].alias("title"),
+        F.transform(
+            F.coalesce(
+                meta["Links"],
+                F.array().cast("array<struct<url:string>>"),
+            ),
+            lambda s: s["url"],
+        ).alias("links"),
+    )
+
+
 # ------------------------------------------------------------------ reader --
 
 
