@@ -2798,9 +2798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries. Round-5 window: positions 1-7 are the rows that were never
     # driver-verified (or red) after round 4 — url_dedup (r4 red: oracle tz
     # cast, fixed below) and the six session-9 crawl rows; positions 8-11 are
-    # the r2-stale rotations VERDICT-r4 asked for; the remainder re-verifies
-    # r3/r2-green signature and single-shuffle ops. Everything past position
-    # 50 is driver-green in CORRECTNESS_r04.
+    # the r2-stale rotations VERDICT-r4 asked for; then every operator NEW
+    # this round (media codecs, discovery, charset, WET/WAT round trips,
+    # IceTable time travel); the remainder re-verifies r3/r2-green signature
+    # and single-shuffle ops. Everything past position 50 is driver-green in
+    # CORRECTNESS_r04.
     return {
         # -- never driver-verified / r4-red (positions 1-7) ----------------
         "url_dedup": _q_url_dedup,

@@ -41,29 +41,58 @@ def table_format(spark: SparkSession) -> str:
     return "iceberg" if iceberg_available(spark) else "parquet"
 
 
+def _is_icetable(target: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(target, "metadata", "_current"))
+
+
 def write_table(
     df: DataFrame,
     target: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    snapshots: bool = False,
+    commit_key: str | None = None,
 ) -> str:
     """Write ``df`` as an Iceberg table (identifier target) when the runtime
-    is present, else as parquet (path target). Returns the format used."""
+    is present, else as parquet (path target). Returns the format used.
+
+    ``snapshots=True`` (or a target that is already an IceTable) selects the
+    local snapshot-log format (sources/icetable.py) instead of flat parquet:
+    atomic commits, time travel, and — with ``commit_key`` — idempotent
+    stage resume. ``partition_by`` is parquet/Iceberg-only (IceTable tracks
+    files, not hive dirs)."""
     fmt = table_format(df.sparkSession)
+    if fmt == "iceberg":
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format("iceberg").saveAsTable(target)
+        return fmt
+    if snapshots or _is_icetable(target):
+        from logai_spark.sources import icetable
+
+        op = icetable.append if mode == "append" else icetable.overwrite
+        op(df, target, commit_key=commit_key)
+        return "icetable"
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if fmt == "iceberg":
-        writer.format("iceberg").saveAsTable(target)
-    else:
-        writer.parquet(target)
+    writer.parquet(target)
     return fmt
 
 
-def read_table(spark: SparkSession, target: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, target: str, snapshot: int | None = None
+) -> DataFrame:
     if iceberg_available(spark):
         try:
             return spark.read.format("iceberg").load(target)
         except Exception:
             pass  # identifier may be a plain path written pre-upgrade
+    if _is_icetable(target):
+        from logai_spark.sources import icetable
+
+        return icetable.read(spark, target, snapshot=snapshot)
     return spark.read.parquet(target)

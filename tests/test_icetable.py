@@ -122,3 +122,23 @@ def test_empty_and_missing_snapshots(spark, tmp_path):
     it.append(_docs(spark, 0, 5), t)
     with pytest.raises(ValueError):
         it.read(spark, t, snapshot=7)
+
+
+def test_catalog_routes_icetable(spark, tmp_path):
+    # write_table(snapshots=True) -> IceTable; read_table auto-detects it
+    from logai_spark.sources.catalog import read_table, write_table
+
+    t = str(tmp_path / "cat_tbl")
+    fmt = write_table(_docs(spark, 0, 10), t, snapshots=True, commit_key="a")
+    assert fmt == "icetable"
+    # append through the SAME catalog surface (auto-detected, no flag)
+    assert write_table(_docs(spark, 10, 20), t, mode="append") == "icetable"
+    assert read_table(spark, t).count() == 20
+    assert read_table(spark, t, snapshot=1).count() == 10
+    # idempotent resume through the catalog surface
+    write_table(_docs(spark, 0, 10), t, mode="append", commit_key="a")
+    assert read_table(spark, t).count() == 20
+    # plain-parquet behavior unchanged when snapshots not requested
+    p = str(tmp_path / "plain")
+    assert write_table(_docs(spark, 0, 5), p) == "parquet"
+    assert read_table(spark, p).count() == 5

@@ -9,7 +9,10 @@ class of regression (corpus text crossing an exchange in a rewrite stage)
 is caught when it lands, not by a round-end hunt.
 
 Run:  python tools/scaling_gate.py [n_docs] [threshold] [repeats]
-      (defaults: 100000 docs, 0.8, 2 repeats)
+      (defaults: 150000 docs, 0.8, 2 repeats)
+      NOTE: keep n_docs >= 150k — below that the ~18-job chain's fixed
+      per-job cost dominates and the gate reads harness amdahl, not the
+      pipeline (BASELINE.md §3.25 scale floor)
 
 Per-stage attribution for a failure: tools/stage_scaling.py isolates one
 rewrite stage per fresh JVM (see its docstring).
@@ -28,7 +31,7 @@ from curate_scaling import run_isolated  # noqa: E402
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 150000
     threshold = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
