@@ -2465,6 +2465,86 @@ def _q_robots_filter(spark, sf_dir):
 _BM25_QUERIES = [(1, "spark window join"), (2, "customer query"), (3, "vector stream")]
 
 
+def _robots_rfc_tbl(spark, sf_dir):
+    """RFC 9309 fixture corpus: d%3==0 domains exercise Allow-overrides
+    and a ``*``+``$`` wildcard rule, d%3==1 have no star section, d%3==2
+    exercise the equal-length Allow-wins tie and a mid-pattern ``*``."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 23).alias("d"))
+        .distinct()
+    )
+    txt = (
+        F.when(
+            F.col("d") % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /d"), F.col("d"),
+                F.lit("/\nAllow: /d"), F.col("d"),
+                F.lit("/pub/\nDisallow: /*.tmp$\n"),
+            ),
+        )
+        .when(F.col("d") % 3 == 1, F.lit("User-agent: bing\nDisallow: /\n"))
+        .otherwise(
+            F.lit("User-agent: *\nAllow: /a\nDisallow: /a\nDisallow: /b*x\n")
+        )
+    )
+    return d.select(
+        F.concat(F.lit("dom"), F.col("d"), F.lit(".net")).alias("domain"),
+        txt.alias("robots_txt"),
+    )
+
+
+def _q_robots_rules_rfc(spark, sf_dir):
+    """RFC 9309 rule extraction (robots.robots_rules_rfc9309): Allow AND
+    Disallow directives with the pattern's regex translation (``*`` any
+    run, trailing ``$`` anchor) and octet length for longest-match
+    precedence. The oracle enumerates the expected rule set — including
+    the exact regex strings — from the fixture's intent, independent of
+    the parser/translator."""
+    from logai_spark.functions.robots import robots_rules_rfc9309
+
+    return robots_rules_rfc9309(_robots_rfc_tbl(spark, sf_dir)).orderBy(
+        "domain", "pattern", "is_allow"
+    )
+
+
+def _q_robots_filter_rfc(spark, sf_dir):
+    """RFC 9309 URL filter (robots.robots_filter_rfc9309, flag mode):
+    longest matching pattern wins, Allow wins length ties — paths cover
+    a blocked directory, an Allow override beneath it, a wildcard+anchor
+    block ('/file.tmp' yes, '/file.tmp.bak' no), the /a-vs-/a tie, a
+    mid-pattern-* block, and no-star / no-rules domains. Broadcast rule
+    arrays, codegen filter/array_max probe — the corpus never shuffles."""
+    from logai_spark.functions.robots import (
+        robots_filter_rfc9309,
+        robots_rules_rfc9309,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 23).alias("d"),
+        (F.col("doc_id") % 6).alias("m"),
+    )
+    path = (
+        F.when(F.col("m") == 0, F.concat(F.lit("/d"), F.col("d"), F.lit("/secret")))
+        .when(F.col("m") == 1, F.concat(F.lit("/d"), F.col("d"), F.lit("/pub/x")))
+        .when(F.col("m") == 2, F.lit("/file.tmp"))
+        .when(F.col("m") == 3, F.lit("/file.tmp.bak"))
+        .when(F.col("m") == 4, F.lit("/a"))
+        .otherwise(F.concat(F.lit("/b"), F.col("d"), F.lit("x")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://dom"), F.col("d"), F.lit(".net"), path).alias("url"),
+    )
+    rules = robots_rules_rfc9309(_robots_rfc_tbl(spark, sf_dir))
+    return (
+        robots_filter_rfc9309(urls, rules, action="flag")
+        .select("doc_id", "url", "robots_blocked")
+        .orderBy("doc_id")
+    )
+
+
 def _q_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval (webindex.bm25_topk): Lucene always-positive
     idf, one corpus tokenize pass, query vocabulary broadcast so the
@@ -2827,6 +2907,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": _q_video_frames,
         "sitemap_urls": _q_sitemap_urls,
         "robots_sitemaps": _q_robots_sitemaps,
+        "robots_rules_rfc": _q_robots_rules_rfc,
+        "robots_filter_rfc": _q_robots_filter_rfc,
         "charset_sniff": _q_charset_sniff,
         "wet_roundtrip": _q_wet_roundtrip,
         "wat_roundtrip": _q_wat_roundtrip,
@@ -4184,6 +4266,47 @@ def oracle_sql() -> dict[str, str]:
             "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) SECOND "
             "AS warc_ts, coalesce(text, '') AS text FROM documents"
         ),
+        "robots_rules_rfc": r"""
+            WITH doms AS (SELECT DISTINCT doc_id % 23 AS d FROM documents)
+            SELECT 'dom' || d || '.net' AS domain,
+                   '/d' || d || '/' AS pattern, false AS is_allow,
+                   length('/d' || d || '/')::int AS plen,
+                   '^/d' || d || '/' AS regex
+            FROM doms WHERE d % 3 = 0
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/d' || d || '/pub/', true,
+                   length('/d' || d || '/pub/')::int, '^/d' || d || '/pub/'
+            FROM doms WHERE d % 3 = 0
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/*.tmp$', false, 7, '^/.*\.tmp$'
+            FROM doms WHERE d % 3 = 0
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/a', true, 2, '^/a'
+            FROM doms WHERE d % 3 = 2
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/a', false, 2, '^/a'
+            FROM doms WHERE d % 3 = 2
+            UNION ALL
+            SELECT 'dom' || d || '.net', '/b*x', false, 4, '^/b.*x'
+            FROM doms WHERE d % 3 = 2
+        """,
+        "robots_filter_rfc": """
+            WITH u AS (
+                SELECT doc_id, doc_id % 23 AS d, doc_id % 6 AS m
+                FROM documents)
+            SELECT doc_id,
+                   'http://dom' || d || '.net' ||
+                   CASE m WHEN 0 THEN '/d' || d || '/secret'
+                          WHEN 1 THEN '/d' || d || '/pub/x'
+                          WHEN 2 THEN '/file.tmp'
+                          WHEN 3 THEN '/file.tmp.bak'
+                          WHEN 4 THEN '/a'
+                          ELSE '/b' || d || 'x' END AS url,
+                   CASE WHEN d % 3 = 0 AND m IN (0, 2) THEN true
+                        WHEN d % 3 = 2 AND m = 5 THEN true
+                        ELSE false END AS robots_blocked
+            FROM u
+        """,
         "wat_roundtrip": """
             SELECT 'https://example.com/doc/' || doc_id AS url,
                    (TIMESTAMP '2024-01-01 00:00:00'

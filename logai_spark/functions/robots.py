@@ -139,6 +139,110 @@ def robots_filter(
     return j.filter(~blocked).drop("_rules")
 
 
+def _rule_regex_expr(pattern):
+    """Translate a robots path pattern (RFC 9309 §2.2.2-2.2.3: literal
+    prefix, ``*`` = any run, trailing ``$`` = end anchor) to a Java regex —
+    pure codegen over the BOUNDED rules table, never the corpus."""
+    ends = F.endswith(pattern, F.lit("$"))
+    core = F.when(
+        ends, F.substring(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    # escape regex metachars except '*' (translated below); '$' inside the
+    # pattern is literal once the trailing anchor is stripped
+    esc = F.regexp_replace(core, r"[.\\+?(){}\[\]|^$]", r"\\$0")
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_rules_rfc9309(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, pattern, is_allow, plen, regex) — the RFC 9309 rule set
+    for ``User-agent: *`` sections: both Allow and Disallow lines, with
+    the pattern's regex translation (``*`` any-run, trailing ``$``
+    anchor) and its octet length ``plen`` for longest-match precedence.
+    Same Spark-native section parser as :func:`robots_rules` (which keeps
+    the deliberately conservative 1994 prefix contract); this is the
+    standards-compliant variant for pipelines that must honor Allow
+    overrides."""
+    marked, star_blocks = _star_blocks(robots, domain_col, text_col)
+    def _directive(prefix: str, is_allow: bool) -> DataFrame:
+        return marked.filter(
+            F.lower("line").startswith(prefix)
+        ).select(
+            "domain",
+            "block",
+            F.trim(F.expr(f"substring(line, {len(prefix) + 1})")).alias("pattern"),
+            F.lit(is_allow).alias("is_allow"),
+        )
+
+    rules = (
+        _directive("disallow:", False)
+        .unionByName(_directive("allow:", True))
+        .filter(F.col("pattern") != "")
+    )
+    return (
+        rules.join(star_blocks, ["domain", "block"])
+        .select("domain", "pattern", "is_allow")
+        .distinct()
+        .select(
+            "domain",
+            "pattern",
+            "is_allow",
+            F.length("pattern").alias("plen"),
+            _rule_regex_expr(F.col("pattern")).alias("regex"),
+        )
+    )
+
+
+def robots_filter_rfc9309(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    action: str = "drop",
+    flag_col: str = "robots_blocked",
+) -> DataFrame:
+    """RFC 9309 URL filter: among the URL's domain rules whose pattern
+    matches its path, the LONGEST pattern wins; on a length tie Allow
+    wins (§2.2.2). Same scale shape as :func:`robots_filter` — rules fold
+    to one bounded array row per domain and BROADCAST, the probe is a
+    codegen filter/array_max over the struct array; the corpus never
+    shuffles. ``regexp_like`` compiles per (row, rule) since patterns ride
+    the rule structs — bounded by robots-file size, and only rows on
+    domains that HAVE rules pay it (NULL-rules rows short-circuit)."""
+    per_domain = rules.groupBy(
+        F.lower("domain").alias("_rdom")
+    ).agg(
+        F.collect_list(F.struct("regex", "is_allow", "plen")).alias("_rules")
+    )
+    host = url_domain_expr(F.col(url_col))
+    raw_path = F.coalesce(F.regexp_extract(F.col(url_col), PATH_RE, 1), F.lit(""))
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    matching = F.filter(
+        "_rules", lambda r: F.regexp_like(path, r["regex"])
+    )
+    chosen = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                r["plen"].alias("plen"),
+                r["is_allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    blocked = F.when(F.col("_rules").isNull(), F.lit(False)).otherwise(
+        (F.size(matching) > 0) & (chosen["a"] == 0)
+    )
+    j = urls.join(
+        F.broadcast(per_domain), host == per_domain["_rdom"], "left"
+    ).drop("_rdom")
+    if action == "flag":
+        return j.withColumn(flag_col, blocked).drop("_rules")
+    return j.filter(~blocked).drop("_rules")
+
+
 def robots_delays(
     robots: DataFrame,
     domain_col: str = "domain",

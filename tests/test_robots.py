@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from logai_spark.functions.robots import robots_filter, robots_rules
 
@@ -198,3 +199,88 @@ def test_robots_sitemaps_directive(spark):
         ("a.net", "http://a.net/s.xml"),
         ("a.net", "https://cdn.example/a.xml"),
     }
+
+
+def test_rfc9309_rules_and_wildcards(spark):
+    from logai_spark.functions.robots import (
+        robots_filter_rfc9309,
+        robots_rules_rfc9309,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.net",
+                "User-agent: *\n"
+                "Disallow: /d/\n"
+                "Allow: /d/pub/\n"
+                "Disallow: /*.tmp$\n",
+            ),
+            ("b.net", "User-agent: bing\nDisallow: /\n"),  # no star section
+            (
+                "c.net",
+                "User-agent: *\nAllow: /a\nDisallow: /a\nDisallow: /b*x\n",
+            ),
+        ],
+        ["domain", "robots_txt"],
+    )
+    rules = robots_rules_rfc9309(robots)
+    got = {
+        (r.domain, r.pattern, r.is_allow, r.regex)
+        for r in rules.collect()
+    }
+    assert ("a.net", "/d/", False, "^/d/") in got
+    assert ("a.net", "/d/pub/", True, "^/d/pub/") in got
+    assert ("a.net", "/*.tmp$", False, r"^/.*\.tmp$") in got
+    assert ("c.net", "/b*x", False, "^/b.*x") in got
+    assert not any(d == "b.net" for d, *_ in got)
+
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.net/d/secret"),       # blocked: /d/
+            (2, "http://a.net/d/pub/ok"),       # allow override (longer)
+            (3, "http://a.net/file.tmp"),       # blocked: wildcard + $
+            (4, "http://a.net/file.tmp.bak"),   # $ anchor -> passes
+            (5, "http://c.net/a"),              # tie /a vs /a -> allow wins
+            (6, "http://c.net/b123x"),          # blocked: /b*x
+            (7, "http://c.net/b123xyz"),        # prefix match -> blocked
+            (8, "http://b.net/anything"),       # no star rules -> passes
+            (9, "http://nowhere.org/x"),        # no rules at all -> passes
+        ],
+        ["id", "url"],
+    )
+    flagged = robots_filter_rfc9309(urls, rules, action="flag")
+    got = {r.id: r.robots_blocked for r in flagged.collect()}
+    assert got == {
+        1: True, 2: False, 3: True, 4: False,
+        5: False, 6: True, 7: True, 8: False, 9: False,
+    }
+    kept = robots_filter_rfc9309(urls, rules).count()
+    assert kept == 5
+
+
+def test_rfc9309_corpus_never_shuffles(spark):
+    from logai_spark.functions.robots import (
+        robots_filter_rfc9309,
+        robots_rules_rfc9309,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.net", "User-agent: *\nDisallow: /x*y$\n")],
+        ["domain", "robots_txt"],
+    )
+    urls = spark.range(100).select(
+        F.concat(F.lit("http://a.net/x"), F.col("id"), F.lit("y")).alias("url")
+    )
+    plan = (
+        robots_filter_rfc9309(urls, robots_rules_rfc9309(robots))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # any sort-merge join must be internal to the BOUNDED rules build
+    # (robots-table columns only) — never against the url corpus
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "url" not in line, line
