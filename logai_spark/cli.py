@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--n-docs", type=int, default=10000, help="synthetic doc count when no --input")
     run.add_argument("--window", default="1 hour")
     run.add_argument("--mine-sample", type=float, default=1.0)
+    run.add_argument("--charset-sniff", action="store_true",
+                     help="WHATWG charset sniff+decode instead of strict "
+                          "utf-8 (functions/charset.py; fixes mojibake on "
+                          "non-UTF-8 pages, keeps utf-8 pages byte-identical)")
 
     bench = sub.add_parser("bench", help="run the repo benchmark")
 
@@ -293,7 +297,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     else:
         pages = synth_webpages(spark, args.n_docs)
-    cfg = PipelineConfig(window=args.window, sample_fraction_for_mining=args.mine_sample)
+    cfg = PipelineConfig(
+        window=args.window,
+        sample_fraction_for_mining=args.mine_sample,
+        charset_sniff=args.charset_sniff,
+    )
     metrics = run_pipeline(spark, pages, args.output, cfg)
     # keep the contract at one readable JSON line: the full template list and
     # per-sink manifest live in <output>/routed/_lineage_manifest.json
