@@ -78,6 +78,18 @@ HEADLINE = [
 ]
 
 
+def _cpu_counters() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — per-row noise
+    annotation so a one-shot bench records its own weather (BASELINE
+    §3.30: bursty host steal taxes wide-parallel rows up to 3x)."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return vals[7], sum(vals)
+    except OSError:
+        return 0, 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -135,6 +147,7 @@ def main() -> None:
         )
 
     per_query: dict[str, float] = {}
+    row_steal: dict[str, float] = {}
     qs = entrymod.queries()
     jvm_sys = spark.sparkContext._jvm.java.lang.System
     for name in HEADLINE:
@@ -146,10 +159,15 @@ def main() -> None:
         # earlier rows' cache residue / deferred GC (BASELINE §3.12)
         spark.catalog.clearCache()
         jvm_sys.gc()
+        s0, c0 = _cpu_counters()
         t0 = time.perf_counter()
         df = fn(spark, layout_dir)
         n = df.count()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        s1, c1 = _cpu_counters()
+        frac = (s1 - s0) / max(c1 - c0, 1)
+        if frac >= 0.005:  # only annotate rows whose window was noisy
+            row_steal[name] = round(frac, 4)
         assert n >= 0
 
     # keep_best's battery row above re-mines MinHash+LSH+CC by design (the
@@ -186,6 +204,7 @@ def main() -> None:
             "input_splits": ncores,
             "prewarmed": True,
             "per_row_hygiene": "clearCache+gc",
+            "steal_frac_noisy_rows": row_steal,
         },
     }
     import shutil
