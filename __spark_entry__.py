@@ -860,6 +860,23 @@ def _q_audio_features(spark, sf_dir):
 
 
 _WP_VOCAB_SIZE = 300
+_BPE_MERGES = 200
+
+
+def _q_bpe_tokens(spark, sf_dir):
+    """Trained BPE subword merges, torch-free (functions/bpe.py; reference
+    trains subword tokenizers via HF, vectorization_algo/logbert.py:87-146
+    — BPE is the sibling trainer, Sennrich et al. 2016): distributed
+    word-count aggregate -> driver merge loop over the bounded aggregate
+    (exactly HF's BpeTrainer decomposition) -> broadcast-rank Arrow encode.
+    Output: per-doc token count under the trained merges. The oracle
+    re-trains and re-encodes single-process from the raw text, so the
+    distributed aggregate and encode path are what's under test."""
+    from logai_spark.functions.bpe import bpe_token_count_trained, fit_bpe
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = fit_bpe(docs, num_merges=_BPE_MERGES, max_words=None)
+    return bpe_token_count_trained(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
 def _q_wordpiece_tokens(spark, sf_dir):
@@ -969,6 +986,38 @@ def _wordpiece_oracle_sql() -> str:
     return (
         "SELECT doc_id::bigint AS doc_id, n_wp_tokens::bigint AS n_wp_tokens "
         f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, n_wp_tokens)"
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """Single-process replica of fit_bpe + bpe_token_count_trained (same
+    VALUES-literal pattern as the WordPiece oracle: the oracle recomputes
+    independently from the raw parquet, DuckDB serves the literal)."""
+    import duckdb
+
+    from logai_spark.functions.bpe import encode_doc_py, train_bpe_from_counts
+    from logai_spark.functions.wordpiece import pretokenize_py
+
+    con = duckdb.connect()
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    rows = con.execute(f"SELECT doc_id, text FROM '{path}'").fetchall()
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    pre = {}
+    for doc_id, text in rows:
+        pre[doc_id] = pretokenize_py(text)
+        cnt.update(pre[doc_id])
+    merges = train_bpe_from_counts(cnt.items(), num_merges=_BPE_MERGES)
+    ranks = {p: i for i, p in enumerate(merges)}
+    memo: dict = {}
+    vals = []
+    for doc_id, text in rows:
+        n = len(encode_doc_py(text, ranks, memo=memo))
+        vals.append(f"({doc_id}, {n})")
+    return (
+        "SELECT doc_id::bigint AS doc_id, n_bpe_tokens::bigint AS n_bpe_tokens "
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, n_bpe_tokens)"
     )
 
 
@@ -2296,6 +2345,23 @@ def _q_domain_pagerank(spark, sf_dir):
     ).orderBy("domain")
 
 
+def _q_domain_hits(spark, sf_dir):
+    """HITS hubs/authorities (webgraph.domain_hits, Kleinberg 1999), 3
+    unrolled iterations with L1 normalization, over the link-graph fixture
+    — the hub/authority pair next to PageRank in the rank-score family.
+    Score vectors broadcast; each half-iteration is one edge shuffle keyed
+    dst (auth) or src (hub), map-side combined. Oracle = the same
+    iterations as chained DuckDB CTEs."""
+    from logai_spark.functions.webgraph import domain_hits, link_edges
+
+    h = domain_hits(link_edges(_links_tbl(spark, sf_dir)), iters=3)
+    return h.select(
+        "domain",
+        (F.floor(F.col("auth") * 1e6 + 0.5) / 1e6).alias("auth"),
+        (F.floor(F.col("hub") * 1e6 + 0.5) / 1e6).alias("hub"),
+    ).orderBy("domain")
+
+
 def _q_hyperball(spark, sf_dir):
     """HyperBall harmonic centrality (hyperball.hyperball_harmonic,
     Boldi & Vigna 2013) over the link-graph fixture — the commoncrawl.org
@@ -2913,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "wat_roundtrip": _q_wat_roundtrip,
         "icetable_timetravel": _q_icetable_timetravel,
+        "bpe_tokens": _q_bpe_tokens,
+        "domain_hits": _q_domain_hits,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -3418,7 +3486,7 @@ def oracle_sql() -> dict[str, str]:
         script_char_class,
     )
     from logai_spark.functions.hyperball import hyperball_oracle_sql
-    from logai_spark.functions.webgraph import pagerank_oracle_sql
+    from logai_spark.functions.webgraph import hits_oracle_sql, pagerank_oracle_sql
 
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
     # one VALUES row per language, same dicts the Spark classifier compiles;
@@ -3686,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_graph": _EDGES_SQL,
         "domain_pagerank": pagerank_oracle_sql(_EDGES_SQL, iters=5),
+        "domain_hits": hits_oracle_sql(_EDGES_SQL, iters=3),
         "hyperball_harmonic": hyperball_oracle_sql(_EDGES_SQL, p=4, iters=4),
         # intent-derived oracles: the expected rule/flag sets follow from
         # the fixture's CASE structure, independent of the Spark parser
@@ -4332,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
+        "bpe_tokens": _bpe_oracle_sql(),
         "auc": """
             WITH base AS (
                 SELECT value AS s, (user_id % 3 = 0)::int AS y FROM events),

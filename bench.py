@@ -75,6 +75,8 @@ HEADLINE = [
     "crawl_frontier",
     "cdx_index",
     "host_stats",
+    "domain_hits",
+    "bpe_tokens",
 ]
 
 

@@ -213,6 +213,125 @@ def pagerank_oracle_sql(
     )
 
 
+def domain_hits(
+    edges: DataFrame,
+    iters: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(domain, auth, hub) after ``iters`` HITS iterations (Kleinberg 1999
+    "Authoritative sources in a hyperlinked environment") over the weighted
+    domain graph — the hub/authority pair of signals next to PageRank in
+    the §2.13 rank-score family.
+
+    auth'(v) = Σ_{u→v} hub(u)·w(u,v), hub'(u) = Σ_{u→v} auth'(v)·w(u,v),
+    each L1-normalized after its update (sum-normalization keeps the
+    computation division-only — no sqrt — so it mirrors exactly into the
+    DuckDB oracle; the score ORDERING is identical to the classic
+    L2-normalized iteration since the two differ by a positive scalar).
+
+    Scale shape — same as :func:`domain_pagerank`: the score vectors are
+    |domains|-sized and BROADCAST into the edge table; each half-iteration
+    is ONE shuffle of the edges keyed dst (auth) or src (hub) with
+    map-side partial aggregation; normalizers are 1-row aggregates
+    cross-joined back. Scores are checkpointed per iteration (the vector
+    feeds both the next join and its normalizer — without lineage
+    truncation the plan doubles per iteration, as in pagerank)."""
+    sc = edges.sparkSession.sparkContext
+    reliable = checkpoint and sc.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if not checkpoint:
+            return df
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    edges = edges.select("src", "dst", F.col("n_links").cast("double").alias("w"))
+    nodes = (
+        edges.select(F.col("src").alias("domain"))
+        .unionByName(edges.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    if checkpoint:
+        edges = _ckpt(edges)
+        nodes = _ckpt(nodes)
+
+    hub = nodes.select("domain", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            edges.join(F.broadcast(hub), edges["src"] == hub["domain"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub") * F.col("w")).alias("a"))
+            .withColumnRenamed("dst", "domain")
+        )
+        asum = araw.agg(F.sum("a").alias("s"))
+        auth = (
+            nodes.join(F.broadcast(araw), "domain", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "domain",
+                (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("s")).alias("auth"),
+            )
+        )
+        auth = _ckpt(auth)
+        hraw = (
+            edges.join(F.broadcast(auth), edges["dst"] == auth["domain"])
+            .groupBy("src")
+            .agg(F.sum(F.col("auth") * F.col("w")).alias("h"))
+            .withColumnRenamed("src", "domain")
+        )
+        hsum = hraw.agg(F.sum("h").alias("s"))
+        hub = (
+            nodes.join(F.broadcast(hraw), "domain", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "domain",
+                (F.coalesce(F.col("h"), F.lit(0.0)) / F.col("s")).alias("hub"),
+            )
+        )
+        hub = _ckpt(hub)
+    return auth.join(hub, "domain").select("domain", "auth", "hub")
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 5) -> str:
+    """DuckDB mirror of :func:`domain_hits` as unrolled chained CTEs
+    (same pattern as :func:`pagerank_oracle_sql`). ``edges_sql`` must
+    yield (src, dst, n_links); scores floor-rounded to 6 dp."""
+    ctes = [
+        f"e AS (SELECT src, dst, n_links::DOUBLE AS w FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT domain, 1.0 AS hub FROM nodes)",
+    ]
+    for t in range(iters):
+        p, q = f"h{t}", f"h{t + 1}"
+        ctes.append(
+            f"ar{t} AS (SELECT e.dst AS domain, sum({p}.hub * e.w) AS a "
+            f"FROM e JOIN {p} ON e.src = {p}.domain GROUP BY e.dst)"
+        )
+        ctes.append(f"as{t} AS (SELECT sum(a) AS s FROM ar{t})")
+        ctes.append(
+            f"a{t + 1} AS (SELECT nodes.domain, coalesce(ar{t}.a, 0.0) / as{t}.s "
+            f"AS auth FROM nodes LEFT JOIN ar{t} ON ar{t}.domain = nodes.domain "
+            f"CROSS JOIN as{t})"
+        )
+        ctes.append(
+            f"hr{t} AS (SELECT e.src AS domain, sum(a{t + 1}.auth * e.w) AS h "
+            f"FROM e JOIN a{t + 1} ON e.dst = a{t + 1}.domain GROUP BY e.src)"
+        )
+        ctes.append(f"hs{t} AS (SELECT sum(h) AS s FROM hr{t})")
+        ctes.append(
+            f"{q} AS (SELECT nodes.domain, coalesce(hr{t}.h, 0.0) / hs{t}.s "
+            f"AS hub FROM nodes LEFT JOIN hr{t} ON hr{t}.domain = nodes.domain "
+            f"CROSS JOIN hs{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a{iters}.domain, "
+        f"floor(a{iters}.auth * 1000000 + 0.5) / 1000000 AS auth, "
+        f"floor(h{iters}.hub * 1000000 + 0.5) / 1000000 AS hub "
+        f"FROM a{iters} JOIN h{iters} ON a{iters}.domain = h{iters}.domain"
+    )
+
+
 def host_stats(
     pages: DataFrame,
     url_col: str = "url",

@@ -133,3 +133,57 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         rank = 0.15 / n + 0.85 * (contrib + dm / n)
     for d_ in nodes:
         assert got[d_] == pytest.approx(rank[idx[d_]], rel=1e-9), d_
+
+
+def test_hits_matches_numpy_iteration(spark):
+    """domain_hits == dense numpy HITS with L1 normalization, same edge
+    fixture family as the pagerank parity test (Kleinberg 1999)."""
+    from logai_spark.functions.webgraph import domain_hits
+
+    rng = np.random.RandomState(11)
+    doms = [f"d{i}" for i in range(10)]
+    rows = []
+    for i in range(10):
+        for j in rng.choice(10, size=3, replace=False):
+            if j != i:
+                rows.append(Row(src=doms[i], dst=doms[int(j)], n_links=int(rng.randint(1, 4))))
+    edges = spark.createDataFrame(rows).groupBy("src", "dst").agg(
+        F.sum("n_links").alias("n_links")
+    )
+    got = {r.domain: (r.auth, r.hub) for r in domain_hits(edges, iters=4).collect()}
+
+    pdf = edges.toPandas()
+    nodes = sorted(set(pdf.src) | set(pdf.dst))
+    idx = {d: i for i, d in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for r in pdf.itertuples():
+        W[idx[r.src], idx[r.dst]] += r.n_links
+    hub = np.ones(n)
+    for _ in range(4):
+        auth = W.T @ hub
+        auth /= auth.sum()
+        hub = W @ auth
+        hub /= hub.sum()
+    for d_ in nodes:
+        assert got[d_][0] == pytest.approx(auth[idx[d_]], rel=1e-9), d_
+        assert got[d_][1] == pytest.approx(hub[idx[d_]], rel=1e-9), d_
+    # L1 normalization: both vectors sum to 1
+    assert pytest.approx(sum(a for a, _ in got.values()), abs=1e-9) == 1.0
+    assert pytest.approx(sum(h for _, h in got.values()), abs=1e-9) == 1.0
+
+
+def test_hits_hub_vs_authority_separation(spark):
+    """A pure hub (links out, nothing in) gets auth 0; a pure authority
+    (linked to, no outlinks) gets hub 0."""
+    from logai_spark.functions.webgraph import domain_hits
+
+    edges = spark.createDataFrame(
+        [Row(src="hub.com", dst="auth.com", n_links=2),
+         Row(src="hub.com", dst="other.com", n_links=1)]
+    )
+    got = {r.domain: (r.auth, r.hub) for r in domain_hits(edges, iters=3).collect()}
+    assert got["hub.com"][0] == 0.0 and got["hub.com"][1] == 1.0
+    assert got["auth.com"][1] == 0.0
+    assert got["auth.com"][0] == pytest.approx(2 / 3, rel=1e-12)
+    assert got["other.com"][0] == pytest.approx(1 / 3, rel=1e-12)
