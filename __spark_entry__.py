@@ -2444,6 +2444,19 @@ def _q_inverted_index(spark, sf_dir):
     return inverted_index(d, max_postings=10, min_df=2).orderBy("token")
 
 
+def _q_phrase_search(spark, sf_dir):
+    """Exact consecutive-token phrase search over positional postings
+    (webindex.phrase_search; the Lucene position-postings query class):
+    each phrase term (token, offset) joins the postings broadcast, matched
+    postings project their candidate start pos-offset, and ONE thin
+    (id, start) partial agg counts distinct offsets — a start holding all
+    m offsets is an occurrence. Only phrase-matched triples shuffle."""
+    from logai_spark.functions.webindex import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, "table part").orderBy("doc_id")
+
+
 def _robots_tbl(spark, sf_dir):
     """Deterministic robots corpus over the dom{0..22}.net fixture domains:
     d%3==0 domains disallow /p{d} and /q/ for everyone, d%3==1 domains have
@@ -2981,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icetable_timetravel": _q_icetable_timetravel,
         "bpe_tokens": _q_bpe_tokens,
         "domain_hits": _q_domain_hits,
+        "phrase_search": _q_phrase_search,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -3859,6 +3873,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT dfs.token, df, postings
             FROM dfs JOIN posts USING (token)
             WHERE df >= 2
+        """,
+        "phrase_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                         AS token,
+                       generate_subscripts(
+                           regexp_split_to_array(trim(lower(text)), '\s+'), 1)
+                         AS pos
+                FROM documents
+            ),
+            terms(token, os) AS (VALUES ('table', 0), ('part', 1)),
+            starts AS (
+                SELECT doc_id, pos - os AS start
+                FROM toks JOIN terms USING (token)
+                WHERE pos - os >= 1
+                GROUP BY doc_id, pos - os
+                HAVING count(DISTINCT os) = 2
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM starts GROUP BY doc_id ORDER BY doc_id
         """,
         "html_extract": f"""
             WITH hdoc AS (

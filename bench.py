@@ -77,6 +77,7 @@ HEADLINE = [
     "host_stats",
     "domain_hits",
     "bpe_tokens",
+    "phrase_search",
 ]
 
 

@@ -247,3 +247,70 @@ def cdx_index(
             "surt", "ts"
         )
     return out.orderBy("surt", "ts")
+
+
+def positional_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, id, pos) positional postings — the phrase/proximity-query
+    complement of :func:`inverted_index` (Lucene's position-augmented
+    postings). pos is the 0-based token offset from ``tokenize_expr``
+    order. One zero-shuffle projection+explode; materialize it
+    (sorted/bucketed by token) to serve as a standing index."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize_expr(text_col)).alias("pos", "token"),
+    ).select("token", "id", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Exact consecutive-token phrase search: (id, n_hits) for every doc
+    containing ``phrase`` as adjacent tokens (tokenize_expr semantics,
+    duplicated phrase terms handled). Pass a materialized
+    :func:`positional_index` as ``index`` to skip re-scanning the corpus —
+    the standing-service path.
+
+    Scale shape — the alignment trick makes this ONE thin shuffle: each
+    phrase term (token, offset) joins the postings BROADCAST (the phrase
+    is tiny), every matched posting projects its candidate phrase START
+    ``pos - offset``, and a (id, start) partial agg counts DISTINCT
+    offsets; a start where all ``m`` offsets are present is an occurrence.
+    Only phrase-matched (id, start, offset) triples cross the exchange —
+    never the corpus, never full posting lists. A stopword-only phrase
+    degrades to the thin matched-pair volume, not a cross product.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    m = len(terms)
+    idx = index if index is not None else positional_index(docs, id_col, text_col)
+    spark = docs.sparkSession
+    tdf = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "token string, os int"
+    )
+    starts = (
+        idx.join(F.broadcast(tdf), "token")
+        .select("id", (F.col("pos") - F.col("os")).alias("start"), "os")
+        .filter(F.col("start") >= 0)
+        # each (id, start, os) triple is UNIQUE by construction (positions
+        # from posexplode are distinct, so one posting row matches a given
+        # offset at most once) — plain count == m is the all-offsets-
+        # present test, one partial-agg shuffle instead of a two-phase
+        # count_distinct expand
+        .groupBy("id", "start")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == m)
+    )
+    return (
+        starts.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias(id_col), "n_hits")
+    )

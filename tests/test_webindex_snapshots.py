@@ -113,3 +113,55 @@ def test_inverted_index_plan_uses_window_group_limit(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a")])
     plan = inverted_index(docs)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_phrase_search_basic_and_overlap(spark):
+    from logai_spark.functions.webindex import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown cat"),
+            (2, "quick brown"),
+            (3, "the quick red fox"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in phrase_search(df, "quick brown").collect()}
+    assert got == {1: 2, 2: 1}
+    # 3-term phrase
+    got3 = {r.doc_id: r.n_hits for r in phrase_search(df, "the quick brown").collect()}
+    assert got3 == {1: 2}
+    # case-insensitive (tokenize_expr lowers both sides)
+    assert {r.doc_id for r in phrase_search(df, "QUICK Brown").collect()} == {1, 2}
+
+
+def test_phrase_search_repeated_terms(spark):
+    """A phrase with a duplicated token must require BOTH offsets at the
+    same start — 'a b a' matches 'a b a' but not 'a b c' or 'b a b'."""
+    from logai_spark.functions.webindex import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "b a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in phrase_search(df, "a b a").collect()}
+    assert got == {1: 2}  # overlapping starts 0 and 2
+
+
+def test_phrase_search_standing_index(spark):
+    """Passing a materialized positional_index skips the corpus re-scan and
+    produces identical results."""
+    from logai_spark.functions.webindex import phrase_search, positional_index
+
+    df = spark.createDataFrame(
+        [(1, "x y z x y"), (2, "y x")], "doc_id long, text string"
+    )
+    idx = positional_index(df).persist()
+    try:
+        a = {r.doc_id: r.n_hits for r in phrase_search(df, "x y").collect()}
+        b = {r.doc_id: r.n_hits for r in phrase_search(df, "x y", index=idx).collect()}
+        assert a == b == {1: 2}
+    finally:
+        idx.unpersist()
