@@ -1880,6 +1880,42 @@ def _q_vocab_drift(spark, sf_dir):
     )
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (curation.compression_ratio)
+    — templated/machine-generated spam compresses far below natural text.
+    Arrow-batched pandas UDF over utf-8 bytes (no DEFLATE in the SQL
+    surface — the documented Python exception), row-local, zero shuffle.
+    Oracle recomputes independently from the raw parquet with stdlib zlib
+    (VALUES-literal pattern, same as the wordpiece/BPE oracles)."""
+    from logai_spark.functions.curation import compression_ratio
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return compression_ratio(d).select("doc_id", "zlib_ratio")
+
+
+def _compression_ratio_oracle_sql() -> str:
+    import math
+    import zlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    path = os.path.join(_oracle_sf_dir(), "documents.parquet")
+    rows = con.execute(f"SELECT doc_id, text FROM '{path}'").fetchall()
+    vals = []
+    for doc_id, text in rows:
+        if not text:
+            r = 1.0
+        else:
+            raw = text.encode("utf-8")
+            r = math.floor(len(zlib.compress(raw, 6)) / len(raw) * 10000 + 0.5) / 10000
+        vals.append(f"({doc_id}, {r!r})")
+    return (
+        "SELECT doc_id::bigint AS doc_id, zlib_ratio::double AS zlib_ratio "
+        f"FROM (VALUES {', '.join(vals)}) AS t(doc_id, zlib_ratio)"
+    )
+
+
 def _q_text_normalize(spark, sf_dir):
     """ftfy-lite text normalization (curation.py): typography translate +
     ellipsis + control-strip + whitespace squeeze, one zero-shuffle codegen
@@ -2995,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "domain_hits": _q_domain_hits,
         "phrase_search": _q_phrase_search,
+        "compression_ratio": _q_compression_ratio,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -4437,6 +4474,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _media_oracle_sql("audio"),
         "wordpiece_tokens": _wordpiece_oracle_sql(),
         "bpe_tokens": _bpe_oracle_sql(),
+        "compression_ratio": _compression_ratio_oracle_sql(),
         "auc": """
             WITH base AS (
                 SELECT value AS s, (user_id % 3 = 0)::int AS y FROM events),

@@ -78,6 +78,7 @@ HEADLINE = [
     "domain_hits",
     "bpe_tokens",
     "phrase_search",
+    "compression_ratio",
 ]
 
 

@@ -350,3 +350,30 @@ def test_html_extract_unclosed_script_degrades_to_tag_strip(spark):
     # lazy match finds no </script>; the tag strips, the body stays as text
     assert out[0]["text"] == "ok\norphan body"
     assert out[1]["text"] is None and out[1]["n_chars_html"] == 0
+
+
+def test_compression_ratio(spark):
+    """Row-local zlib ratio: repetitive text compresses far lower than
+    varied text; empty/NULL are neutral 1.0; values byte-match a local
+    same-stdlib recompute."""
+    import math
+    import zlib
+
+    from logai_spark.functions.curation import compression_ratio
+
+    rows = [
+        (1, "spam spam spam " * 200),
+        (2, "The quick brown fox jumps over a lazy dog near the riverbank at dawn."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    for doc_id, text in rows:
+        if not text:
+            assert got[doc_id] == 1.0
+        else:
+            raw = text.encode("utf-8")
+            expect = math.floor(len(zlib.compress(raw, 6)) / len(raw) * 10000 + 0.5) / 10000
+            assert got[doc_id] == expect
+    assert got[1] < 0.1 < got[2]
