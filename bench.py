@@ -210,6 +210,28 @@ def main() -> None:
             "per_row_hygiene": "clearCache+gc",
             "steal_frac_noisy_rows": row_steal,
         },
+        # north-rule N -> 4N scaling evidence, measured THIS ROUND with the
+        # fresh-process best-of-3 taskset protocol (not re-measured inside
+        # this one-shot run — a concurrent 2-core/8-core A/B here would
+        # contaminate the battery above; raw runs + steal traces archived
+        # at the cited paths, full protocol in BASELINE.md §3).
+        "scaling_archived": {
+            "parse_pipeline_2v8": {
+                "docs_per_sec_2core": 2466.8,
+                "docs_per_sec_8core": 8423.8,
+                "speedup": 3.41,
+                "efficiency": 0.854,
+                "source": "bench_artifacts/parse_scaling_r5_window4.json",
+            },
+            "curate_full_stage_2v8": {
+                "wall_sec_2core": 225.02,
+                "wall_sec_8core": 69.92,
+                "speedup": 3.22,
+                "efficiency": 0.805,
+                "identical_output": True,
+                "source": "bench_artifacts/curate_scaling_gate_r5.log",
+            },
+        },
     }
     import shutil
 
