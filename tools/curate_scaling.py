@@ -128,6 +128,20 @@ def run_isolated(cpus: int, n_docs: int, repeats: int = 3) -> dict:
         r = json.loads(out.stdout.strip().splitlines()[-1])
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
+        # archive EVERY rep with its steal fraction — a failing gate window
+        # is only diagnosable with the per-rep weather attached (the §3.30
+        # lesson); path is append-only across runs in one session
+        rep_log = os.environ.get(
+            "CURATE_REP_LOG", "bench_artifacts/curate_gate_reps.jsonl"
+        )
+        try:
+            with open(rep_log, "a") as f:
+                f.write(json.dumps({"cpus": cpus, **{
+                    k: r[k] for k in ("wall_sec", "steal_frac", "docs_per_sec")
+                    if k in r
+                }}) + "\n")
+        except OSError:
+            pass
     return best
 
 

@@ -85,6 +85,11 @@ DOC_QUERIES = [
     "crawl_frontier",
     "cdx_index",
     "host_stats",
+    # round-5 session-12 finale ops
+    "domain_hits",
+    "bpe_tokens",
+    "phrase_search",
+    "compression_ratio",
 ]
 
 
