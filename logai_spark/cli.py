@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     cur.add_argument("--gopher-min-stopwords", type=int, default=2,
                      help="required-stopword floor (paper default 2; set 0 "
                           "for corpora the English stopword list can't judge)")
+    cur.add_argument("--zlib-min", type=float, default=None,
+                     help="drop docs whose zlib compression ratio falls "
+                          "below this floor (templated/machine-generated "
+                          "spam; curation.compression_ratio). None = skip")
     cur.add_argument("--decontaminate-ref", default=None,
                      help="parquet dir of a reference corpus (benchmark / "
                           "already-trained data); drop docs whose MinHash "
@@ -227,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
                 gopher=args.gopher,
                 gopher_min_words=args.gopher_min_words,
                 gopher_min_stopwords=args.gopher_min_stopwords,
+                zlib_min=args.zlib_min,
                 decontaminate_ref=args.decontaminate_ref,
                 line_filter=args.line_filter,
                 line_filter_min_sentences=args.line_filter_min_sentences,

@@ -109,6 +109,11 @@ class CurationConfig:
     gopher: bool = False
     gopher_min_words: int = 50
     gopher_min_stopwords: int = 2
+    # zlib compression-ratio floor (curation.compression_ratio): drop docs
+    # whose ratio falls BELOW this (highly compressible = templated /
+    # machine-generated spam); None = skip the stage. Row-local Arrow UDF,
+    # rides the same ledger-seeding scan as the other verdicts.
+    zlib_min: float | None = None
     # FULL Gopher repetition suite (webclean.gopher_repetition, App.
     # A.1.2: dup line/paragraph + top/dup n-gram char fractions at the
     # paper thresholds) as another absolute row-local pre-filter — the
@@ -490,6 +495,17 @@ def run_curation(
             min_stopword_hits=c.gopher_min_stopwords,
         ).select(*docs.columns, "gopher_keep")
         gopher_cols = ["gopher_keep"]
+    zlib_cols: list[str] = []
+    if c.zlib_min is not None:
+        from logai_spark.functions.curation import compression_ratio
+
+        # row-local like gopher_rules: the ratio is consumed here, only
+        # the boolean verdict rides the ledger
+        base_src = compression_ratio(base_src, c.text_col).select(
+            *base_src.columns,
+            (F.col("zlib_ratio") >= c.zlib_min).alias("zlib_keep"),
+        )
+        zlib_cols = ["zlib_keep"]
     repfull_cols: list[str] = []
     if c.repetition_full:
         from logai_spark.functions.webclean import gopher_repetition
@@ -514,7 +530,7 @@ def run_curation(
         repetition_stats(
             base_src, text_col=c.text_col, id_col=c.id_col,
             keep_cols=[c.lang_col, "quality", *pre_cols, *gopher_cols,
-                       *repfull_cols],
+                       *zlib_cols, *repfull_cols],
         )
         .select(
             c.id_col,
@@ -525,6 +541,11 @@ def run_curation(
             *(
                 [F.col("gopher_keep").alias("_keep_gopher")]
                 if c.gopher
+                else []
+            ),
+            *(
+                [F.col("zlib_keep").alias("_keep_zlib")]
+                if c.zlib_min is not None
                 else []
             ),
             *(
@@ -643,6 +664,8 @@ def run_curation(
         pre_quality = pre_quality & F.col("_c4_keep")
     if c.gopher:
         pre_quality = pre_quality & F.col("_keep_gopher")
+    if c.zlib_min is not None:
+        pre_quality = pre_quality & F.col("_keep_zlib")
     if c.decontaminate_ref:
         pre_quality = pre_quality & F.col("_keep_decon")
     if c.classifier_ref:
@@ -714,6 +737,7 @@ def _finish_curation(
             _t0 = now
 
     has_gopher = "_keep_gopher" in flags.columns
+    has_zlib = "_keep_zlib" in flags.columns
     has_decon = "_keep_decon" in flags.columns
     has_c4 = "_c4_keep" in flags.columns
     has_cls = "_keep_cls" in flags.columns
@@ -722,7 +746,8 @@ def _finish_curation(
     repfull_cut = rep_only & F.col("_keep_repfull") if has_repfull else rep_only
     c4_cut = repfull_cut & F.col("_c4_keep") if has_c4 else repfull_cut
     gopher_cut = c4_cut & F.col("_keep_gopher") if has_gopher else c4_cut
-    decon_cut = gopher_cut & F.col("_keep_decon") if has_decon else gopher_cut
+    zlib_cut = gopher_cut & F.col("_keep_zlib") if has_zlib else gopher_cut
+    decon_cut = zlib_cut & F.col("_keep_decon") if has_decon else zlib_cut
     pre_quality = decon_cut & F.col("_keep_cls") if has_cls else decon_cut
     # the hygiene stat columns ride the LEDGER for accounting; they are
     # internal and must not leak into the written training corpus
@@ -740,6 +765,7 @@ def _finish_curation(
         F.sum(repfull_cut.cast("long")).alias("repfull"),
         F.sum(c4_cut.cast("long")).alias("c4"),
         F.sum(gopher_cut.cast("long")).alias("gopher"),
+        F.sum(zlib_cut.cast("long")).alias("zlib"),
         F.sum(decon_cut.cast("long")).alias("decon"),
         F.sum(pre_quality.cast("long")).alias("cls"),
         F.sum((pre_quality & F.col("_keep_quality")).cast("long")).alias("qual"),
@@ -791,6 +817,8 @@ def _finish_curation(
         counts["after_line_filter"] = int(row["c4"] or 0)
     if has_gopher:
         counts["after_gopher_rules"] = int(row["gopher"] or 0)
+    if has_zlib:
+        counts["after_zlib_filter"] = int(row["zlib"] or 0)
     if has_decon:
         counts["after_decontaminate"] = int(row["decon"] or 0)
     if has_cls:

@@ -708,3 +708,40 @@ def test_curation_domain_prior_stage(spark, tmp_path):
         spark.read.parquet(os.path.join(out, "curated")).collect()
     }
     assert written == {0, 2, 3}
+
+
+def test_curation_zlib_stage(spark, tmp_path):
+    """--zlib-min drops the highly-compressible templated doc, counts the
+    stage in the manifest, and leaves natural-text docs alone."""
+    out = str(tmp_path / "cur_zlib")
+    rows = []
+    for i in range(6):
+        rows.append(
+            (i, "the a of to and is in it " + f"alpha{i} beta{i} gamma{i} " * (i + 3),
+             "en", "s0")
+        )
+    # templated spam: one phrase repeated — compresses to a tiny fraction
+    rows.append((50, "click here buy now " * 120, "en", "s0"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    m = run_curation(
+        spark, docs, out,
+        CurationConfig(keep_frac=1.0, max_top_bigram_frac=0.9, pack_budget=200,
+                       zlib_min=0.2),
+    )
+    c = m["counts"]
+    assert c["input"] == 7
+    assert c["after_zlib_filter"] == 6            # doc 50 dropped here
+    written = spark.read.parquet(os.path.join(out, "curated"))
+    ids = {r.doc_id for r in written.select("doc_id").collect()}
+    assert 50 not in ids and ids >= {0, 1, 2, 3, 4, 5}
+
+    # stage off -> doc 50 survives (repetition ceiling relaxed above)
+    out2 = str(tmp_path / "cur_nozlib")
+    m2 = run_curation(
+        spark, docs, out2,
+        CurationConfig(keep_frac=1.0, max_top_bigram_frac=0.95, pack_budget=200),
+    )
+    assert "after_zlib_filter" not in m2["counts"]
+    written2 = spark.read.parquet(os.path.join(out2, "curated"))
+    assert 50 in {r.doc_id for r in written2.select("doc_id").collect()}
