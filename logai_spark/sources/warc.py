@@ -61,17 +61,22 @@ def warc_bytes(
     records: Iterable[tuple[str, str, bytes]],
     http: bool = True,
     compress: bool = False,
+    extra_http_headers: bytes = b"",
 ) -> bytes:
     """Serialize (url, iso_ts, body) triples as WARC response records —
     the test-side writer that makes the reader's tests round-trips.
     ``http=True`` wraps bodies in an HTTP/1.1 200 message like real
     crawls; ``compress=True`` gzips each record as its own member
-    (the Common Crawl layout)."""
+    (the Common Crawl layout). ``extra_http_headers`` injects raw
+    CRLF-terminated header lines into the HTTP block (Content-Encoding /
+    Transfer-Encoding fixtures — the body is taken as already-encoded
+    wire bytes, exactly what a capture proxy writes)."""
     out = bytearray()
     for url, ts, body in records:
         if http:
             payload = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + extra_http_headers
                 + f"Content-Length: {len(body)}\r\n\r\n".encode()
                 + body
             )
@@ -311,6 +316,49 @@ def parse_wat(df: DataFrame, body_col: str = "html") -> DataFrame:
 # ------------------------------------------------------------------ reader --
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (RFC 9112 §7.1) — WARC
+    writers capture the raw wire bytes, so archived responses can carry
+    the chunk-size lines inside the entity body. Returns the raw input
+    unchanged if the framing is malformed (defensive: never lose bytes)."""
+    out = bytearray()
+    i = 0
+    try:
+        while True:
+            j = body.index(b"\r\n", i)
+            size = int(body[i:j].split(b";", 1)[0], 16)  # drop chunk exts
+            if size == 0:
+                return bytes(out)
+            k = j + 2
+            out += body[k : k + size]
+            if body[k + size : k + size + 2] != b"\r\n":
+                return body
+            i = k + size + 2
+    except (ValueError, IndexError):
+        return body
+
+
+def _content_decode(body: bytes, encoding: str) -> bytes:
+    """Decode an HTTP Content-Encoding'd entity body (gzip / x-gzip /
+    deflate — both zlib-wrapped and raw per the field's messy reality).
+    Unknown codings (br without a library, identity) and corrupt streams
+    return the raw bytes unchanged — never lose the capture."""
+    import zlib
+
+    enc = encoding.strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)  # zlib-wrapped (the spec)
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS)  # raw (the web)
+    except zlib.error:
+        return body
+    return body
+
+
 def _iter_records(stream: io.BufferedIOBase, fname: str) -> Iterator[dict]:
     """Stream WARC records off a (decompressed) byte stream with bounded
     memory: headers are read line-wise, bodies via one sized read."""
@@ -354,7 +402,19 @@ def _iter_records(stream: io.BufferedIOBase, fname: str) -> Iterator[dict]:
                 else body.startswith(b"HTTP/")
             )
             if is_http and b"\r\n\r\n" in body:
-                body = body.split(b"\r\n\r\n", 1)[1]
+                head, body = body.split(b"\r\n\r\n", 1)
+                # archived wire bytes: dechunk BEFORE content-decode (RFC
+                # 9112 §6.1 ordering), exactly what warcio's recompression
+                # consumers do; helpers return raw bytes on any failure
+                hl = head.lower()
+                if b"transfer-encoding:" in hl and b"chunked" in hl:
+                    body = _dechunk(body)
+                for hline in hl.split(b"\r\n"):
+                    if hline.startswith(b"content-encoding:"):
+                        body = _content_decode(
+                            body, hline.split(b":", 1)[1].decode("ascii", "replace")
+                        )
+                        break
         ts = None
         raw_ts = headers.get("warc-date")
         if raw_ts:

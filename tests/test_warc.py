@@ -183,3 +183,85 @@ def test_wet_manifest_is_lazy_until_action(spark, tmp_path):
     assert not any(f.startswith("part-") for f in os.listdir(out))
     man.collect()
     assert any(f.startswith("part-") for f in os.listdir(out))
+
+
+def test_warc_gzip_content_encoding_decoded(spark, tmp_path):
+    """An archived response whose entity body is Content-Encoding: gzip
+    wire bytes decodes transparently (what warcio consumers do); corrupt
+    streams keep the raw capture."""
+    html = b"<html>compressed page body</html>"
+    p = tmp_path / "seg.warc"
+    p.write_bytes(warc_bytes(
+        [("http://gz.io/", "2024-01-01T00:00:00Z", gzip.compress(html))],
+        extra_http_headers=b"Content-Encoding: gzip\r\n",
+    ))
+    (row,) = read_warc(spark, [str(p)]).collect()
+    assert bytes(row.html) == html
+
+    # corrupt gzip -> raw bytes survive, never lost
+    p2 = tmp_path / "bad.warc"
+    p2.write_bytes(warc_bytes(
+        [("http://bad.io/", "2024-01-01T00:00:00Z", b"\x1f\x8bnot-gzip")],
+        extra_http_headers=b"Content-Encoding: gzip\r\n",
+    ))
+    (row2,) = read_warc(spark, [str(p2)]).collect()
+    assert bytes(row2.html) == b"\x1f\x8bnot-gzip"
+
+
+def test_warc_deflate_both_flavors_decoded(spark, tmp_path):
+    import zlib
+
+    html = b"<p>deflate page</p>"
+    wrapped = zlib.compress(html)                     # zlib-wrapped (spec)
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)     # raw (the web)
+    rawbody = raw.compress(html) + raw.flush()
+    p = tmp_path / "seg.warc"
+    p.write_bytes(
+        warc_bytes([("http://a.io/", "2024-01-01T00:00:00Z", wrapped)],
+                   extra_http_headers=b"Content-Encoding: deflate\r\n")
+        + warc_bytes([("http://b.io/", "2024-01-01T00:00:00Z", rawbody)],
+                     extra_http_headers=b"Content-Encoding: deflate\r\n")
+    )
+    rows = read_warc(spark, [str(p)]).orderBy("url").collect()
+    assert [bytes(r.html) for r in rows] == [html, html]
+
+
+def test_warc_chunked_transfer_decoded(spark, tmp_path):
+    """Chunked framing captured on the wire is de-chunked (with chunk
+    extensions ignored), and chunked+gzip composes in RFC order."""
+    html = b"<html>chunked body here</html>"
+    chunked = (
+        b"10;ext=1\r\n" + html[:16] + b"\r\n"
+        + format(len(html) - 16, "x").encode() + b"\r\n" + html[16:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    p = tmp_path / "seg.warc"
+    p.write_bytes(warc_bytes(
+        [("http://ch.io/", "2024-01-01T00:00:00Z", chunked)],
+        extra_http_headers=b"Transfer-Encoding: chunked\r\n",
+    ))
+    (row,) = read_warc(spark, [str(p)]).collect()
+    assert bytes(row.html) == html
+
+    gz = gzip.compress(html)
+    chunked_gz = (
+        format(len(gz), "x").encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    p2 = tmp_path / "both.warc"
+    p2.write_bytes(warc_bytes(
+        [("http://chgz.io/", "2024-01-01T00:00:00Z", chunked_gz)],
+        extra_http_headers=(
+            b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n"
+        ),
+    ))
+    (row2,) = read_warc(spark, [str(p2)]).collect()
+    assert bytes(row2.html) == html
+
+    # malformed chunk framing -> raw bytes survive
+    p3 = tmp_path / "badchunk.warc"
+    p3.write_bytes(warc_bytes(
+        [("http://badc.io/", "2024-01-01T00:00:00Z", b"zz\r\nnot chunked")],
+        extra_http_headers=b"Transfer-Encoding: chunked\r\n",
+    ))
+    (row3,) = read_warc(spark, [str(p3)]).collect()
+    assert bytes(row3.html) == b"zz\r\nnot chunked"
