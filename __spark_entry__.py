@@ -2905,6 +2905,9 @@ _WARC_FIX_RECS = {
     ]),
 }
 _WARC_FIX_DIR = None
+# decoded body both wire-encoded fix4 records must yield (>10 bytes so the
+# chunked fixture splits into two chunks)
+_WARC_ENC_BODY = "<html>wire encoded epsilon</html>"
 
 
 def _warc_fixture_dir() -> str:
@@ -2927,6 +2930,26 @@ def _warc_fixture_dir() -> str:
                 fh.write(payload)
         with open(os.path.join(d, "fix3.warc"), "wb") as fh:
             fh.write(b"NOT A WARC FILE\r\n")
+        # fix4: wire-encoded HTTP bodies — Content-Encoding: gzip and
+        # chunked transfer framing; the reader must hand back the DECODED
+        # html (session-12 decode path), which is what the oracle expects
+        import gzip as _gzip
+
+        enc_html = _WARC_ENC_BODY.encode()
+        chunked = (
+            format(len(enc_html[:10]), "x").encode() + b"\r\n" + enc_html[:10]
+            + b"\r\n" + format(len(enc_html[10:]), "x").encode() + b"\r\n"
+            + enc_html[10:] + b"\r\n0\r\n\r\n"
+        )
+        payload = warc_bytes(
+            [("http://e.io/gz", "2025-03-01T00:00:00Z", _gzip.compress(enc_html))],
+            extra_http_headers=b"Content-Encoding: gzip\r\n",
+        ) + warc_bytes(
+            [("http://e.io/ch", "2025-03-01T00:00:01Z", chunked)],
+            extra_http_headers=b"Transfer-Encoding: chunked\r\n",
+        )
+        with open(os.path.join(d, "fix4.warc"), "wb") as fh:
+            fh.write(payload)
         _WARC_FIX_DIR = d
     return _WARC_FIX_DIR
 
@@ -2936,12 +2959,14 @@ def _q_warc_scan(spark, sf_dir):
     synthetic archives — HTTP-wrapped records (header block stripped),
     a non-HTTP record whose body contains an early CRLFCRLF (must survive
     whole: the Content-Type strip gate, ADVICE-r4), per-record gzip
-    members (the Common Crawl layout), and a malformed file that must
+    members (the Common Crawl layout), wire-encoded HTTP bodies
+    (Content-Encoding: gzip and chunked transfer framing — the reader
+    must hand back DECODED html), and a malformed file that must
     surface as a '_malformed' dead-letter row rather than failing the
     scan. One task per archive (explicit path slicing). The oracle is a
     VALUES reconstruction of every expected row — reader bugs in header
-    stripping, gzip member handling, timestamp parsing or dead-letter
-    routing all break the hash. VERDICT-r4 #7."""
+    stripping, gzip member handling, body decoding, timestamp parsing or
+    dead-letter routing all break the hash. VERDICT-r4 #7."""
     from pyspark.sql import functions as F
 
     from logai_spark.sources.warc import read_warc
@@ -2980,6 +3005,16 @@ def _warc_scan_oracle_sql() -> str:
             )
     # the dead-letter row carries no parsed payload: url/ts/body NULL
     rows.append("(NULL, NULL, '_malformed', NULL, 'fix3.warc')")
+    # fix4: wire-encoded bodies — expected DECODED html for both records
+    for u, t in (
+        ("http://e.io/gz", "2025-03-01 00:00:00"),
+        ("http://e.io/ch", "2025-03-01 00:00:01"),
+    ):
+        rows.append(
+            "({}, TIMESTAMP '{}', 'response', {}, 'fix4.warc')".format(
+                _sqlstr(u), t, _sqlstr(_WARC_ENC_BODY)
+            )
+        )
     return (
         "SELECT url, warc_ts::timestamp AS warc_ts, rec_type, body, archive "
         "FROM (VALUES "
