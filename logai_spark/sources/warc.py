@@ -354,6 +354,16 @@ def _content_decode(body: bytes, encoding: str) -> bytes:
                 return zlib.decompress(body)  # zlib-wrapped (the spec)
             except zlib.error:
                 return zlib.decompress(body, -zlib.MAX_WBITS)  # raw (the web)
+        if enc == "br":
+            # brotli isn't in this container — import-gated so the path
+            # lights up wherever the library exists (the common real-web
+            # coding after gzip); raw bytes kept otherwise
+            try:
+                import brotli  # type: ignore[import-not-found]
+
+                return brotli.decompress(body)
+            except Exception:
+                return body
     except zlib.error:
         return body
     return body

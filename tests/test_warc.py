@@ -265,3 +265,15 @@ def test_warc_chunked_transfer_decoded(spark, tmp_path):
     ))
     (row3,) = read_warc(spark, [str(p3)]).collect()
     assert bytes(row3.html) == b"zz\r\nnot chunked"
+
+
+def test_warc_brotli_without_library_keeps_raw(spark, tmp_path):
+    """'br' bodies pass through unchanged when brotli isn't installed —
+    the capture is never lost; decode lights up via the import gate."""
+    p = tmp_path / "br.warc"
+    p.write_bytes(warc_bytes(
+        [("http://br.io/", "2024-01-01T00:00:00Z", b"\x8b\x03\x80brdata")],
+        extra_http_headers=b"Content-Encoding: br\r\n",
+    ))
+    (row,) = read_warc(spark, [str(p)]).collect()
+    assert bytes(row.html) == b"\x8b\x03\x80brdata"
