@@ -289,7 +289,10 @@ def domain_hits(
             )
         )
         hub = _ckpt(hub)
-    return auth.join(hub, "domain").select("domain", "auth", "hub")
+    # both sides are |domains|-sized score vectors — broadcast the
+    # assembly join like every per-iteration join (post-checkpoint the
+    # inputs carry no stats, so without the hint this falls to an SMJ)
+    return auth.join(F.broadcast(hub), "domain").select("domain", "auth", "hub")
 
 
 def hits_oracle_sql(edges_sql: str, iters: int = 5) -> str:

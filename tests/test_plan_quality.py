@@ -204,3 +204,49 @@ def test_frontier_and_bm25_window_group_limits(spark, qs):
         p = _plan(qs[name](spark, SF))
         assert "WindowGroupLimit" in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_phrase_search_one_broadcast_no_smj(spark, qs):
+    """Phrase terms broadcast into the postings; the only joins are the
+    tiny-term broadcast — never a sort-merge, never a cartesian — and the
+    count-distinct-free agg keeps the shuffle count at the (id,start)
+    partial agg + final orderBy."""
+    p = _plan(qs["phrase_search"](spark, SF))
+    # formatted output names each node in the tree AND the detail section,
+    # so pin the tree line count (exactly one broadcast join node)
+    assert len(re.findall(r"\+- BroadcastHashJoin", p)) == 1
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # no two-phase distinct expand (the count(*)==m rewrite)
+    assert "Expand" not in p
+
+
+def test_domain_hits_broadcasts_score_vectors(spark, qs):
+    """Every HITS half-iteration joins the |domains|-sized score vector by
+    BROADCAST; the edge table is the only shuffled side. The oracle-row
+    plan is lineage-truncated by the per-iteration checkpoints, so the
+    full-iteration shape is pinned on an UNcheckpointed build."""
+    p = _plan(qs["domain_hits"](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    from pyspark.sql import Row
+
+    from logai_spark.functions.webgraph import domain_hits
+
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b", n_links=1), Row(src="b", dst="c", n_links=2)]
+    )
+    full = _plan(domain_hits(edges, iters=2, checkpoint=False))
+    assert "SortMergeJoin" not in full
+    assert "CartesianProduct" not in full
+    # 2 score joins per iteration x 2 iters + 2 left rebuilds x 2 + assembly
+    assert len(re.findall(r"BroadcastHashJoin", full.split("\n\n")[0])) >= 5
+
+
+def test_compression_ratio_zero_shuffle(spark, qs):
+    """Row-local Arrow UDF: no exchange other than the scan layout — the
+    plan must contain no hash/range exchange at all (ArrowEvalPython only)."""
+    p = _plan(qs["compression_ratio"](spark, SF))
+    assert "hashpartitioning" not in p
+    assert "ArrowEvalPython" in p
