@@ -3030,9 +3030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cast, fixed below) and the six session-9 crawl rows; positions 8-11 are
     # the r2-stale rotations VERDICT-r4 asked for; then every operator NEW
     # this round (media codecs, discovery, charset, WET/WAT round trips,
-    # IceTable time travel); the remainder re-verifies r3/r2-green signature
-    # and single-shuffle ops. Everything past position 50 is driver-green in
-    # CORRECTNESS_r04.
+    # IceTable time travel, and the session-12 finale four: trained BPE,
+    # HITS, phrase search, compression ratio); the remainder re-verifies
+    # r3/r2-green signature and single-shuffle ops. Everything at position
+    # 51+ is driver-green in a prior round's CORRECTNESS file (the rows the
+    # finale inserts displaced past 50 — streaming_sessions, counter_vector,
+    # sliding_window, session_concat — are r3-green).
     return {
         # -- never driver-verified / r4-red (positions 1-7) ----------------
         "url_dedup": _q_url_dedup,
