@@ -124,13 +124,24 @@ def main() -> None:
         run_pipeline(spark, warm, os.path.join(out, "warm"), cfg)
         pages = synth_webpages(spark, N_DOCS).cache()
         n_docs = pages.count()  # materialize so generation isn't in the timing
-        # best-of-2: the sandbox host has bursty CPU steal that can triple a
-        # single wall time; two runs bound the noise without hiding real cost
+        # best-of-3 with per-rep steal annotation: the sandbox host has
+        # bursty CPU steal AND §3.32-class per-core-speed swings that can
+        # double a single wall; three reps bound the noise without hiding
+        # real cost, and the rep log in the output attributes a bad
+        # headline to its weather inline
         pipeline_sec = float("inf")
-        for rep in range(2):
+        e2e_reps = []
+        for rep in range(3):
+            s0, c0 = _cpu_counters()
             t0 = time.perf_counter()
             metrics = run_pipeline(spark, pages, os.path.join(out, f"main{rep}"), cfg)
-            pipeline_sec = min(pipeline_sec, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            s1, c1 = _cpu_counters()
+            e2e_reps.append(
+                {"wall": round(wall, 3),
+                 "steal": round((s1 - s0) / max(c1 - c0, 1), 4)}
+            )
+            pipeline_sec = min(pipeline_sec, wall)
         pages.unpersist()
     docs_per_sec = round(n_docs / pipeline_sec, 1)
 
@@ -209,6 +220,7 @@ def main() -> None:
             "prewarmed": True,
             "per_row_hygiene": "clearCache+gc",
             "steal_frac_noisy_rows": row_steal,
+            "e2e_reps": e2e_reps,
         },
         # north-rule N -> 4N scaling evidence, measured THIS ROUND with the
         # fresh-process best-of-3 taskset protocol (not re-measured inside
