@@ -2398,6 +2398,21 @@ def _q_domain_hits(spark, sf_dir):
     ).orderBy("domain")
 
 
+def _q_link_spam(spark, sf_dir):
+    """Per-domain link-farm signals (webgraph.link_spam_features, the
+    Becchetti et al. 2008 web-spam feature family): degree/weight stats +
+    link reciprocity over the link-graph fixture. Thin-edge-table-only
+    plan: two partial-agg shuffles for the degree stats and ONE
+    co-partitioned self-equi-join of the distinct pair set against its
+    reversal for reciprocity — never a cross product, self-loops excluded
+    from reciprocity."""
+    from logai_spark.functions.webgraph import link_edges, link_spam_features
+
+    return link_spam_features(link_edges(_links_tbl(spark, sf_dir))).orderBy(
+        "domain"
+    )
+
+
 def _q_hyperball(spark, sf_dir):
     """HyperBall harmonic centrality (hyperball.hyperball_harmonic,
     Boldi & Vigna 2013) over the link-graph fixture — the commoncrawl.org
@@ -3070,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_hits": _q_domain_hits,
         "phrase_search": _q_phrase_search,
         "compression_ratio": _q_compression_ratio,
+        "link_spam": _q_link_spam,
         # -- r3-green signature / complex ops re-verified ------------------
         "drain_parse": _q_drain_parse,
         "ael_templates": _q_ael_templates,
@@ -3844,6 +3860,36 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _EDGES_SQL,
         "domain_pagerank": pagerank_oracle_sql(_EDGES_SQL, iters=5),
         "domain_hits": hits_oracle_sql(_EDGES_SQL, iters=3),
+        "link_spam": f"""
+            WITH e AS (SELECT src, dst, n_links::BIGINT AS w FROM ({_EDGES_SQL})),
+            ne AS (SELECT src, dst, w FROM e WHERE src <> dst),
+            pairs AS (SELECT DISTINCT src, dst FROM ne),
+            outs AS (SELECT src AS domain, count(DISTINCT dst) AS out_deg,
+                            sum(w) AS out_links FROM ne GROUP BY 1),
+            ins AS (SELECT dst AS domain, count(DISTINCT src) AS in_deg,
+                           sum(w) AS in_links FROM ne GROUP BY 1),
+            selfs AS (SELECT src AS domain, sum(w) AS self_links
+                      FROM e WHERE src = dst GROUP BY 1),
+            recip AS (SELECT a.src AS domain, count(*) AS recip_deg
+                      FROM pairs a JOIN pairs b
+                        ON a.src = b.dst AND a.dst = b.src GROUP BY 1),
+            nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e)
+            SELECT nodes.domain,
+                   coalesce(out_deg, 0)::BIGINT AS out_deg,
+                   coalesce(in_deg, 0)::BIGINT AS in_deg,
+                   coalesce(out_links, 0)::BIGINT AS out_links,
+                   coalesce(in_links, 0)::BIGINT AS in_links,
+                   coalesce(self_links, 0)::BIGINT AS self_links,
+                   coalesce(recip_deg, 0)::BIGINT AS recip_deg,
+                   CASE WHEN coalesce(out_deg, 0) > 0
+                        THEN floor(coalesce(recip_deg, 0)::DOUBLE / out_deg
+                                   * 10000 + 0.5) / 10000
+                        ELSE 0.0 END AS recip_frac
+            FROM nodes
+            LEFT JOIN outs USING (domain) LEFT JOIN ins USING (domain)
+            LEFT JOIN selfs USING (domain) LEFT JOIN recip USING (domain)
+            ORDER BY nodes.domain
+        """,
         "hyperball_harmonic": hyperball_oracle_sql(_EDGES_SQL, p=4, iters=4),
         # intent-derived oracles: the expected rule/flag sets follow from
         # the fixture's CASE structure, independent of the Spark parser

@@ -79,6 +79,7 @@ HEADLINE = [
     "bpe_tokens",
     "phrase_search",
     "compression_ratio",
+    "link_spam",
 ]
 
 

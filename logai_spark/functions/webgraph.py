@@ -388,3 +388,84 @@ def host_stats(
         "domain", "n_pages", "n_urls", "text_chars", "mean_chars",
         "top_lang", "top_lang_share",
     )
+
+
+def link_spam_features(edges: DataFrame) -> DataFrame:
+    """Per-domain link-farm signals over the weighted domain graph — the
+    classic web-spam feature family (Becchetti et al. 2008 "Link analysis
+    for Web spam detection"): degree stats plus link reciprocity. Link
+    farms show extreme out-degree, tiny in-degree from outside the farm,
+    and near-total reciprocity; honest hubs have low reciprocity.
+
+    Output per domain: out_deg / in_deg (distinct neighbors), out_links /
+    in_links (weighted), self_links, recip_deg (neighbors linked in BOTH
+    directions) and recip_frac = recip_deg / out_deg (floor-rounded 4 dp;
+    0.0 when out_deg = 0).
+
+    Scale shape: everything runs on the THIN edge table — two partial-agg
+    shuffles keyed src / dst for the degree stats, and reciprocity is ONE
+    self-equi-join of the edge pair set against its own reversal keyed on
+    the full (u, v) pair (co-partitioned, never a cross product; self-loops
+    excluded so a self-link cannot fake reciprocity). Page bytes were never
+    here to begin with — the input is the already-folded domain graph."""
+    e = edges.select("src", "dst", F.col("n_links").cast("long").alias("w"))
+    pairs = e.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    out_stats = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("domain"))
+        .agg(
+            F.count_distinct("dst").alias("out_deg"),
+            F.sum("w").alias("out_links"),
+        )
+    )
+    in_stats = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("dst").alias("domain"))
+        .agg(
+            F.count_distinct("src").alias("in_deg"),
+            F.sum("w").alias("in_links"),
+        )
+    )
+    selfs = (
+        e.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("domain"))
+        .agg(F.sum("w").alias("self_links"))
+    )
+    recip = (
+        pairs.alias("a")
+        .join(
+            pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).alias("b"),
+            ["src", "dst"],
+        )
+        .groupBy(F.col("src").alias("domain"))
+        .agg(F.count(F.lit(1)).alias("recip_deg"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .unionByName(e.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    out = (
+        nodes.join(out_stats, "domain", "left")
+        .join(in_stats, "domain", "left")
+        .join(selfs, "domain", "left")
+        .join(recip, "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("self_links", F.lit(0)).alias("self_links"),
+            F.coalesce("recip_deg", F.lit(0)).alias("recip_deg"),
+        )
+    )
+    return out.withColumn(
+        "recip_frac",
+        F.when(
+            F.col("out_deg") > 0,
+            F.floor(F.col("recip_deg") / F.col("out_deg") * 10000 + 0.5) / 10000,
+        ).otherwise(F.lit(0.0)),
+    )

@@ -187,3 +187,31 @@ def test_hits_hub_vs_authority_separation(spark):
     assert got["auth.com"][1] == 0.0
     assert got["auth.com"][0] == pytest.approx(2 / 3, rel=1e-12)
     assert got["other.com"][0] == pytest.approx(1 / 3, rel=1e-12)
+
+
+def test_link_spam_features_hand_computed(spark):
+    """Degree stats, self-link exclusion from reciprocity, and recip_frac
+    on a hand-built farm-vs-honest graph."""
+    from logai_spark.functions.webgraph import link_spam_features
+
+    edges = spark.createDataFrame(
+        [
+            # farm: f1 <-> f2 fully reciprocal, plus self-link on f1
+            Row(src="f1", dst="f2", n_links=5),
+            Row(src="f2", dst="f1", n_links=4),
+            Row(src="f1", dst="f1", n_links=9),
+            # honest hub h links out to two authorities, nothing back
+            Row(src="h", dst="a1", n_links=1),
+            Row(src="h", dst="a2", n_links=2),
+        ]
+    )
+    got = {r.domain: r.asDict() for r in link_spam_features(edges).collect()}
+    assert got["f1"]["out_deg"] == 1 and got["f1"]["in_deg"] == 1
+    assert got["f1"]["self_links"] == 9          # counted, but...
+    assert got["f1"]["recip_deg"] == 1           # ...not as reciprocity
+    assert got["f1"]["recip_frac"] == 1.0
+    assert got["f2"]["recip_frac"] == 1.0
+    assert got["h"]["out_deg"] == 2 and got["h"]["recip_frac"] == 0.0
+    assert got["h"]["out_links"] == 3
+    assert got["a1"]["out_deg"] == 0 and got["a1"]["recip_frac"] == 0.0
+    assert got["a1"]["in_links"] == 1 and got["a2"]["in_links"] == 2
